@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, IndexConf}
+import graft.query.QueryEngine
+
+/** The two spark-submit entry points, mirroring the reference's two scripts
+  * (indexdata.py = ingest/build, searchindex.py = query/delete). SURVEY.md §7.
+  */
+object MainCommon {
+  def session(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Build (or resume) an index.
+  *   runMain graft.BuildIndex <indexDir> [--docs N | --input parquetPath]
+  *     [--buckets B] [--resume] [--skew]
+  */
+object BuildIndex {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BuildIndex <indexDir> [--docs N | --input path] [--buckets B] [--resume] [--skew]")
+    val indexDir = args(0)
+    val opts = args.drop(1).sliding(2, 2).collect {
+      case Array(k, v) => k -> v
+    }.toMap
+    val flags = args.drop(1).toSet
+    val spark = MainCommon.session("graft-build")
+    import spark.implicits._
+    val conf = IndexConf(numBuckets = opts.getOrElse("--buckets", "32").toInt)
+    val docs = opts.get("--input") match {
+      case Some(p) => spark.read.parquet(p).as[graft.corpus.WebDoc]
+      case None =>
+        val n = opts.getOrElse("--docs", "5000").toLong
+        CorpusGen.generate(spark, n, skew = flags.contains("--skew"))
+    }
+    val report =
+      if (flags.contains("--resume")) IndexBuilder.resume(spark, docs, indexDir, conf)
+      else IndexBuilder.build(spark, docs, indexDir, conf)
+    println(s"[graft] build complete: docs=${report.docs} terms=${report.terms} " +
+      s"postings=${report.postings} segments=${report.segments} " +
+      s"buckets=${report.buckets} durationMs=${report.durationMs}")
+    spark.stop()
+  }
+}
+
+/** Query an index: top-k BM25 search, optional delete of the hits
+  * (the reference's searchindex.py -d flag, searchindex.py:141–150).
+  *   runMain graft.Search <indexDir> <query> [--k K] [--buckets B] [--delete]
+  */
+object Search {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--delete] [--exhaustive]")
+    val indexDir = args(0)
+    val query = args(1)
+    val opts = args.drop(2).sliding(2, 2).collect {
+      case Array(k, v) => k -> v
+    }.toMap
+    val flags = args.drop(2).toSet
+    val k = opts.getOrElse("--k", "10").toInt
+    val spark = MainCommon.session("graft-search")
+    val engine = new QueryEngine(spark, indexDir,
+      opts.getOrElse("--buckets", "32").toInt)
+    val t0 = System.nanoTime()
+    val res =
+      (if (flags.contains("--exhaustive")) engine.searchExhaustive(query, k)
+       else engine.search(query, k)).collect()
+    val ms = (System.nanoTime() - t0) / 1e6
+    println(f"[graft] query='$query' hits=${res.length} latencyMs=$ms%.1f")
+    res.zipWithIndex.foreach { case (r, i) =>
+      println(f"  ${i + 1}%2d. docId=${r.getLong(0)}%8d score=${r.getDouble(1)}%.6f")
+    }
+    if (flags.contains("--delete") && res.nonEmpty) {
+      graft.query.Deletes.delete(spark, indexDir, res.map(_.getLong(0)).toSeq)
+      println(s"[graft] tombstoned ${res.length} docs")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,91 @@
+package graft.index
+
+import java.sql.Timestamp
+
+/** Physical index tables (FIXTURES.md §2; SURVEY.md §1.3). All standard Spark
+  * types — the whole index is "just tables", which is what makes partition
+  * pruning, compaction and resume plain relational jobs.
+  */
+
+/** Document store row — the analog of Solr's stored fields. */
+final case class DocRow(
+    docId: Long,
+    url: String,
+    warc_ts: Timestamp,
+    lang: String,
+    doclen: Long)
+
+/** One compressed posting segment: a docId-range slice of one term's posting
+  * list. Non-skewed terms have exactly one segment (segment=0); terms with
+  * df > segmentMaxDocs are split into docId-disjoint ranges (salted
+  * segmentation, SURVEY.md §4.2 "skew handling"), so no single task ever
+  * encodes or scores an unbounded stopword posting list.
+  *
+  * Compression: docIds are delta-gap + VByte over the whole segment with the
+  * gap stream restarting implicitly at block boundaries (the base of block b
+  * is blockLastDocId(b-1)), so a block is independently decodable given the
+  * per-block byte offsets. tfs and dls (doc lengths) are plain VByte.
+  * Storing dl inline (~1 byte/posting) makes scoring self-contained: no
+  * query-time join against a 10^12-row doclen table.
+  *
+  * Block-max metadata per 128-doc block: last docId (skip pointer) and an
+  * upper bound on the BM25 contribution (stored as the next-up float of the
+  * true double max, so Float rounding can never violate the bound).
+  */
+final case class PostingSegment(
+    termBucket: Int,
+    term: String,
+    segment: Int,
+    df: Long, // global document frequency of the term (all segments)
+    cf: Long, // global collection frequency of the term
+    count: Int, // postings in THIS segment
+    firstDocId: Long,
+    lastDocId: Long,
+    docIdsVb: Array[Byte],
+    tfsVb: Array[Byte],
+    dlsVb: Array[Byte],
+    blockLastDocId: Array[Long],
+    blockMaxScore: Array[Float],
+    blockDocOff: Array[Int],
+    blockTfOff: Array[Int],
+    blockDlOff: Array[Int])
+
+/** Broadcast-sized corpus statistics (single row). */
+final case class CorpusStats(n: Long, avgdl: Double, totalTerms: Long)
+
+/** Per-bucket build lineage + metrics — the checkpoint manifest
+  * (north_rule: "resumable from checkpoint with per-partition lineage +
+  * metrics"). A bucket is complete iff its manifest row says so; resume
+  * rebuilds exactly the buckets without a complete row.
+  */
+final case class ManifestRow(
+    partitionId: Int, // termBucket
+    termRangeLo: String,
+    termRangeHi: String,
+    segCount: Long,
+    rowCount: Long, // total postings (sum of segment counts)
+    bytes: Long, // compressed posting bytes
+    inputFiles: Array[String],
+    durationMs: Long,
+    status: String)
+
+/** Tombstones for delete-by-id (reference: searchindex.py:83–92) — anti-joined
+  * at query time until compaction rewrites the affected segments.
+  */
+final case class Tombstone(docId: Long)
+
+object IndexConf {
+  val BlockSize = 128
+}
+
+/** @param numBuckets    term-hash directory partitions of the postings table
+  *                      (query-time pruning unit; scale with vocabulary)
+  * @param segmentMaxDocs df threshold above which a term is split into
+  *                      docId-range segments (skew control)
+  */
+final case class IndexConf(
+    numBuckets: Int = 32,
+    segmentMaxDocs: Int = 1 << 16,
+    buildPartitions: Int = 0) { // 0 = spark default parallelism
+  require(numBuckets > 0 && segmentMaxDocs > 0)
+}

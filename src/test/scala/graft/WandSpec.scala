@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+import graft.index.{Analysis, PostingCodec, PostingSegment}
+import graft.oracle.SeqOracle
+import graft.query.{Wand, QueryParser}
+
+/** WAND ≡ exhaustive oracle on random small corpora (FIXTURES.md §5),
+  * including the windowed (distributed) merge and salted segmentation.
+  * Pure Scala — no SparkSession needed.
+  */
+class WandSpec extends AnyFunSuite {
+
+  private def vocabWord(rng: Random): String =
+    if (rng.nextInt(4) == 0) "stop" + rng.nextInt(3)
+    else "w" + rng.nextInt(40)
+
+  private def mkCorpus(rng: Random, nDocs: Int): Seq[(Long, String, String)] =
+    (0L until nDocs.toLong).map { id =>
+      val len = 3 + rng.nextInt(60)
+      val text = Seq.fill(len)(vocabWord(rng)).mkString(" ")
+      val lang = if (rng.nextInt(10) == 0) "no" else "en"
+      (id, text, lang)
+    }
+
+  /** Build in-memory segments per term from the corpus, splitting terms with
+    * df > segMax into docId-range segments (as the builder does).
+    */
+  private def buildSegments(corpus: Seq[(Long, String, String)],
+      segMax: Int): (Map[String, Seq[PostingSegment]], Long, Double) = {
+    val n = corpus.size.toLong
+    val doclen = corpus.map { case (id, t, _) =>
+      id -> Analysis.tokenize(t).length.toLong
+    }.toMap
+    val avgdl = doclen.values.sum.toDouble / n
+    val tf = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.TreeMap[Long, Long]]
+    corpus.foreach { case (id, t, _) =>
+      Analysis.tokenize(t).foreach { w =>
+        val m = tf.getOrElseUpdate(w, scala.collection.mutable.TreeMap.empty)
+        m(id) = m.getOrElse(id, 0L) + 1L
+      }
+    }
+    val segs = tf.map { case (term, m) =>
+      val ids = m.keys.toArray
+      val tfs = ids.map(m)
+      val dls = ids.map(doclen)
+      val df = ids.length.toLong
+      val cf = tfs.sum
+      val nSeg = if (df <= segMax) 1 else ((df + segMax - 1) / segMax).toInt
+      val segLen = math.max(1L, (n + nSeg - 1) / nSeg)
+      val byteSegs = ids.indices.groupBy(i => (ids(i) / segLen).toInt).toSeq
+        .sortBy(_._1).map { case (segId, idx) =>
+          PostingCodec.encode(term, 0, segId, df, cf,
+            idx.map(ids).toArray, idx.map(tfs).toArray, idx.map(dls).toArray,
+            n, avgdl)
+        }
+      term -> byteSegs
+    }.toMap
+    (segs, n, avgdl)
+  }
+
+  private val queries = Seq(
+    "w1", "stop0", "w1 w2", "w1 AND w2", "\"w1 w2\"", "w1 NOT w2",
+    "text:w3", "w5 w6 w7 w8 w9", "stop0 AND w4", "w0 w1 stop1 NOT stop2",
+    "nosuchterm", "w1 AND nosuchterm", "w39")
+
+  test("WAND == oracle on random corpora (single window + windowed merge)") {
+    val rng = new Random(7)
+    for (trial <- 1 to 25) {
+      val corpus = mkCorpus(rng, 20 + rng.nextInt(180))
+      val segMax = 1 + rng.nextInt(30) // force multi-segment terms
+      val (segs, n, avgdl) = buildSegments(corpus, segMax)
+      val oracle = new SeqOracle(corpus)
+      val k = 1 + rng.nextInt(12)
+      queries.foreach { q =>
+        val ast = QueryParser.parse(q)
+        val expect = oracle.topK(q, k)
+
+        // single window over the whole docId space
+        val got = Wand.topK(segs, ast.scoringTerms.distinct.sorted,
+          ast.mustTerms.toSet, ast.notTerms, n, avgdl, k, 0L, Long.MaxValue)
+        assertRankIdentical(got.toSeq, expect, s"q='$q' trial=$trial single")
+
+        // windowed: 4 disjoint windows, local top-k each, merged globally —
+        // exactly what the distributed plan does
+        val w = math.max(1L, (n + 3) / 4)
+        val merged = (0 until 4).flatMap { r =>
+          Wand.topK(segs, ast.scoringTerms.distinct.sorted,
+            ast.mustTerms.toSet, ast.notTerms, n, avgdl, k,
+            r * w, (r + 1) * w)
+        }.sortBy(s => (-s.score, s.docId)).take(k)
+        assertRankIdentical(merged, expect, s"q='$q' trial=$trial windowed")
+      }
+    }
+  }
+
+  test("WAND with allow-filter == oracle lang filter") {
+    val rng = new Random(8)
+    for (trial <- 1 to 10) {
+      val corpus = mkCorpus(rng, 50 + rng.nextInt(150))
+      val (segs, n, avgdl) = buildSegments(corpus, 16)
+      val oracle = new SeqOracle(corpus)
+      val langOf = corpus.map(c => c._1 -> c._3).toMap
+      val q = "lang:no AND w1"
+      val ast = QueryParser.parse(q)
+      val expect = oracle.topK(q, 10)
+      val got = Wand.topK(segs, ast.scoringTerms.distinct.sorted,
+        ast.mustTerms.toSet, ast.notTerms, n, avgdl, 10, 0L, Long.MaxValue,
+        allow = Some(id => langOf(id) == "no"))
+      assertRankIdentical(got.toSeq, expect, s"trial=$trial lang")
+    }
+  }
+
+  private def assertRankIdentical(got: Seq[Wand.Scored],
+      expect: Seq[(Long, Double)], ctx: String): Unit = {
+    assert(got.size == expect.size,
+      s"[$ctx] size ${got.size} != ${expect.size}\n got=$got\n exp=$expect")
+    got.zip(expect).zipWithIndex.foreach { case ((g, (eid, es)), r) =>
+      assert(g.docId == eid,
+        s"[$ctx] rank $r docId ${g.docId} != $eid\n got=$got\n exp=$expect")
+      assert(math.abs(g.score - es) < 1e-9,
+        s"[$ctx] rank $r score ${g.score} != $es")
+    }
+  }
+}
