@@ -1,13 +1,165 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.Ops
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every oracle SQL is DuckDB dialect over the same parquet tables; column
+  * names are aligned exactly with the Spark results (the driver sorts
+  * columns by name before hashing values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: BM25 top-k over the documents table at sf0.001 — the
+    * engine's "minimum end-to-end slice" as one Catalyst plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Ops.bm25TopK(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // index analogs (SURVEY.md §2.6/§2.7)
+    "q_tokenize_tf" -> ((s, d) => Ops.tokenizeTf(s, d)),
+    "q_df_cf" -> ((s, d) => Ops.dfCf(s, d)),
+    "q_doclen" -> ((s, d) => Ops.doclen(s, d)),
+    "q_corpus_stats" -> ((s, d) => Ops.corpusStats(s, d)),
+    "q_bm25_topk" -> ((s, d) => Ops.bm25TopK(s, d)),
+    "q_topk_orders" -> ((s, d) => Ops.topkOrders(s, d)),
+    // extraction / validation / join analogs (SURVEY.md §2.3–§2.5)
+    "q_id_sanitize" -> ((s, d) => Ops.idSanitize(s, d)),
+    "q_required_check" -> ((s, d) => Ops.requiredCheck(s, d)),
+    "q_envelope_agg" -> ((s, d) => Ops.envelopeAgg(s, d)),
+    "q_validate_range" -> ((s, d) => Ops.validateRange(s, d)),
+    "q_parent_semi" -> ((s, d) => Ops.parentSemi(s, d)),
+    "q_parent_flag" -> ((s, d) => Ops.parentFlag(s, d)),
+    "q_tombstone_anti" -> ((s, d) => Ops.tombstoneAnti(s, d)),
+    "q_daterange_overlap" -> ((s, d) => Ops.daterangeOverlap(s, d)),
+    "q_window_rank" -> ((s, d) => Ops.windowRank(s, d)),
+    "q_lastupdate_max" -> ((s, d) => Ops.lastupdateMax(s, d)),
+    // training-data pipeline ops
+    "q_dedup_exact" -> ((s, d) => Ops.dedupExact(s, d)),
+    "q_fingerprint" -> ((s, d) => Ops.fingerprint(s, d)),
+    "q_token_count" -> ((s, d) => Ops.tokenCount(s, d)),
+    "q_quality_score" -> ((s, d) => Ops.qualityScore(s, d)),
+    "q_lang_id" -> ((s, d) => Ops.langId(s, d)),
+    "q_dedup_ngram" -> ((s, d) => Ops.dedupNgram(s, d)),
+    "q_embed_cosine" -> ((s, d) => Ops.embedCosine(s, d)),
+    "q_media_meta" -> ((s, d) => Ops.mediaMeta(s, d)),
+    // rows-only (hash fns / cluster assignment not portable to DuckDB)
+    "q_minhash_lsh" -> ((s, d) => Ops.minhashLsh(s, d)),
+    "q_simhash" -> ((s, d) => Ops.simhash(s, d)),
+    "q_ann_ivf" -> ((s, d) => Ops.annIvf(s, d)),
+  )
+
+  private val Tok =
+    "string_split_regex(lower(text), '[^a-z0-9]+')"
+  private val TfCte =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($Tok) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       |  WHERE term <> '' GROUP BY doc_id, term
+       |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_tokenize_tf" ->
+      s"$TfCte SELECT doc_id, term, tf FROM tf",
+    "q_df_cf" ->
+      s"$TfCte SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term",
+    "q_doclen" ->
+      s"$TfCte SELECT doc_id, sum(tf)::BIGINT AS doclen FROM tf GROUP BY doc_id",
+    "q_corpus_stats" ->
+      (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id) " +
+        "SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl, sum(dl)::BIGINT AS total_terms FROM dl"),
+    "q_bm25_topk" ->
+      (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
+        "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +
+        "dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term) " +
+        "SELECT tf.doc_id, round(sum(ln(1 + (s.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf / " +
+        "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
+        "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
+        "WHERE tf.term IN ('spark','window') " +
+        "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
+    "q_topk_orders" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"),
+    "q_id_sanitize" ->
+      "SELECT DISTINCT source, translate(source, ':/.', '---') AS id FROM documents",
+    "q_required_check" ->
+      ("SELECT event_id, coalesce(props, 'Unknown') AS props_checked, " +
+        "(props IS NOT NULL) AS had_value FROM events"),
+    "q_envelope_agg" ->
+      ("SELECT l_returnflag, min(l_quantity) AS w, max(l_quantity) AS e, " +
+        "min(l_extendedprice) AS s, max(l_extendedprice) AS n " +
+        "FROM lineitem GROUP BY l_returnflag"),
+    "q_validate_range" ->
+      ("SELECT CASE WHEN l_discount < 0 OR l_discount > 0.08 OR l_tax < 0 " +
+        "OR l_tax > 0.06 THEN 'Inactive' ELSE 'Active' END AS status, " +
+        "count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1"),
+    "q_parent_semi" ->
+      ("SELECT o_orderkey FROM orders WHERE EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)"),
+    "q_parent_flag" ->
+      ("SELECT o_orderkey, (k.l_orderkey IS NOT NULL) AS is_parent FROM orders " +
+        "LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) k " +
+        "ON o_orderkey = k.l_orderkey"),
+    "q_tombstone_anti" ->
+      ("SELECT l_orderkey, l_linenumber FROM lineitem WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')"),
+    "q_daterange_overlap" ->
+      ("SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-03-01' " +
+        "AND o_orderdate + INTERVAL 30 DAY >= TIMESTAMP '1995-01-01'"),
+    "q_window_rank" ->
+      ("SELECT doc_id, n_chars, rn::INT AS rn FROM (SELECT doc_id, n_chars, " +
+        "row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 50"),
+    "q_lastupdate_max" ->
+      "SELECT user_id, max(ts) AS max_ts FROM events GROUP BY user_id",
+    "q_dedup_exact" ->
+      ("SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*)::BIGINT AS n " +
+        "FROM documents GROUP BY 1"),
+    "q_fingerprint" ->
+      ("SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents"),
+    "q_token_count" ->
+      ("SELECT doc_id, " +
+        "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::INT AS n_ws, " +
+        s"len(list_filter($Tok, x -> x <> ''))::INT AS n_tok FROM documents"),
+    "q_quality_score" ->
+      (s"WITH d AS (SELECT doc_id, text, list_filter($Tok, x -> x <> '') AS t FROM documents) " +
+        "SELECT doc_id, len(t)::INT AS words, " +
+        "CASE WHEN len(t) = 0 THEN 0.0::DOUBLE ELSE round(len(list_filter(t, " +
+        "x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE / len(t), 4) END AS stop_ratio, " +
+        "round((length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')))::DOUBLE " +
+        "/ length(text), 4) AS punct_ratio FROM d"),
+    "q_lang_id" ->
+      (s"WITH d AS (SELECT doc_id, list_filter($Tok, x -> x <> '') AS t FROM documents), " +
+        "h AS (SELECT doc_id, " +
+        "len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x))) AS hits_en, " +
+        "len(list_filter(t, x -> list_contains(['der','die','das','und','ist'], x))) AS hits_de, " +
+        "len(list_filter(t, x -> list_contains(['el','la','de','y','es'], x))) AS hits_es, " +
+        "len(list_filter(t, x -> list_contains(['le','les','de','et','est'], x))) AS hits_fr FROM d) " +
+        "SELECT doc_id, CASE " +
+        "WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en' " +
+        "WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de' " +
+        "WHEN hits_es >= hits_fr THEN 'es' ELSE 'fr' END AS predicted FROM h"),
+    "q_dedup_ngram" ->
+      (s"WITH tok AS (SELECT doc_id, list_filter($Tok, x -> x <> '') AS t FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), " +
+        "sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2) " +
+        "SELECT id_a, id_b, round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard " +
+        "FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+        "WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.05"),
+    "q_embed_cosine" ->
+      ("SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], " +
+        "q.embedding::DOUBLE[]), 4) AS c FROM embeddings e, " +
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
+        "ORDER BY c DESC, e.vec_id LIMIT 10"),
+    "q_media_meta" ->
+      ("SELECT doc_id, strlen(text)::INT AS n_bytes, " +
+        "hex(encode(substr(text, 1, 8))) AS header_hex FROM documents"),
+  )
 }

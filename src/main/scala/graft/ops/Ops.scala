@@ -1,0 +1,407 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-verified operators (SparkEntry.queries): the SQL-expressible
+  * analogs of SURVEY.md §2 over the driver's parquet tables, plus the
+  * training-data-pipeline ops (dedup, similarity, text analysis) that a
+  * 100 TB corpus engine needs. Each has a DuckDB oracle in
+  * SparkEntry.oracleSql unless noted rows-only.
+  *
+  * All plans are narrow-scan friendly: filters/projections sit directly on
+  * the parquet read so Catalyst pushes them down, and every aggregation is a
+  * partial+final hash agg. Joins against small derived sets are broadcast.
+  */
+object Ops {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The engine-wide tokenizer expression (mirrors Analysis.tokenize and the
+    * DuckDB `string_split_regex(lower(text), '[^a-z0-9]+')`).
+    */
+  private def toksCol(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => length(x) > 0)
+
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(toksCol(col("text"))).as("term"))
+
+  // ------------------------------------------------------ index analogs
+
+  /** A5: per-(doc, term) term frequency — the map-side of posting build. */
+  def tokenizeTf(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir).groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** A6: document/collection frequency per term. */
+  def dfCf(spark: SparkSession, dir: String): DataFrame =
+    tokenizeTf(spark, dir).groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+
+  /** A5: doc length in tokens. */
+  def doclen(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir).groupBy("doc_id").agg(count(lit(1)).as("doclen"))
+
+  /** A6: corpus stats (N, avgdl, total terms). */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    doclen(spark, dir).agg(count(lit(1)).as("n_docs"),
+      avg("doclen").as("avgdl"), sum("doclen").as("total_terms"))
+
+  /** Q4/A8: BM25 top-10 for a fixed two-term query, as a pure Catalyst plan
+    * (SURVEY.md §7 step 3 — the "minimum end-to-end slice"). k1=1.2, b=0.75,
+    * idf = ln(1+(N-df+0.5)/(df+0.5)).
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "window"), k: Int = 10): DataFrame = {
+    val tf = tokenizeTf(spark, dir)
+    val dl = doclen(spark, dir)
+    val stats = corpusStats(spark, dir)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.filter(col("term").isin(queryTerms: _*))
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") /
+          (col("tf") + lit(1.2) *
+            (lit(1.0) - 0.75 + lit(0.75) * col("doclen") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** A8/Q5: top-k with deterministic tiebreak (TakeOrderedAndProject). */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(20)
+
+  // ------------------------------------- extraction / validation analogs
+
+  /** P1: id sanitize — `[:/.]` → `-` (indexdata.py:462–475). */
+  def idSanitize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"), translate(col("source"), ":/.", "---").as("id"))
+      .distinct()
+
+  /** F1: required-element check — present-but-null → 'Unknown'
+    * (indexdata.py:174–203).
+    */
+  def requiredCheck(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(col("event_id"),
+      coalesce(col("props"), lit("Unknown")).as("props_checked"),
+      col("props").isNotNull.as("had_value"))
+
+  /** P9/A1: envelope aggregate — min/max bounds per group
+    * (indexdata.py:629–633).
+    */
+  def envelopeAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").groupBy("l_returnflag").agg(
+      min("l_quantity").as("w"), max("l_quantity").as("e"),
+      min("l_extendedprice").as("s"), max("l_extendedprice").as("n"))
+
+  /** P10/F7: bounds validation → Active/Inactive gate + metric
+    * (indexdata.py:665–699, :1255–1257).
+    */
+  def validateRange(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(when(col("l_discount") < 0 || col("l_discount") > 0.08 ||
+          col("l_tax") < 0 || col("l_tax") > 0.06, lit("Inactive"))
+        .otherwise(lit("Active")).as("status"))
+      .groupBy("status").agg(count(lit(1)).as("cnt"))
+
+  /** J2: parent∈batch left-semi join (indexdata.py:1741–1742). */
+  def parentSemi(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").join(
+      t(spark, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")),
+      Seq("o_orderkey"), "left_semi")
+      .select("o_orderkey")
+
+  /** J3: parent flag update via outer join (indexdata.py:1750–1766). */
+  def parentFlag(spark: SparkSession, dir: String): DataFrame = {
+    val kids = t(spark, dir, "lineitem")
+      .select(col("l_orderkey")).distinct()
+    t(spark, dir, "orders")
+      .join(kids, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .select(col("o_orderkey"), col("l_orderkey").isNotNull.as("is_parent"))
+  }
+
+  /** J5/K3: tombstone anti-join — hide deleted parents' lines
+    * (searchindex.py:88 + delete-by-id).
+    */
+  def tombstoneAnti(spark: SparkSession, dir: String): DataFrame = {
+    val deleted = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("l_orderkey"))
+    t(spark, dir, "lineitem")
+      .join(deleted, Seq("l_orderkey"), "left_anti")
+      .select("l_orderkey", "l_linenumber")
+  }
+
+  /** P8: date-range interval overlap predicate — replaces Solr
+    * DateRangeField `[start TO end]` (indexdata.py:589–607).
+    */
+  def daterangeOverlap(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1995-03-01 00:00:00")) &&
+        col("o_orderdate") + expr("INTERVAL 30 DAYS") >=
+          lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+      .select("o_orderkey")
+
+  /** §2.11: dense-rank window (docId assignment analog). */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(spark, dir, "documents")
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("n_chars"), asc("doc_id"))))
+      .filter(col("rn") <= 50)
+      .select("doc_id", "n_chars", "rn")
+  }
+
+  /** F4/A2: max-datetime normalize (indexdata.py:325–355). */
+  def lastupdateMax(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").groupBy("user_id")
+      .agg(max("ts").as("max_ts"))
+
+  // ---------------------------------------------- training-data pipeline
+
+  /** Exact dedup: content-hash groupBy, keep min id. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary"))
+        .as("fp"))
+
+  /** Token counting: whitespace tokens + alnum-regex tokens. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), x => length(x) > 0)).as("n_ws"),
+      size(toksCol(col("text"))).as("n_tok"))
+
+  private val StopEn = Seq("the", "a", "of", "and", "is")
+
+  /** Quality scoring: token count, stopword ratio, non-alnum char ratio. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(StopEn.map(lit): _*)
+    t(spark, dir, "documents")
+      .withColumn("t", toksCol(col("text")))
+      .withColumn("words", size(col("t")))
+      .select(col("doc_id"), col("words"),
+        when(col("words") === 0, 0.0).otherwise(round(
+          size(filter(col("t"), x => array_contains(stopArr, x)))
+            .cast("double") / col("words"), 4)).as("stop_ratio"),
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+          .cast("double") / length(col("text")), 4).as("punct_ratio"))
+  }
+
+  /** Language ID: per-language stopword-hit counts, argmax with fixed
+    * tie order en > de > es > fr.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val lists = Seq(
+      "en" -> Seq("the", "a", "of", "and", "is"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "es" -> Seq("el", "la", "de", "y", "es"),
+      "fr" -> Seq("le", "les", "de", "et", "est"))
+    val base = t(spark, dir, "documents")
+      .withColumn("t", toksCol(col("text")))
+    val withHits = lists.foldLeft(base) { case (d, (l, ws)) =>
+      val arr = array(ws.map(lit): _*)
+      d.withColumn(s"hits_$l",
+        size(filter(col("t"), x => array_contains(arr, x))))
+    }
+    withHits.select(col("doc_id"),
+      when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_es")
+          && col("hits_en") >= col("hits_fr"), "en")
+        .when(col("hits_de") >= col("hits_es") && col("hits_de") >= col("hits_fr"), "de")
+        .when(col("hits_es") >= col("hits_fr"), "es")
+        .otherwise("fr").as("predicted"))
+  }
+
+  /** Word 3-gram shingles per doc (ordered tokens → joined triples). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("t", toksCol(col("text")))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 2),
+        i => concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+        .as("s"))
+      .distinct()
+
+  /** Near-dup detection: 3-gram shingle Jaccard over candidate pairs that
+    * share at least one shingle (the exact-verification half of MinHash/LSH;
+    * at 100 TB the pair-generation is bounded by the LSH buckets instead of
+    * a full shingle self-join).
+    */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("id_a"), col("s"))
+    val b = sh.select(col("doc_id").as("id_b"), col("s"))
+    val pairs = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sz.select(col("doc_id").as("id_a"), col("n").as("na"))), "id_a")
+      .join(broadcast(sz.select(col("doc_id").as("id_b"), col("n").as("nb"))), "id_b")
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.05)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** MinHash + LSH candidate pairs (rows-only: hash fn not portable to the
+    * DuckDB oracle). 16 permutations × 4 bands of 4; band-bucket join finds
+    * candidates without the quadratic shingle self-join — the scale path for
+    * dedupNgram.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nPerm = 16
+    val bandSize = 4
+    val docs = t(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)]
+    val sigs = docs.map { case (id, text) =>
+      val toks = graft.index.Analysis.tokenize(text)
+      val sh: Array[String] =
+        if (toks.length < 3) Array(toks.mkString(" "))
+        else Array.tabulate(toks.length - 2)(i =>
+          s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+      val sig = Array.tabulate(nPerm) { p =>
+        var m = Long.MaxValue
+        sh.foreach { s =>
+          val h = graft.corpus.CorpusGen.mix(p.toLong * 0x9E37L + 17L,
+            scala.util.hashing.MurmurHash3.stringHash(s).toLong)
+          if (h < m) m = h
+        }
+        m
+      }
+      val bands = Array.tabulate(nPerm / bandSize) { b =>
+        val h = sig.slice(b * bandSize, (b + 1) * bandSize)
+          .foldLeft(1125899906842597L)((acc, v) => acc * 31 + v)
+        (b, h)
+      }
+      (id, bands)
+    }
+    val banded = sigs.toDF("doc_id", "bands")
+      .select(col("doc_id"), explode(col("bands")).as("band"))
+      .select(col("doc_id"), col("band._1").as("band"), col("band._2").as("h"))
+    // candidate pairs = docs colliding in any band bucket (equi-join on the
+    // bucket key — no quadratic blowup outside a bucket)
+    banded.as("x").join(banded.as("y"), Seq("band", "h"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash document signature (rows-only). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val votes = new Array[Long](64)
+        graft.index.Analysis.tokenize(text).foreach { tok =>
+          val h = graft.corpus.CorpusGen.mix(99L,
+            scala.util.hashing.MurmurHash3.stringHash(tok).toLong)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+        (id, sig)
+      }.toDF("doc_id", "simhash")
+  }
+
+  private def cosineCol(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), _ + _))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k against a fixed query vector (vec_id=0) —
+    * the exact ANN baseline. The query vector joins via broadcast; the scan
+    * is a single narrow pass.
+    */
+  def embedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineCol(col("embedding"), col("qv")), 4).as("c"))
+      .orderBy(desc("c"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF-style ANN (rows-only): centroids = vec_id<8; assign each vector to
+    * its nearest centroid (broadcast argmax); probe only the query's cluster.
+    * The scale path: clusters partition the corpus so a query touches 1/K of
+    * the data.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings")
+    val cents: Array[(Int, Array[Float])] = e.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, v) => (id.toInt, v) }
+    val bc = spark.sparkContext.broadcast(cents)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assigned = e.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        var best = -1; var bestC = -2.0
+        bc.value.foreach { case (cid, cv) =>
+          val c = cos(v, cv)
+          if (c > bestC || (c == bestC && cid < best)) { best = cid; bestC = c }
+        }
+        (id, best, v)
+      }.toDF("vec_id", "cluster", "embedding")
+    val qRow = assigned.filter(col("vec_id") === 42)
+      .select("cluster", "embedding").head()
+    val qCluster = qRow.getInt(0)
+    val qv = qRow.getSeq[Float](1).toArray
+    val bq = spark.sparkContext.broadcast(qv)
+    assigned.filter(col("cluster") === qCluster && col("vec_id") =!= 42)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, v) => (id, math.rint(cos(v, bq.value) * 10000) / 10000) }
+      .toDF("vec_id", "c")
+      .orderBy(desc("c"), asc("vec_id"))
+      .limit(5)
+  }
+
+  /** Multimodal plumbing (rows-only decode stub): treat content bytes as an
+    * opaque binary column, extract typed metadata. The real decode
+    * (image/audio libs) is stubbed deterministically — the Spark-side schema,
+    * batching and partitioning are the part under test.
+    */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      .select(col("doc_id"),
+        length(col("bin")).as("n_bytes"),
+        hex(substring(col("bin"), 1, 8)).as("header_hex"))
+}
