@@ -36,6 +36,13 @@ object SparkEntry {
     "q_daterange_overlap" -> ((s, d) => Ops.daterangeOverlap(s, d)),
     "q_window_rank" -> ((s, d) => Ops.windowRank(s, d)),
     "q_lastupdate_max" -> ((s, d) => Ops.lastupdateMax(s, d)),
+    "q_field_extract" -> ((s, d) => Ops.fieldExtract(s, d)),
+    "q_date_format" -> ((s, d) => Ops.dateFormatIso(s, d)),
+    "q_source_lookup" -> ((s, d) => Ops.sourceLookup(s, d)),
+    "q_source_manifest" -> ((s, d) => Ops.sourceManifest(s, d)),
+    "q_lang_select" -> ((s, d) => Ops.langSelect(s, d)),
+    "q_facet_count" -> ((s, d) => Ops.facetCount(s, d)),
+    "q_temporal_sanity" -> ((s, d) => Ops.temporalSanity(s, d)),
     // training-data pipeline ops
     "q_dedup_exact" -> ((s, d) => Ops.dedupExact(s, d)),
     "q_fingerprint" -> ((s, d) => Ops.fingerprint(s, d)),
@@ -115,6 +122,27 @@ object SparkEntry {
         "FROM documents) WHERE rn <= 50"),
     "q_lastupdate_max" ->
       "SELECT user_id, max(ts) AS max_ts FROM events GROUP BY user_id",
+    "q_field_extract" ->
+      ("SELECT event_id, regexp_extract(props, '([0-9]+)', 1)::INT AS k " +
+        "FROM events"),
+    "q_date_format" ->
+      ("SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso " +
+        "FROM orders"),
+    "q_source_lookup" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 123",
+    "q_source_manifest" ->
+      ("SELECT doc_id, source FROM documents " +
+        "WHERE doc_id IN (1, 5, 99, 250, 499, 9999)"),
+    "q_lang_select" ->
+      ("SELECT source, min(doc_id) AS first_en_doc FROM documents " +
+        "WHERE lang = 'en' GROUP BY source"),
+    "q_facet_count" ->
+      ("SELECT lang, source, count(*)::BIGINT AS cnt FROM documents " +
+        "GROUP BY lang, source"),
+    "q_temporal_sanity" ->
+      ("SELECT (o_orderdate >= TIMESTAMP '1992-01-01' AND " +
+        "o_orderdate < TIMESTAMP '1999-01-01') AS valid, " +
+        "count(*)::BIGINT AS cnt FROM orders GROUP BY 1"),
     "q_dedup_exact" ->
       ("SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*)::BIGINT AS n " +
         "FROM documents GROUP BY 1"),

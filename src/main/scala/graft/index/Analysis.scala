@@ -36,7 +36,15 @@ object BM25 {
   def idf(n: Long, df: Long): Double =
     math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
+  /** The idf-free half of the score: tf / (tf + k1·(1−b+b·dl/avgdl)).
+    * Block-max metadata stores upper bounds of THIS quantity, so posting
+    * encoding needs no document-frequency join — idf is multiplied back in
+    * at query time (score = idf × tfNorm).
+    */
+  def tfNorm(tf: Long, dl: Long, avgdl: Double): Double =
+    tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
   /** Per-(doc, term) contribution. dl = doc length in tokens. */
   def score(tf: Long, dl: Long, avgdl: Double, idfv: Double): Double =
-    idfv * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    idfv * tfNorm(tf, dl, avgdl)
 }

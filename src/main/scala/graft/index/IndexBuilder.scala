@@ -5,7 +5,6 @@ import java.sql.Timestamp
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.corpus.{Extractor, WebDoc}
 
@@ -18,38 +17,43 @@ final case class BuildReport(
     durationMs: Long)
 
 final case class ExtractedDoc(url: String, warc_ts: Timestamp,
-    lang: String, text: String)
+    lang: String, text: String, doclen: Long)
 final case class IdDoc(docId: Long, url: String, warc_ts: Timestamp,
-    lang: String, text: String)
+    lang: String, text: String, doclen: Long)
 
-/** One enriched tf row headed into the segment encoder. */
-final case class TfRow(term: String, segment: Int, df: Long, cf: Long,
-    docId: Long, tf: Long, doclen: Long)
+/** One tf row headed into the segment encoder. */
+final case class TfRow(term: String, segment: Int, docId: Long, tf: Long,
+    doclen: Long)
 
 /** Distributed inverted-index build — the from-scratch replacement for the
   * Solr ingestion the reference delegates to (`solrc.add` at
-  * /root/reference/src/indexdata.py:1306). One batch job, three shuffles
-  * (SURVEY.md §3 E1):
+  * /root/reference/src/indexdata.py:1306). One batch job, THREE shuffles of
+  * corpus-scale data (SURVEY.md §3 E1):
   *
-  *   read → extract (narrow) → docId assign (shuffle 1: range by url)
+  *   read → extract+doclen (narrow) → docId assign (shuffle 1: range by url)
   *        → tokenize flatMap (narrow, codegen) → tf agg (shuffle 2: hash by
-  *          (docId,term); map-side partial agg collapses the token stream)
-  *        → df/cf agg + segment assign → encode (shuffle 3: hash by
-  *          (term,segment)) → write postings partitioned by termBucket
+  *          (docId,term); map-side partial agg collapses the token stream;
+  *          doclen rides along, so NO doclen join is ever needed)
+  *        → segment assign (broadcast hot-term map from a deterministic
+  *          hash-sample — no df join) → encode (shuffle 3: hash by
+  *          (term,segment)) → global df/cf fill (segment-ROW-level join,
+  *          ~1000× smaller than postings) → write partitioned by termBucket
   *        → manifest commit (visibility barrier — the reference's
   *          solrc.commit analog, indexdata.py:1795–1798; write-audit-publish)
   *
   * Scale notes (designed for 10^12 docs / 1000 executors, tested local):
   *  - docIds are dense ranks in global url order: range-partition +
   *    in-partition sort + per-partition offsets (two-pass; the sorted Dataset
-  *    is persisted so both passes see identical range boundaries). No window
-  *    over a single partition, no RDD zipWithIndex.
-  *  - skew: terms with df > segmentMaxDocs (stopwords) are split into
-  *    docId-range segments, so shuffle 3 never concentrates a stopword's
-  *    postings into one task and no task buffers more than segmentMaxDocs
-  *    postings.
-  *  - `html`/`text` never cross a shuffle after tokenization — only
-  *    (docId, term) pairs move.
+  *    is persisted so both passes see identical range boundaries).
+  *  - block-max metadata is idf-free (tfNorm bounds), which is what lets the
+  *    encoder run without global term stats.
+  *  - the hot-term sample is keyed by xxhash64(term, docId) — deterministic
+  *    per ROW, so segmentation (and thus the index) is identical at any
+  *    parallelism/partitioning.
+  *  - skew: sampled-hot terms (stopwords) are split into docId-range
+  *    segments, so shuffle 3 never concentrates a stopword's postings into
+  *    one task.
+  *  - `html`/`text` never cross a shuffle after tokenization.
   */
 object IndexBuilder {
 
@@ -58,21 +62,33 @@ object IndexBuilder {
     math.floorMod(term.hashCode, numBuckets)
 
   /** Assign dense docIds 0..N-1 in global url sort order (deterministic at
-    * any parallelism). Returns the id'd docs plus an unpersist handle for the
-    * underlying cached sorted Dataset (must stay cached while idDocs is in
-    * use, or the sampled range boundaries could drift between jobs).
+    * any parallelism). Doc length is computed in the same narrow pass as
+    * extraction, before anything shuffles. Returns the id'd docs plus an
+    * unpersist handle for the cached sorted Dataset (must stay cached while
+    * idDocs is in use, or the sampled range boundaries could drift).
     */
   def assignDocIds(spark: SparkSession, docs: Dataset[WebDoc],
       partitions: Int = 0): (Dataset[IdDoc], () => Unit) = {
     import spark.implicits._
     val p = if (partitions > 0) partitions
             else math.max(1, spark.sparkContext.defaultParallelism)
-    val extracted = docs.map(d =>
-      ExtractedDoc(d.url, d.warc_ts, d.lang, Extractor.extract(d.html)))
+    // doclen is computed AFTER the range shuffle so the (cheap) sampling and
+    // shuffle-write passes don't re-tokenize; the snapshot below makes the
+    // tokenize pass run exactly once.
+    val extracted = docs.map { d =>
+      ExtractedDoc(d.url, d.warc_ts, d.lang, Extractor.extract(d.html), 0L)
+    }
+    // localCheckpoint (serialized UnsafeRows in the block store) rather than
+    // .persist: Dataset.persist builds compressed COLUMNAR cache batches,
+    // which measured as the single hottest cost of the whole build
+    // (DictionaryEncoding over the text/term columns + memory-manager lock
+    // contention). The checkpoint also freezes the sampled range boundaries,
+    // so the two offset passes can never diverge.
     val sorted = extracted
       .repartitionByRange(p, $"url")
       .sortWithinPartitions($"url")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .map(d => d.copy(doclen = Analysis.tokenize(d.text).length.toLong))
+      .localCheckpoint()
     val counts = sorted.toDF()
       .select(spark_partition_id().as("pid"))
       .groupBy($"pid").count()
@@ -86,20 +102,20 @@ object IndexBuilder {
     val idDocs = sorted.mapPartitions { it =>
       var id = bOffsets.value(TaskContext.getPartitionId())
       it.map { d =>
-        val out = IdDoc(id, d.url, d.warc_ts, d.lang, d.text)
+        val out = IdDoc(id, d.url, d.warc_ts, d.lang, d.text, d.doclen)
         id += 1
         out
       }
     }
-    (idDocs, () => { sorted.unpersist(); () })
+    (idDocs, () => { sorted.unpersist(); () }) // frees the checkpoint blocks
   }
 
   /** Tokenize with codegen'd built-ins (no UDF in the hot path); the
-    * expression mirrors Analysis.tokenize exactly.
+    * expression mirrors Analysis.tokenize exactly. doclen rides along.
     */
   def tokens(idDocs: Dataset[IdDoc]): DataFrame =
     idDocs.toDF()
-      .select(col("docId"),
+      .select(col("docId"), col("doclen"),
         explode(split(lower(col("text")), Analysis.TokenSplitRegex)).as("term"))
       .filter(length(col("term")) > 0)
 
@@ -107,8 +123,8 @@ object IndexBuilder {
       conf: IndexConf = IndexConf()): BuildReport =
     buildInternal(spark, docs, outDir, conf, onlyBuckets = None)
 
-  /** Resume a partially-completed build: rebuild exactly the termBuckets that
-    * have no `complete` manifest row (segment-granular resume per the
+  /** Resume a partially-completed build: rebuild exactly the termBuckets
+    * that have no `complete` manifest row (segment-granular resume per the
     * north_rule). Re-derivation is deterministic, so rebuilt buckets are
     * identical to what the original build would have produced. Partial files
     * from a killed attempt are cleaned before the append.
@@ -134,6 +150,77 @@ object IndexBuilder {
     }
   }
 
+  /** Deterministic hot-term detection: estimate df from a hash-keyed sample
+    * of tf rows (exact when sampleMod == 1) and return term → segment length
+    * for terms whose estimated df exceeds the segment cap. The sample key is
+    * xxhash64(term, docId) — a pure row function, so the result (and hence
+    * the physical index) is independent of partitioning.
+    */
+  private[index] def hotTermSegLens(tfRows: DataFrame, nDocs: Long,
+      conf: IndexConf): Map[String, Long] = {
+    val spark = tfRows.sparkSession
+    import spark.implicits._
+    val sampleMod: Int = if (nDocs <= 50000) 1 else 200
+    val segMax = conf.segmentMaxDocs
+    tfRows
+      .filter(pmod(xxhash64($"term", $"docId"), lit(sampleMod)) === 0)
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+      .filter($"c" * sampleMod > segMax)
+      .select($"term", $"c")
+      .as[(String, Long)].collect()
+      .map { case (t, c) =>
+        val estDf = c * sampleMod
+        val nSeg = (estDf + segMax - 1) / segMax
+        t -> math.max(1L, (nDocs + nSeg - 1) / nSeg) // segLen
+      }.toMap
+  }
+
+  /** Shared build tail: (term, docId, tf, doclen) rows → segmented, encoded,
+    * df/cf-filled postings written to outDir/postings. Used by the builder
+    * and by Compaction.
+    */
+  private[index] def encodePostings(spark: SparkSession, tfRows: DataFrame,
+      nDocs: Long, avgdl: Double, conf: IndexConf, outDir: String,
+      append: Boolean, onlyBuckets: Option[Set[Int]]): Unit = {
+    import spark.implicits._
+    val nb = conf.numBuckets
+    val hot = hotTermSegLens(tfRows, nDocs, conf)
+    val bHot = spark.sparkContext.broadcast(hot)
+    val segUdf = udf { (term: String, docId: Long) =>
+      bHot.value.get(term) match {
+        case Some(segLen) => (docId / segLen).toInt
+        case None         => 0
+      }
+    }
+    var rows = tfRows.withColumn("segment", segUdf($"term", $"docId"))
+    onlyBuckets.foreach { bs =>
+      val bucketUdf = udf((t: String) => bucketOf(t, nb))
+      rows = rows.filter(bucketUdf($"term").isin(bs.toSeq: _*))
+    }
+    val encodePartitions =
+      math.max(1, spark.sparkContext.defaultParallelism)
+    val segRows: Dataset[PostingSegment] = rows
+      .select($"term", $"segment", $"docId", $"tf", $"doclen")
+      .repartition(encodePartitions, $"term", $"segment")
+      .sortWithinPartitions($"term", $"segment", $"docId")
+      .as[TfRow]
+      .mapPartitions(it => new SegmentEncoder(it, avgdl, nb))
+
+    // fill GLOBAL df/cf over segment rows (tiny vs postings), then land each
+    // bucket as one term-sorted file (partition pruning + parquet min/max)
+    val seg = segRows.toDF().localCheckpoint()
+    val termStats = seg.groupBy($"term")
+      .agg(sum($"df").as("gdf"), sum($"cf").as("gcf"))
+    seg.join(termStats, Seq("term"))
+      .withColumn("df", $"gdf").withColumn("cf", $"gcf")
+      .drop("gdf", "gcf")
+      .repartition(nb, $"termBucket")
+      .sortWithinPartitions($"term", $"segment")
+      .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+      .partitionBy("termBucket").parquet(s"$outDir/postings")
+    seg.unpersist()
+  }
+
   private def buildInternal(spark: SparkSession, docs: Dataset[WebDoc],
       outDir: String, conf: IndexConf,
       onlyBuckets: Option[Set[Int]]): BuildReport = {
@@ -148,20 +235,8 @@ object IndexBuilder {
     val (idDocs, unpersistSorted) = assignDocIds(spark, docs, conf.buildPartitions)
     phase("docIds assigned")
 
-    val tfs = tokens(idDocs)
-      .groupBy($"docId", $"term").agg(count(lit(1)).as("tf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // doc lengths derived from tfs (no second tokenize pass)
-    val doclens = tfs.groupBy($"docId").agg(sum($"tf").as("doclen"))
-
-    val docsTable = idDocs.toDF()
-      .drop("text")
-      .join(doclens, Seq("docId"))
-      .select($"docId", $"url", $"warc_ts", $"lang", $"doclen")
-
-    phase("tf/doclen plan ready")
-    val statsRow = doclens.agg(
+    // corpus stats straight off the cached sorted docs (no tf detour)
+    val statsRow = idDocs.toDF().agg(
       count(lit(1)).as("n"), avg($"doclen").as("avgdl"),
       sum($"doclen").as("totalTerms")).head()
     val nDocs = statsRow.getLong(0)
@@ -169,51 +244,31 @@ object IndexBuilder {
     val totalTerms = statsRow.getLong(2)
     phase(s"stats computed (n=$nDocs)")
 
-    val dfcf = tfs.groupBy($"term")
-      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
-
-    val segMax = conf.segmentMaxDocs
-
-    // join doclen + term stats onto tf rows; assign docId-range segment for
-    // skewed terms. The dfcf join shuffles by term — the distribution the
-    // encode step needs anyway.
-    var enriched = tfs
-      .join(doclens, Seq("docId"))
-      .join(dfcf, Seq("term"))
-      .withColumn("nSeg",
-        when($"df" <= segMax, lit(1L))
-          .otherwise(ceil($"df".cast("double") / segMax).cast("long")))
-      .withColumn("segLen",
-        ceil(lit(nDocs).cast("double") / $"nSeg").cast("long"))
-      .withColumn("segment", ($"docId" / $"segLen").cast("int"))
-    onlyBuckets.foreach { bs =>
-      val bucketUdf = udf((t: String) => bucketOf(t, nb))
-      enriched = enriched.filter(bucketUdf($"term").isin(bs.toSeq: _*))
+    // docs table + stats write concurrently with the postings pipeline
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val sideWrites = Future {
+      idDocs.toDF().drop("text")
+        .select($"docId", $"url", $"warc_ts", $"lang", $"doclen")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+      Seq(CorpusStats(nDocs, avgdl, totalTerms)).toDS()
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
     }
 
-    val encodePartitions = math.max(
-      if (conf.buildPartitions > 0) conf.buildPartitions
-      else spark.sparkContext.defaultParallelism, 1)
+    // tf rows: one row per (docId, term), doclen attached — partial+final
+    // hash agg collapses the token stream before the shuffle
+    val tfs = tokens(idDocs)
+      .groupBy($"docId", $"term")
+      .agg(count(lit(1)).as("tf"), first($"doclen").as("doclen"))
+      .localCheckpoint()
 
-    val segments: Dataset[PostingSegment] = enriched
-      .select($"term", $"segment", $"df", $"cf", $"docId", $"tf", $"doclen")
-      .repartition(encodePartitions, $"term", $"segment")
-      .sortWithinPartitions($"term", $"segment", $"docId")
-      .as[TfRow]
-      .mapPartitions(it => new SegmentEncoder(it, nDocs, avgdl, nb))
-
-    segments.toDF()
-      .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
-      .partitionBy("termBucket").parquet(s"$outDir/postings")
+    encodePostings(spark, tfs, nDocs, avgdl, conf, outDir, append, onlyBuckets)
     phase("postings written")
+    Await.result(sideWrites, Duration.Inf)
+    phase("docs+stats written")
 
-    docsTable.write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
-    phase("docs written")
-    Seq(CorpusStats(nDocs, avgdl, totalTerms)).toDS()
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
-
-    // manifest LAST = the commit barrier: a bucket is complete only once its
-    // manifest row lands.
+    // manifest LAST = the commit barrier
     val durationMs = (System.nanoTime() - t0) / 1000000L
     val written = spark.read.parquet(s"$outDir/postings")
     var manifestNew = written
@@ -238,23 +293,22 @@ object IndexBuilder {
       else manifestNew.as[ManifestRow].collect())
     manifestRows.toSeq.toDS().coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/manifest")
-
     phase("manifest written")
-    val segCount = written.count()
-    val postingsCount = tfs.count()
-    val termCount = dfcf.count()
-    phase("report counts done")
+
+    val segCount = manifestRows.map(_.segCount).sum
+    val postingsCount = manifestRows.map(_.rowCount).sum
     tfs.unpersist()
     unpersistSorted()
-    BuildReport(nDocs, termCount, postingsCount, segCount, nb, durationMs)
+    BuildReport(nDocs, segCount, postingsCount, segCount, nb, durationMs)
   }
 }
 
 /** Streaming run-encoder: consumes TfRows sorted by (term, segment, docId)
   * within the partition and emits one PostingSegment per (term, segment)
-  * run. Memory per run is bounded by segmentMaxDocs postings.
+  * run with SEGMENT-LOCAL df/cf (globalized later). Memory per run is
+  * bounded by the segment size.
   */
-private final class SegmentEncoder(it: Iterator[TfRow], n: Long,
+private final class SegmentEncoder(it: Iterator[TfRow],
     avgdl: Double, numBuckets: Int) extends Iterator[PostingSegment] {
 
   private val buf = it.buffered
@@ -271,6 +325,7 @@ private final class SegmentEncoder(it: Iterator[TfRow], n: Long,
       docIds += r.docId; tfs += r.tf; dls += r.doclen
     }
     PostingCodec.encode(term, IndexBuilder.bucketOf(term, numBuckets), segment,
-      head.df, head.cf, docIds.toArray, tfs.toArray, dls.toArray, n, avgdl)
+      docIds.length.toLong, tfs.sum, docIds.toArray, tfs.toArray, dls.toArray,
+      avgdl)
   }
 }

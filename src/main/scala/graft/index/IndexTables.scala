@@ -29,8 +29,11 @@ final case class DocRow(
   * query-time join against a 10^12-row doclen table.
   *
   * Block-max metadata per 128-doc block: last docId (skip pointer) and an
-  * upper bound on the BM25 contribution (stored as the next-up float of the
-  * true double max, so Float rounding can never violate the bound).
+  * upper bound on the IDF-FREE score part tfNorm = tf/(tf+k1(1−b+b·dl/avgdl))
+  * (stored as the next-up float of the true double max, so Float rounding
+  * can never violate the bound; the query multiplies idf back in). Keeping
+  * idf out of the stored metadata means encoding needs no df join — global
+  * df/cf are filled by a segment-row-level (small) aggregation afterwards.
   */
 final case class PostingSegment(
     termBucket: Int,
@@ -45,7 +48,7 @@ final case class PostingSegment(
     tfsVb: Array[Byte],
     dlsVb: Array[Byte],
     blockLastDocId: Array[Long],
-    blockMaxScore: Array[Float],
+    blockMaxTfNorm: Array[Float],
     blockDocOff: Array[Int],
     blockTfOff: Array[Int],
     blockDlOff: Array[Int])

@@ -9,17 +9,17 @@ import scala.collection.mutable.ArrayBuffer
 object PostingCodec {
 
   /** Encode one segment from parallel arrays sorted by docId (strictly
-    * increasing). `df`/`cf` are the GLOBAL term stats; `n`/`avgdl` the corpus
-    * stats used to precompute block-max BM25 upper bounds.
+    * increasing). `df`/`cf` may be segment-local at encode time (the builder
+    * replaces them with global term stats in a later small join); only
+    * `avgdl` is needed for the idf-free block-max metadata.
     */
   def encode(term: String, termBucket: Int, segment: Int, df: Long, cf: Long,
       docIds: Array[Long], tfs: Array[Long], dls: Array[Long],
-      n: Long, avgdl: Double): PostingSegment = {
+      avgdl: Double): PostingSegment = {
     val count = docIds.length
     require(count > 0, s"empty segment for term '$term'")
     val bs = IndexConf.BlockSize
     val nBlocks = (count + bs - 1) / bs
-    val idfv = BM25.idf(n, df)
 
     val docBuf = new ArrayBuffer[Byte](count * 2)
     val tfBuf = new ArrayBuffer[Byte](count)
@@ -44,9 +44,9 @@ object PostingCodec {
       VByte.encodeTo(tfBuf, tfs(i))
       VByte.encodeTo(dlBuf, dls(i))
       val b = i / bs
-      val s = BM25.score(tfs(i), dls(i), avgdl, idfv)
+      val s = BM25.tfNorm(tfs(i), dls(i), avgdl)
       // store as the next float ABOVE the double max so the stored Float is
-      // always a valid upper bound on the true double score
+      // always a valid upper bound on the true double tfNorm
       val f = Math.nextUp(s.toFloat)
       if (i % bs == 0 || f > blockMax(b)) blockMax(b) = f
       blockLast(b) = docIds(i)
@@ -84,12 +84,18 @@ final class SegCursor(val seg: PostingSegment, idfv: Double, avgdl: Double) {
   def curScore: Double =
     BM25.score(blockTfs(pos), blockDls(pos), avgdl, idfv)
   def curTf: Long = blockTfs(pos)
-  def currentBlockMax: Float = seg.blockMaxScore(blockIdx)
+  /** Upper bound on the BM25 contribution within the current block
+    * (idf × stored tfNorm bound).
+    */
+  def currentBlockMax: Double = idfv * seg.blockMaxTfNorm(blockIdx)
   def currentBlockLast: Long = seg.blockLastDocId(blockIdx)
-  def maxScore: Float = {
+  def maxScore: Double = {
     var m = 0f; var b = 0
-    while (b < nBlocks) { if (seg.blockMaxScore(b) > m) m = seg.blockMaxScore(b); b += 1 }
-    m
+    while (b < nBlocks) {
+      if (seg.blockMaxTfNorm(b) > m) m = seg.blockMaxTfNorm(b)
+      b += 1
+    }
+    idfv * m
   }
 
   private def decodeBlock(b: Int): Unit = {
@@ -179,20 +185,20 @@ final class TermCursor(val term: String, segments: Seq[PostingSegment],
 
   /** Term-level score upper bound within this window. */
   val upperBound: Double = {
-    var m = 0.0
+    var m = 0.0f
     segs.foreach { s =>
       if (s.lastDocId >= lo && s.firstDocId < hi) {
         var b = 0
-        while (b < s.blockMaxScore.length) {
+        while (b < s.blockMaxTfNorm.length) {
           // only blocks overlapping the window matter
           val blockFirst = if (b == 0) s.firstDocId else s.blockLastDocId(b - 1) + 1
           if (s.blockLastDocId(b) >= lo && blockFirst < hi &&
-              s.blockMaxScore(b) > m) m = s.blockMaxScore(b)
+              s.blockMaxTfNorm(b) > m) m = s.blockMaxTfNorm(b)
           b += 1
         }
       }
     }
-    m
+    idfv * m
   }
 
   private def openSeg(i: Int): Unit = {

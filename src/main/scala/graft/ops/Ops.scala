@@ -393,6 +393,59 @@ object Ops {
       .limit(5)
   }
 
+  /** S5 analog: semi-structured payload → typed field (the reference's
+    * nested-dict path extraction, indexdata.py:430–1171). Regex-based so the
+    * oracle needs no JSON extension.
+    */
+  def fieldExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(col("event_id"),
+      regexp_extract(col("props"), "([0-9]+)", 1).cast("int").as("k"))
+
+  /** P7: ISO-8601 `%Y-%m-%dT%H:%M:%SZ` date normalization
+    * (indexdata.py:582–587).
+    */
+  def dateFormatIso(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
+
+  /** S1: single-document point lookup (indexdata.py:1625–1626). */
+  def sourceLookup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").filter(col("doc_id") === 123)
+      .select("doc_id", "lang", "n_chars")
+
+  /** S2: manifest-list source — left-semi join against an id list
+    * (indexdata.py:1627–1634).
+    */
+  def sourceManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val manifest = Seq(1L, 5L, 99L, 250L, 499L, 9999L).toDF("doc_id")
+    t(spark, dir, "documents")
+      .join(broadcast(manifest), Seq("doc_id"), "left_semi")
+      .select("doc_id", "source")
+  }
+
+  /** P5/P6: language-variant selection (pick the English doc per group,
+    * indexdata.py:533–573).
+    */
+  def langSelect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").filter(col("lang") === "en")
+      .groupBy("source").agg(min("doc_id").as("first_en_doc"))
+
+  /** Facet counting — the Solr facet analog noted in SURVEY.md §2.6. */
+  def facetCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").groupBy("lang", "source")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** F5/F6: temporal sanity gate (indexdata.py:360–428): in-range vs
+    * quarantined counts.
+    */
+  def temporalSanity(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select((col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1992-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+        .as("valid"))
+      .groupBy("valid").agg(count(lit(1)).as("cnt"))
+
   /** Multimodal plumbing (rows-only decode stub): treat content bytes as an
     * opaque binary column, extract typed metadata. The real decode
     * (image/audio libs) is stubbed deterministically — the Spark-side schema,

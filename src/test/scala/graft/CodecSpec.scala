@@ -46,17 +46,16 @@ class CodecSpec extends AnyFunSuite {
       val df = ids.length.toLong
       val n = math.max(100L + rng.nextInt(100000), df)
       val avgdl = 200.0
-      val seg = PostingCodec.encode("t", 0, 0, df, tfs.sum, ids, tfs, dls, n, avgdl)
+      val seg = PostingCodec.encode("t", 0, 0, df, tfs.sum, ids, tfs, dls, avgdl)
       val (dIds, dTfs, dDls) = PostingCodec.decodeAll(seg)
       assert(dIds.toSeq == ids.toSeq)
       assert(dTfs.toSeq == tfs.toSeq)
       assert(dDls.toSeq == dls.toSeq)
-      val idfv = BM25.idf(n, df)
       ids.indices.foreach { i =>
-        val s = BM25.score(tfs(i), dls(i), avgdl, idfv)
+        val s = BM25.tfNorm(tfs(i), dls(i), avgdl)
         val b = i / IndexConf.BlockSize
-        assert(seg.blockMaxScore(b) >= s,
-          s"blockMax ${seg.blockMaxScore(b)} < score $s at $i")
+        assert(seg.blockMaxTfNorm(b) >= s,
+          s"blockMax ${seg.blockMaxTfNorm(b)} < tfNorm $s at $i")
       }
       assert(seg.firstDocId == ids.head && seg.lastDocId == ids.last)
       assert(seg.blockLastDocId.last == ids.last)
@@ -68,8 +67,7 @@ class CodecSpec extends AnyFunSuite {
     for (_ <- 1 to 100) {
       val ids = sortedIds(rng, 1 + rng.nextInt(1000))
       val seg = PostingCodec.encode("t", 0, 0, ids.length.toLong,
-        ids.length.toLong, ids, ids.map(_ => 1L), ids.map(_ => 100L),
-        1000L, 100.0)
+        ids.length.toLong, ids, ids.map(_ => 1L), ids.map(_ => 100L), 100.0)
       for (_ <- 1 to 20) {
         val target = rng.nextLong(1L << 41)
         val cur = new SegCursor(seg, 1.0, 100.0)
@@ -105,7 +103,7 @@ class CodecSpec extends AnyFunSuite {
       val parts = ids.grouped(third).toSeq.filter(_.nonEmpty)
       val segs = parts.zipWithIndex.map { case (p, i) =>
         PostingCodec.encode("t", 0, i, ids.length.toLong, ids.length.toLong,
-          p, p.map(_ => 1L), p.map(_ => 100L), 1000L, 100.0)
+          p, p.map(_ => 1L), p.map(_ => 100L), 100.0)
       }
       val cur = new TermCursor("t", segs, 1.0, 100.0, 0L, Long.MaxValue, false)
       val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -119,8 +117,7 @@ class CodecSpec extends AnyFunSuite {
     for (_ <- 1 to 100) {
       val ids = sortedIds(rng, 1 + rng.nextInt(500)).distinct.sorted
       val seg = PostingCodec.encode("t", 0, 0, ids.length.toLong,
-        ids.length.toLong, ids, ids.map(_ => 1L), ids.map(_ => 100L),
-        1000L, 100.0)
+        ids.length.toLong, ids, ids.map(_ => 1L), ids.map(_ => 100L), 100.0)
       val lo = rng.nextLong(1L << 41)
       val hi = lo + rng.nextLong(1L << 40)
       val cur = new TermCursor("t", Seq(seg), 1.0, 100.0, lo, hi, false)

@@ -55,7 +55,7 @@ class WandSpec extends AnyFunSuite {
         .sortBy(_._1).map { case (segId, idx) =>
           PostingCodec.encode(term, 0, segId, df, cf,
             idx.map(ids).toArray, idx.map(tfs).toArray, idx.map(dls).toArray,
-            n, avgdl)
+            avgdl)
         }
       term -> byteSegs
     }.toMap
