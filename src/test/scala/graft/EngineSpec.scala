@@ -98,14 +98,20 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("golden queries: WAND and exhaustive rank-identical to oracle") {
+  test("golden queries: WAND (driver + distributed) and exhaustive rank-identical to oracle") {
+    // force the distributed windowed path with a zero driver threshold
+    val distEngine = new QueryEngine(spark, indexDir, conf.numBuckets,
+      driverWandMaxSegments = 0)
     goldenQueries.foreach { q =>
       val expect = oracle.topK(q, 10)
       val wand = engine.searchWand(q, 10)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val dist = distEngine.searchWand(q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val exh = engine.searchExhaustive(q, 10)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      assertRankIdentical(wand, expect, s"WAND q='$q'")
+      assertRankIdentical(wand, expect, s"WAND-driver q='$q'")
+      assertRankIdentical(dist, expect, s"WAND-dist q='$q'")
       assertRankIdentical(exh, expect, s"EXH q='$q'")
     }
   }
