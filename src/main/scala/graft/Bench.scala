@@ -47,6 +47,16 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Emit the single metrics JSON line on stdout AND to bench.json in the
+    * working directory — the stdout line alone was unparseable for the
+    * round-1 driver (buried in sbt [info] noise; BENCH_r01.json "parsed":
+    * null), so the file is the machine-readable copy.
+    */
+  private def emit(json: String): Unit = {
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
+  }
+
   private val headline = Seq(
     "q_bm25_topk", "q_tokenize_tf", "q_dedup_ngram", "q_topk_orders",
     "q_tombstone_anti", "q_parent_semi", "q_embed_cosine",
@@ -101,7 +111,7 @@ object Bench {
       f""""index_build":{"docs":$benchDocs,"docs_per_sec_local8":$dps8%.1f,"docs_per_sec_local32":$dps32%.1f,"build_sec_local8":$t8%.2f,"build_sec_local32":$t32%.2f,"scaling_efficiency_8_to_32":$eff%.3f,"pairs":$pairsJson}"""
 
     if (mode == "scaling") {
-      println(s"""{"metric":"total","value":${t8 + t32},"unit":"sec","queries":{},"sf":"$sfDir",$buildJson}""")
+      emit(s"""{"metric":"total","value":${t8 + t32},"unit":"sec","queries":{},"sf":"$sfDir",$buildJson}""")
       return
     }
 
@@ -137,7 +147,7 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
-    println(
+    emit(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$buildJson,"query_latency":{"p50_sec":$p50%.4f,"k":10,"queries":${goldenQueries.length},"reps":3}}""")
   }
 }

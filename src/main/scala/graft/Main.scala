@@ -10,6 +10,36 @@ import graft.query.QueryEngine
   * (indexdata.py = ingest/build, searchindex.py = query/delete). SURVEY.md §7.
   */
 object MainCommon {
+
+  /** Strict CLI parsing: valued options consume exactly one value, flags
+    * consume none, anything else fails fast (the reference's own arg gate has
+    * a latent AttributeError, indexdata.py:83–85 — fixed, not ported; a
+    * silently-dropped --buckets would desync build and query bucket counts).
+    */
+  def parseArgs(args: Seq[String], valued: Set[String],
+      flagNames: Set[String]): (Map[String, String], Set[String]) = {
+    val opts = Map.newBuilder[String, String]
+    val flags = Set.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (valued(a)) {
+        require(i + 1 < args.length && !a.equals(args(i + 1)),
+          s"option $a requires a value")
+        val v = args(i + 1)
+        require(!valued(v) && !flagNames(v),
+          s"option $a requires a value, got option '$v'")
+        opts += a -> v
+        i += 2
+      } else if (flagNames(a)) {
+        flags += a
+        i += 1
+      } else {
+        throw new IllegalArgumentException(s"unknown argument: $a")
+      }
+    }
+    (opts.result(), flags.result())
+  }
   def session(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -36,10 +66,9 @@ object BuildIndex {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: BuildIndex <indexDir> [--docs N | --input path] [--buckets B] [--resume] [--skew]")
     val indexDir = args(0)
-    val opts = args.drop(1).sliding(2, 2).collect {
-      case Array(k, v) => k -> v
-    }.toMap
-    val flags = args.drop(1).toSet
+    val (opts, flags) = MainCommon.parseArgs(args.drop(1).toSeq,
+      valued = Set("--docs", "--input", "--buckets", "--seed"),
+      flagNames = Set("--resume", "--skew"))
     val spark = MainCommon.session("graft-build")
     import spark.implicits._
     val conf = IndexConf(numBuckets = opts.getOrElse("--buckets", "32").toInt)
@@ -47,7 +76,9 @@ object BuildIndex {
       case Some(p) => spark.read.parquet(p).as[graft.corpus.WebDoc]
       case None =>
         val n = opts.getOrElse("--docs", "5000").toLong
-        CorpusGen.generate(spark, n, skew = flags.contains("--skew"))
+        CorpusGen.generate(spark, n,
+          seed = opts.getOrElse("--seed", CorpusGen.DefaultSeed.toString).toLong,
+          skew = flags.contains("--skew"))
     }
     val report =
       if (flags.contains("--resume")) IndexBuilder.resume(spark, docs, indexDir, conf)
@@ -68,10 +99,9 @@ object Search {
     require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--delete] [--exhaustive]")
     val indexDir = args(0)
     val query = args(1)
-    val opts = args.drop(2).sliding(2, 2).collect {
-      case Array(k, v) => k -> v
-    }.toMap
-    val flags = args.drop(2).toSet
+    val (opts, flags) = MainCommon.parseArgs(args.drop(2).toSeq,
+      valued = Set("--k", "--buckets"),
+      flagNames = Set("--delete", "--exhaustive"))
     val k = opts.getOrElse("--k", "10").toInt
     val spark = MainCommon.session("graft-search")
     val engine = new QueryEngine(spark, indexDir,
