@@ -5,80 +5,105 @@ import org.apache.spark.sql.functions._
 
 /** Segment compaction — the analog of Solr/Lucene background merges
   * (SURVEY.md §4.2 "segment merge policy" / "deletes as tombstones until
-  * merge"). Physically drops tombstoned postings and recomputes df/cf and
-  * corpus stats from the survivors (Lucene likewise only corrects df/norms
-  * at merge time), so post-compaction BM25 scores equal a fresh build over
-  * the surviving corpus with the original docIds.
+  * merge"). Physically drops tombstoned postings, merges every live segment
+  * dir (append batches) into one, and recomputes df/cf and corpus stats from
+  * the survivors (Lucene likewise only corrects df/norms at merge time), so
+  * post-compaction BM25 scores equal a fresh build over the surviving corpus
+  * with the original docIds.
   *
   * The job never touches the source corpus: it decodes the existing
-  * segments (a narrow scan of the postings table), filters, and re-encodes
+  * segments (a narrow scan of the postings tables), filters, and re-encodes
   * through the builder's shared encode path.
+  *
+  * Atomicity: everything is written into a NEW segment dir; the old
+  * generation is published and untouched until the single pointer-file flip
+  * ([[IndexLayout.publish]]). A crash at ANY earlier point — including
+  * between the data writes — leaves the old index fully serving (verified by
+  * the injected-crash test via [[Compaction.runInternal]]).
   */
 object Compaction {
 
   def run(spark: SparkSession, indexDir: String,
-      conf: IndexConf = IndexConf()): Unit = {
+      conf: IndexConf = IndexConf()): Unit =
+    runInternal(spark, indexDir, conf, failBeforePublish = false)
+
+  /** @param failBeforePublish test hook: throw after all data of the new
+    *   generation is on disk but before the pointer flip — simulates the
+    *   worst-placed crash.
+    */
+  private[graft] def runInternal(spark: SparkSession, indexDir: String,
+      conf: IndexConf, failBeforePublish: Boolean): Unit = {
     import spark.implicits._
+    val published = IndexLayout.current(spark, indexDir).getOrElse(return)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    if (!fs.exists(tombPath)) return // nothing to do
-    val tombs = spark.read.parquet(tombPath.toString)
-      .select($"docId").distinct()
+    val hasTombs = fs.exists(tombPath)
+    if (!hasTombs && published.size == 1) return // nothing to fold or merge
+    val tombs =
+      if (hasTombs) spark.read.parquet(tombPath.toString)
+        .select($"docId").distinct()
+      else spark.emptyDataset[Long].toDF("docId")
 
     // surviving docs + new corpus stats
-    val docs = spark.read.parquet(s"$indexDir/docs")
+    val docs = spark.read.parquet(
+        published.map(sd => s"$indexDir/$sd/docs"): _*)
       .join(tombs, Seq("docId"), "left_anti")
       .localCheckpoint()
     val statsRow = docs.agg(count(lit(1)).as("n"), avg($"doclen").as("avgdl"),
       sum($"doclen").as("totalTerms")).head()
     val nDocs = statsRow.getLong(0)
+    require(nDocs > 0, "compaction would empty the index")
     val avgdl = statsRow.getDouble(1)
     val totalTerms = statsRow.getLong(2)
 
-    // decode → drop tombstoned postings
-    val rows = spark.read.parquet(s"$indexDir/postings").as[PostingSegment]
+    // decode (including positions) → drop tombstoned postings
+    val rows = published
+      .map(sd => spark.read.parquet(s"$indexDir/$sd/postings"))
+      .reduce(_.unionByName(_))
+      .as[PostingSegment]
       .flatMap { s =>
         val (ids, tfs, dls) = PostingCodec.decodeAll(s)
-        Iterator.tabulate(s.count)(i => (s.term, ids(i), tfs(i), dls(i)))
+        val poss = PostingCodec.decodePositions(s)
+        Iterator.tabulate(s.count)(i =>
+          (s.term, ids(i), tfs(i), dls(i), poss(i)))
       }
-      .toDF("term", "docId", "tf", "doclen")
+      .toDF("term", "docId", "tf", "doclen", "positions")
       .join(tombs, Seq("docId"), "left_anti")
       .localCheckpoint()
 
-    // write-audit-publish into a sibling dir, then swap
-    val tmp = s"$indexDir/compact.tmp"
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    IndexBuilder.encodePostings(spark, rows, nDocs, avgdl, conf, tmp,
+    // write the merged generation beside the live ones
+    val seg = IndexLayout.nextSegDir(spark, indexDir)
+    val segPath = s"$indexDir/$seg"
+    IndexBuilder.encodePostings(spark, rows, nDocs, conf, segPath,
       append = false, onlyBuckets = None)
-    docs.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docs.compact")
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$segPath/docs")
+    Seq(CorpusStats(nDocs, avgdl, totalTerms)).toDS()
+      .write.mode(SaveMode.Overwrite).parquet(s"$segPath/stats")
     rows.unpersist()
     docs.unpersist()
 
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/postings"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/postings"),
-      new org.apache.hadoop.fs.Path(s"$indexDir/postings"))
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/docs"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$indexDir/docs.compact"),
-      new org.apache.hadoop.fs.Path(s"$indexDir/docs"))
-    Seq(CorpusStats(nDocs, avgdl, totalTerms)).toDS()
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
-    fs.delete(tombPath, true) // tombstones folded in
-
-    // refresh the manifest from the rewritten postings
-    val written = spark.read.parquet(s"$indexDir/postings")
+    // manifest for the new generation (same shape as a fresh build's)
+    val written = spark.read.parquet(s"$segPath/postings")
     val manifest = written.groupBy($"termBucket")
       .agg(min($"term").as("termRangeLo"), max($"term").as("termRangeHi"),
         count(lit(1)).as("segCount"), sum($"count").as("rowCount"),
         (sum(length($"docIdsVb")) + sum(length($"tfsVb")) +
-          sum(length($"dlsVb"))).as("bytes"))
+          sum(length($"dlsVb")) + sum(length($"posVb"))).as("bytes"))
       .select($"termBucket".cast("int").as("partitionId"),
         $"termRangeLo", $"termRangeHi", $"segCount", $"rowCount", $"bytes",
         typedLit(Seq.empty[String]).as("inputFiles"),
         lit(0L).as("durationMs"), lit("complete").as("status"))
       .as[ManifestRow].collect()
     manifest.toSeq.toDS().coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/manifest")
+      .write.mode(SaveMode.Overwrite).parquet(s"$segPath/manifest")
+
+    if (failBeforePublish)
+      throw new RuntimeException("injected crash before compaction publish")
+
+    // PUBLISH — the only step that changes what readers see
+    IndexLayout.publish(spark, indexDir, Seq(seg))
+    fs.delete(tombPath, true) // folded in
+    IndexLayout.gcUnreferenced(spark, indexDir)
   }
 }

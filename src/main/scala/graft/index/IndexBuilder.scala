@@ -5,6 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.corpus.{Extractor, WebDoc}
 
@@ -21,9 +23,11 @@ final case class ExtractedDoc(url: String, warc_ts: Timestamp,
 final case class IdDoc(docId: Long, url: String, warc_ts: Timestamp,
     lang: String, text: String, doclen: Long)
 
-/** One tf row headed into the segment encoder. */
+/** One tf row headed into the segment encoder; positions are the ascending
+  * within-doc token offsets of the (docId, term) posting (length == tf).
+  */
 final case class TfRow(term: String, segment: Int, docId: Long, tf: Long,
-    doclen: Long)
+    doclen: Long, positions: Array[Int])
 
 /** Distributed inverted-index build — the from-scratch replacement for the
   * Solr ingestion the reference delegates to (`solrc.add` at
@@ -31,13 +35,13 @@ final case class TfRow(term: String, segment: Int, docId: Long, tf: Long,
   * corpus-scale data (SURVEY.md §3 E1):
   *
   *   read → extract+doclen (narrow) → docId assign (shuffle 1: range by url)
-  *        → tokenize flatMap (narrow, codegen) → tf agg (shuffle 2: hash by
-  *          (docId,term); map-side partial agg collapses the token stream;
-  *          doclen rides along, so NO doclen join is ever needed)
-  *        → segment assign (broadcast hot-term map from a deterministic
-  *          hash-sample — no df join) → encode (shuffle 3: hash by
-  *          (term,segment)) → global df/cf fill (segment-ROW-level join,
-  *          ~1000× smaller than postings) → write partitioned by termBucket
+  *        → tokenize posexplode (narrow, codegen) → tf+positions agg
+  *          (shuffle 2: hash by (docId,term); map-side partial agg collapses
+  *          the token stream; doclen rides along, so NO doclen join is ever
+  *          needed)
+  *        → segment assign (broadcast join against the tiny hot-term table —
+  *          no UDF, no df join) → encode (shuffle 3: hash by (term,segment))
+  *          → write partitioned by termBucket
   *        → manifest commit (visibility barrier — the reference's
   *          solrc.commit analog, indexdata.py:1795–1798; write-audit-publish)
   *
@@ -45,8 +49,9 @@ final case class TfRow(term: String, segment: Int, docId: Long, tf: Long,
   *  - docIds are dense ranks in global url order: range-partition +
   *    in-partition sort + per-partition offsets (two-pass; the sorted Dataset
   *    is persisted so both passes see identical range boundaries).
-  *  - block-max metadata is idf-free (tfNorm bounds), which is what lets the
-  *    encoder run without global term stats.
+  *  - block-max metadata is avgdl- and idf-free ((maxTf, minDl) per block),
+  *    so the encoder runs without global stats of any kind — which is also
+  *    what makes incremental append (new docs at ids N..) sound.
   *  - the hot-term sample is keyed by xxhash64(term, docId) — deterministic
   *    per ROW, so segmentation (and thus the index) is identical at any
   *    parallelism/partitioning.
@@ -57,18 +62,30 @@ final case class TfRow(term: String, segment: Int, docId: Long, tf: Long,
   */
 object IndexBuilder {
 
-  /** Stable term→directory-partition hash; MUST match the query side. */
+  /** Stable term→directory-partition hash; MUST match the query side AND the
+    * SQL expression `pmod(xxhash64(term), numBuckets)` (Spark's xxhash64
+    * uses seed 42), so the build can bucket with a codegen'd expression while
+    * the query prunes with this Scala function.
+    */
   def bucketOf(term: String, numBuckets: Int): Int =
-    math.floorMod(term.hashCode, numBuckets)
+    math.floorMod(XXH64.hashUTF8String(UTF8String.fromString(term), 42L),
+      numBuckets.toLong).toInt
 
-  /** Assign dense docIds 0..N-1 in global url sort order (deterministic at
-    * any parallelism). Doc length is computed in the same narrow pass as
-    * extraction, before anything shuffles. Returns the id'd docs plus an
-    * unpersist handle for the cached sorted Dataset (must stay cached while
-    * idDocs is in use, or the sampled range boundaries could drift).
+  /** The codegen'd twin of [[bucketOf]]. */
+  private[index] def bucketCol(term: org.apache.spark.sql.Column,
+      numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(term), lit(numBuckets.toLong)).cast("int")
+
+  /** Assign dense docIds idOffset..idOffset+N-1 in global url sort order
+    * (deterministic at any parallelism). Doc length is computed in the same
+    * narrow pass as extraction, before anything shuffles. Returns the id'd
+    * docs plus an unpersist handle for the cached sorted Dataset (must stay
+    * cached while idDocs is in use, or the sampled range boundaries could
+    * drift). idOffset > 0 is the incremental-append case (new batch ids
+    * start at the existing index's high-water mark).
     */
   def assignDocIds(spark: SparkSession, docs: Dataset[WebDoc],
-      partitions: Int = 0): (Dataset[IdDoc], () => Unit) = {
+      partitions: Int = 0, idOffset: Long = 0L): (Dataset[IdDoc], () => Unit) = {
     import spark.implicits._
     val p = if (partitions > 0) partitions
             else math.max(1, spark.sparkContext.defaultParallelism)
@@ -96,6 +113,7 @@ object IndexBuilder {
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap
     val offsets = new Array[Long](p + 1)
+    offsets(0) = idOffset
     var i = 0
     while (i < p) { offsets(i + 1) = offsets(i) + counts.getOrElse(i, 0L); i += 1 }
     val bOffsets = spark.sparkContext.broadcast(offsets)
@@ -111,42 +129,110 @@ object IndexBuilder {
   }
 
   /** Tokenize with codegen'd built-ins (no UDF in the hot path); the
-    * expression mirrors Analysis.tokenize exactly. doclen rides along.
+    * expression mirrors Analysis.tokenize exactly — the HOF filter runs
+    * BEFORE posexplode so `pos` indexes the filtered token sequence, i.e.
+    * equals the Analysis.tokenize array index. doclen rides along.
     */
   def tokens(idDocs: Dataset[IdDoc]): DataFrame =
     idDocs.toDF()
       .select(col("docId"), col("doclen"),
-        explode(split(lower(col("text")), Analysis.TokenSplitRegex)).as("term"))
-      .filter(length(col("term")) > 0)
+        posexplode(filter(split(lower(col("text")), Analysis.TokenSplitRegex),
+          t => length(t) > 0)))
+      .withColumnRenamed("col", "term")
 
-  def build(spark: SparkSession, docs: Dataset[WebDoc], outDir: String,
-      conf: IndexConf = IndexConf()): BuildReport =
-    buildInternal(spark, docs, outDir, conf, onlyBuckets = None)
-
-  /** Resume a partially-completed build: rebuild exactly the termBuckets
-    * that have no `complete` manifest row (segment-granular resume per the
-    * north_rule). Re-derivation is deterministic, so rebuilt buckets are
-    * identical to what the original build would have produced. Partial files
-    * from a killed attempt are cleaned before the append.
+  /** Full (re)build: materialize a fresh segment dir and publish a pointer
+    * naming ONLY it — atomic at the pointer flip; a previous index at the
+    * same path keeps serving until then and is GC'd after.
     */
-  def resume(spark: SparkSession, docs: Dataset[WebDoc], outDir: String,
+  def build(spark: SparkSession, docs: Dataset[WebDoc], indexDir: String,
+      conf: IndexConf = IndexConf()): BuildReport = {
+    val seg = IndexLayout.nextSegDir(spark, indexDir)
+    val r = buildInternal(spark, docs, s"$indexDir/$seg", conf,
+      onlyBuckets = None)
+    IndexLayout.publish(spark, indexDir, Seq(seg))
+    // a fresh build invalidates tombstones aimed at the superseded docIds
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+    IndexLayout.gcUnreferenced(spark, indexDir)
+    r
+  }
+
+  /** Incremental append — the reference's repeated-batch operating model
+    * (chunked `solrc.add` at /root/reference/src/indexdata.py:1778–1788).
+    * New docs get ids past the existing high-water mark and land as a new
+    * segment dir beside the old ones (segments are docId-disjoint per term,
+    * so the query side needs no merge); the pointer flip makes the batch
+    * visible atomically. Re-adding an existing url OVERWRITES it (same-id
+    * overwrite at indexdata.py:1306): the superseded docIds are tombstoned
+    * right after publish and physically dropped at the next compaction.
+    */
+  def append(spark: SparkSession, newDocs: Dataset[WebDoc], indexDir: String,
       conf: IndexConf = IndexConf()): BuildReport = {
     import spark.implicits._
-    val done: Set[Int] =
-      try spark.read.parquet(s"$outDir/manifest")
-        .filter($"status" === "complete")
-        .select($"partitionId").as[Int].collect().toSet
-      catch { case _: Exception => Set.empty }
-    val missing = (0 until conf.numBuckets).filterNot(done).toSet
-    if (missing.isEmpty) BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
-    else {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      missing.foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$outDir/postings/termBucket=$b"), true)
-      }
-      buildInternal(spark, docs, outDir, conf, Some(missing))
+    val published = IndexLayout.current(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"append requires a published index at $indexDir"))
+    val prevDocs = spark.read.parquet(
+      published.map(sd => s"$indexDir/$sd/docs"): _*)
+    val offset = prevDocs.agg(max($"docId")).head().getLong(0) + 1L
+    val seg = IndexLayout.nextSegDir(spark, indexDir)
+    val r = buildInternal(spark, newDocs, s"$indexDir/$seg", conf,
+      onlyBuckets = None, idOffset = offset)
+    IndexLayout.publish(spark, indexDir, published :+ seg)
+    // upsert-by-url: tombstone superseded versions (no driver collect — the
+    // semi-join writes tombstones directly; batch-sized, not corpus-sized)
+    val newUrls = spark.read.parquet(s"$indexDir/$seg/docs").select($"url")
+    prevDocs.join(newUrls, Seq("url"), "left_semi")
+      .select($"docId")
+      .write.mode(SaveMode.Append).parquet(s"$indexDir/tombstones")
+    r
+  }
+
+  /** Resume a partially-completed build or append: target the newest segment
+    * dir on disk, rebuild exactly the termBuckets that have no `complete`
+    * manifest row (segment-granular resume per the north_rule), then publish
+    * the pointer if the crash happened before the flip. Re-derivation is
+    * deterministic, so rebuilt buckets are identical to what the original
+    * job would have produced. Partial files from a killed attempt are
+    * cleaned before the append.
+    */
+  def resume(spark: SparkSession, docs: Dataset[WebDoc], indexDir: String,
+      conf: IndexConf = IndexConf()): BuildReport = {
+    import spark.implicits._
+    IndexLayout.latestSegDir(spark, indexDir) match {
+      case None => build(spark, docs, indexDir, conf) // nothing on disk yet
+      case Some(sd) =>
+        val segPath = s"$indexDir/$sd"
+        val published = IndexLayout.current(spark, indexDir).getOrElse(Nil)
+        val done: Set[Int] =
+          try spark.read.parquet(s"$segPath/manifest")
+            .filter($"status" === "complete")
+            .select($"partitionId").as[Int].collect().toSet
+          catch { case _: Exception => Set.empty }
+        val missing = (0 until conf.numBuckets).filterNot(done).toSet
+        if (missing.isEmpty && published.contains(sd))
+          return BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
+        val report =
+          if (missing.isEmpty) BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
+          else {
+            val fs = new org.apache.hadoop.fs.Path(indexDir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            missing.foreach { b =>
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"$segPath/postings/termBucket=$b"), true)
+            }
+            // docId offset: batches before this one (append-resume case)
+            val prior = published.filterNot(_ == sd)
+            val offset =
+              if (prior.isEmpty) 0L
+              else spark.read.parquet(prior.map(p => s"$indexDir/$p/docs"): _*)
+                .agg(max($"docId")).head().getLong(0) + 1L
+            buildInternal(spark, docs, segPath, conf, Some(missing), offset)
+          }
+        if (!published.contains(sd))
+          IndexLayout.publish(spark, indexDir, published :+ sd)
+        report
     }
   }
 
@@ -175,55 +261,56 @@ object IndexBuilder {
       }.toMap
   }
 
-  /** Shared build tail: (term, docId, tf, doclen) rows → segmented, encoded,
-    * df/cf-filled postings written to outDir/postings. Used by the builder
-    * and by Compaction.
+  /** Shared build tail: (term, docId, tf, doclen, positions) rows →
+    * segmented, encoded postings written to outDir/postings. Used by the
+    * builder and by Compaction. Note for append: segment ids restart at 0
+    * per batch, but segments of the same term from different batches are
+    * docId-disjoint (new ids start past the high-water mark), which is the
+    * only property the query-side TermCursor needs.
     */
   private[index] def encodePostings(spark: SparkSession, tfRows: DataFrame,
-      nDocs: Long, avgdl: Double, conf: IndexConf, outDir: String,
+      nDocs: Long, conf: IndexConf, outDir: String,
       append: Boolean, onlyBuckets: Option[Set[Int]]): Unit = {
     import spark.implicits._
     val nb = conf.numBuckets
     val hot = hotTermSegLens(tfRows, nDocs, conf)
-    val bHot = spark.sparkContext.broadcast(hot)
-    val segUdf = udf { (term: String, docId: Long) =>
-      bHot.value.get(term) match {
-        case Some(segLen) => (docId / segLen).toInt
-        case None         => 0
-      }
-    }
-    var rows = tfRows.withColumn("segment", segUdf($"term", $"docId"))
+    // segment = docId / segLen for hot terms, 0 otherwise — a broadcast hash
+    // join against the tiny hot-term table + integer division, fully inside
+    // whole-stage codegen (the round-1 per-row Scala UDF measured as shuffle
+    // 3's hottest input expression).
+    val hotDf = hot.toSeq.toDF("term", "segLen")
+    var rows = tfRows
+      .join(broadcast(hotDf), Seq("term"), "left_outer")
+      .withColumn("segment",
+        when($"segLen".isNotNull, expr("CAST(docId DIV segLen AS INT)"))
+          .otherwise(lit(0)))
+      .drop("segLen")
     onlyBuckets.foreach { bs =>
-      val bucketUdf = udf((t: String) => bucketOf(t, nb))
-      rows = rows.filter(bucketUdf($"term").isin(bs.toSeq: _*))
+      rows = rows.filter(bucketCol($"term", nb).isin(bs.toSeq: _*))
     }
     val encodePartitions =
       math.max(1, spark.sparkContext.defaultParallelism)
     val segRows: Dataset[PostingSegment] = rows
-      .select($"term", $"segment", $"docId", $"tf", $"doclen")
+      .select($"term", $"segment", $"docId", $"tf", $"doclen", $"positions")
       .repartition(encodePartitions, $"term", $"segment")
       .sortWithinPartitions($"term", $"segment", $"docId")
       .as[TfRow]
-      .mapPartitions(it => new SegmentEncoder(it, avgdl, nb))
+      .mapPartitions(it => new SegmentEncoder(it, nb))
 
-    // fill GLOBAL df/cf over segment rows (tiny vs postings), then land each
-    // bucket as one term-sorted file (partition pruning + parquet min/max)
-    val seg = segRows.toDF().localCheckpoint()
-    val termStats = seg.groupBy($"term")
-      .agg(sum($"df").as("gdf"), sum($"cf").as("gcf"))
-    seg.join(termStats, Seq("term"))
-      .withColumn("df", $"gdf").withColumn("cf", $"gcf")
-      .drop("gdf", "gcf")
+    // land each bucket as one term-sorted file (partition pruning + parquet
+    // min/max). df/cf are segment-local by design (IndexTables.scala), so no
+    // global fill join exists — the round-1 termStats join + checkpoint are
+    // gone entirely.
+    segRows.toDF()
       .repartition(nb, $"termBucket")
       .sortWithinPartitions($"term", $"segment")
       .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
       .partitionBy("termBucket").parquet(s"$outDir/postings")
-    seg.unpersist()
   }
 
   private def buildInternal(spark: SparkSession, docs: Dataset[WebDoc],
       outDir: String, conf: IndexConf,
-      onlyBuckets: Option[Set[Int]]): BuildReport = {
+      onlyBuckets: Option[Set[Int]], idOffset: Long = 0L): BuildReport = {
     import spark.implicits._
     val t0 = System.nanoTime()
     def phase(name: String): Unit =
@@ -232,7 +319,8 @@ object IndexBuilder {
     val append = onlyBuckets.isDefined
     val inputFiles = docs.inputFiles
 
-    val (idDocs, unpersistSorted) = assignDocIds(spark, docs, conf.buildPartitions)
+    val (idDocs, unpersistSorted) =
+      assignDocIds(spark, docs, conf.buildPartitions, idOffset)
     phase("docIds assigned")
 
     // corpus stats straight off the cached sorted docs (no tf detour)
@@ -256,14 +344,15 @@ object IndexBuilder {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
     }
 
-    // tf rows: one row per (docId, term), doclen attached — partial+final
-    // hash agg collapses the token stream before the shuffle
+    // tf rows: one row per (docId, term) with its sorted position list —
+    // partial+final hash agg collapses the token stream before the shuffle
     val tfs = tokens(idDocs)
       .groupBy($"docId", $"term")
-      .agg(count(lit(1)).as("tf"), first($"doclen").as("doclen"))
+      .agg(count(lit(1)).as("tf"), first($"doclen").as("doclen"),
+        sort_array(collect_list($"pos")).as("positions"))
       .localCheckpoint()
 
-    encodePostings(spark, tfs, nDocs, avgdl, conf, outDir, append, onlyBuckets)
+    encodePostings(spark, tfs, nDocs, conf, outDir, append, onlyBuckets)
     phase("postings written")
     Await.result(sideWrites, Duration.Inf)
     phase("docs+stats written")
@@ -276,7 +365,7 @@ object IndexBuilder {
       .agg(min($"term").as("termRangeLo"), max($"term").as("termRangeHi"),
         count(lit(1)).as("segCount"), sum($"count").as("rowCount"),
         (sum(length($"docIdsVb")) + sum(length($"tfsVb")) +
-          sum(length($"dlsVb"))).as("bytes"))
+          sum(length($"dlsVb")) + sum(length($"posVb"))).as("bytes"))
       .select($"termBucket".cast("int").as("partitionId"),
         $"termRangeLo", $"termRangeHi", $"segCount", $"rowCount", $"bytes",
         typedLit(inputFiles.toSeq).as("inputFiles"),
@@ -305,11 +394,11 @@ object IndexBuilder {
 
 /** Streaming run-encoder: consumes TfRows sorted by (term, segment, docId)
   * within the partition and emits one PostingSegment per (term, segment)
-  * run with SEGMENT-LOCAL df/cf (globalized later). Memory per run is
-  * bounded by the segment size.
+  * run with segment-local df/cf. Memory per run is bounded by the segment
+  * size.
   */
 private final class SegmentEncoder(it: Iterator[TfRow],
-    avgdl: Double, numBuckets: Int) extends Iterator[PostingSegment] {
+    numBuckets: Int) extends Iterator[PostingSegment] {
 
   private val buf = it.buffered
   override def hasNext: Boolean = buf.hasNext
@@ -320,12 +409,12 @@ private final class SegmentEncoder(it: Iterator[TfRow],
     val docIds = new scala.collection.mutable.ArrayBuffer[Long]()
     val tfs = new scala.collection.mutable.ArrayBuffer[Long]()
     val dls = new scala.collection.mutable.ArrayBuffer[Long]()
+    val poss = new scala.collection.mutable.ArrayBuffer[Array[Int]]()
     while (buf.hasNext && buf.head.term == term && buf.head.segment == segment) {
       val r = buf.next()
-      docIds += r.docId; tfs += r.tf; dls += r.doclen
+      docIds += r.docId; tfs += r.tf; dls += r.doclen; poss += r.positions
     }
     PostingCodec.encode(term, IndexBuilder.bucketOf(term, numBuckets), segment,
-      docIds.length.toLong, tfs.sum, docIds.toArray, tfs.toArray, dls.toArray,
-      avgdl)
+      docIds.toArray, tfs.toArray, dls.toArray, poss.toArray)
   }
 }

@@ -1,0 +1,146 @@
+package graft.index
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Generation layout of an index directory — the atomic-publish machinery
+  * (the reference's visibility barrier is `solrc.commit`,
+  * /root/reference/src/indexdata.py:1795–1798; Lucene's is the segments_N
+  * file, which this mirrors):
+  *
+  * {{{
+  * indexDir/
+  *   current-000001.txt     # pointer: live segment dirs, one per line
+  *   current-000002.txt     # a NEWER pointer supersedes older ones
+  *   seg-000000/{postings,docs,stats,manifest}
+  *   seg-000001/...         # appended batch
+  *   tombstones/            # deletes, outside generations
+  * }}}
+  *
+  * Readers resolve the HIGHEST-numbered pointer file; writers publish by
+  * creating the next-numbered pointer (create-new, never overwrite) after
+  * all data is on disk. A crash at any earlier point leaves the previous
+  * pointer — and therefore the previous index — fully intact: build, append
+  * and compaction are all atomic at the pointer flip. Superseded segment
+  * dirs are garbage, GC'd best-effort after publish.
+  */
+object IndexLayout {
+
+  def segDirName(k: Int): String = f"seg-$k%06d"
+
+  private def fsOf(spark: SparkSession, indexDir: String): FileSystem =
+    new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val PointerRe = "current-(\\d{6})\\.txt".r
+  private val SegRe = "seg-(\\d{6})".r
+
+  private def pointerK(name: String): Option[Int] = name match {
+    case PointerRe(k) => Some(k.toInt)
+    case _            => None
+  }
+
+  /** Live segment dirs named by the newest pointer (build order preserved);
+    * None if the index has never been published.
+    */
+  def current(spark: SparkSession, indexDir: String): Option[Seq[String]] = {
+    val fs = fsOf(spark, indexDir)
+    val base = new Path(indexDir)
+    if (!fs.exists(base)) return None
+    val ptrs = fs.listStatus(base).toSeq
+      .flatMap(st => pointerK(st.getPath.getName).map(_ -> st.getPath))
+    if (ptrs.isEmpty) None
+    else {
+      val (_, p) = ptrs.maxBy(_._1)
+      val in = fs.open(p)
+      try {
+        val txt = new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        Some(txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+      } finally in.close()
+    }
+  }
+
+  /** Publish a new pointer naming `segdirs` as the live set. Atomic: the
+    * pointer file is created with overwrite=false, so it either fully exists
+    * or not at all; readers keep resolving the previous pointer until then.
+    */
+  def publish(spark: SparkSession, indexDir: String,
+      segdirs: Seq[String]): Unit = {
+    val fs = fsOf(spark, indexDir)
+    val base = new Path(indexDir)
+    if (!fs.exists(base)) fs.mkdirs(base)
+    val nextK = fs.listStatus(base).toSeq
+      .flatMap(st => pointerK(st.getPath.getName)).foldLeft(0)(math.max) + 1
+    val p = new Path(indexDir, f"current-$nextK%06d.txt")
+    val out = fs.create(p, false) // create-new: never clobber a pointer
+    try out.write(segdirs.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Next unused segment dir name (scans existing seg-*, published or not —
+    * an unpublished orphan from a crashed job is never reused).
+    */
+  def nextSegDir(spark: SparkSession, indexDir: String): String = {
+    val fs = fsOf(spark, indexDir)
+    val base = new Path(indexDir)
+    val k = if (!fs.exists(base)) 0
+    else fs.listStatus(base).toSeq.flatMap(st => st.getPath.getName match {
+      case SegRe(n) => Some(n.toInt + 1)
+      case _        => None
+    }).foldLeft(0)(math.max)
+    segDirName(k)
+  }
+
+  /** Newest segment dir present on disk, published or not (resume target). */
+  def latestSegDir(spark: SparkSession, indexDir: String): Option[String] = {
+    val fs = fsOf(spark, indexDir)
+    val base = new Path(indexDir)
+    if (!fs.exists(base)) return None
+    val ks = fs.listStatus(base).toSeq.flatMap(st => st.getPath.getName match {
+      case SegRe(n) => Some(n.toInt)
+      case _        => None
+    })
+    if (ks.isEmpty) None else Some(segDirName(ks.max))
+  }
+
+  /** Delete segment dirs not named by the newest pointer (post-publish GC).
+    * Best-effort: a failure leaves only dead bytes, never a broken index.
+    */
+  def gcUnreferenced(spark: SparkSession, indexDir: String): Unit = {
+    val live = current(spark, indexDir).getOrElse(return).toSet
+    val fs = fsOf(spark, indexDir)
+    fs.listStatus(new Path(indexDir)).foreach { st =>
+      val name = st.getPath.getName
+      if (SegRe.pattern.matcher(name).matches() && !live.contains(name)) {
+        try fs.delete(st.getPath, true)
+        catch { case _: Exception => }
+      }
+    }
+  }
+
+  def postingsPaths(spark: SparkSession, indexDir: String): Seq[String] =
+    live(spark, indexDir).map(sd => s"$indexDir/$sd/postings")
+
+  def docsPaths(spark: SparkSession, indexDir: String): Seq[String] =
+    live(spark, indexDir).map(sd => s"$indexDir/$sd/docs")
+
+  def statsPaths(spark: SparkSession, indexDir: String): Seq[String] =
+    live(spark, indexDir).map(sd => s"$indexDir/$sd/stats")
+
+  private def live(spark: SparkSession, indexDir: String): Seq[String] =
+    current(spark, indexDir).getOrElse(throw new IllegalStateException(
+      s"no published index at $indexDir (no current-*.txt pointer)"))
+
+  /** Combined corpus stats across the live segment dirs: counts and token
+    * totals add; avgdl is re-derived from the sums (NOT averaged).
+    */
+  def combinedStats(spark: SparkSession, indexDir: String): CorpusStats = {
+    import spark.implicits._
+    val parts = statsPaths(spark, indexDir)
+      .flatMap(p => spark.read.parquet(p).as[CorpusStats].collect())
+    val n = parts.map(_.n).sum
+    val tt = parts.map(_.totalTerms).sum
+    CorpusStats(n, if (n == 0) 0.0 else tt.toDouble / n, tt)
+  }
+}

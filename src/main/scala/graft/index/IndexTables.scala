@@ -26,32 +26,45 @@ final case class DocRow(
   * is blockLastDocId(b-1)), so a block is independently decodable given the
   * per-block byte offsets. tfs and dls (doc lengths) are plain VByte.
   * Storing dl inline (~1 byte/posting) makes scoring self-contained: no
-  * query-time join against a 10^12-row doclen table.
+  * query-time join against a 10^12-row doclen table. posVb carries, per
+  * posting, its tf within-doc token positions (first absolute, then gaps,
+  * VByte) — the Lucene-style positions stream phrase queries need; it is
+  * only decoded when a phrase constraint asks for it.
   *
-  * Block-max metadata per 128-doc block: last docId (skip pointer) and an
-  * upper bound on the IDF-FREE score part tfNorm = tf/(tf+k1(1−b+b·dl/avgdl))
-  * (stored as the next-up float of the true double max, so Float rounding
-  * can never violate the bound; the query multiplies idf back in). Keeping
-  * idf out of the stored metadata means encoding needs no df join — global
-  * df/cf are filled by a segment-row-level (small) aggregation afterwards.
+  * df/cf are NOT stored globally: a segment's document frequency is its
+  * `count`, its collection frequency is `cf` (segment-local); the query
+  * engine sums them across the term's segments — which stays correct when
+  * segments of the same term come from different append batches.
+  *
+  * Block-max metadata per 128-doc block: last docId (skip pointer) plus the
+  * block's max tf and min dl. tfNorm = tf/(tf+k1(1−b+b·dl/avgdl)) is
+  * monotonically increasing in tf and decreasing in dl, so
+  * tfNorm(blockMaxTf, blockMinDl, avgdl) upper-bounds every posting in the
+  * block FOR ANY avgdl — which is what makes incremental append sound:
+  * appending a batch changes the corpus avgdl, and bounds stored at build
+  * time must not go stale. idf is likewise kept out of the stored metadata
+  * (multiplied back at query time), so encoding needs neither corpus stats
+  * nor a df join.
   */
 final case class PostingSegment(
     termBucket: Int,
     term: String,
     segment: Int,
-    df: Long, // global document frequency of the term (all segments)
-    cf: Long, // global collection frequency of the term
-    count: Int, // postings in THIS segment
+    cf: Long, // collection frequency of the term within THIS segment
+    count: Int, // postings in THIS segment (= segment-local df)
     firstDocId: Long,
     lastDocId: Long,
     docIdsVb: Array[Byte],
     tfsVb: Array[Byte],
     dlsVb: Array[Byte],
+    posVb: Array[Byte],
     blockLastDocId: Array[Long],
-    blockMaxTfNorm: Array[Float],
+    blockMaxTf: Array[Long],
+    blockMinDl: Array[Long],
     blockDocOff: Array[Int],
     blockTfOff: Array[Int],
-    blockDlOff: Array[Int])
+    blockDlOff: Array[Int],
+    blockPosOff: Array[Int])
 
 /** Broadcast-sized corpus statistics (single row). */
 final case class CorpusStats(n: Long, avgdl: Double, totalTerms: Long)

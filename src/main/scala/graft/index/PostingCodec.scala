@@ -4,18 +4,20 @@ import scala.collection.mutable.ArrayBuffer
 
 /** Encode/decode of [[PostingSegment]] rows and the block-skipping cursors
   * the query engine iterates. This is the from-scratch replacement for the
-  * posting machinery the reference delegates to Lucene (SURVEY.md §4.2).
+  * posting machinery the reference delegates to Solr/Lucene (SURVEY.md §4.2).
   */
 object PostingCodec {
 
   /** Encode one segment from parallel arrays sorted by docId (strictly
-    * increasing). `df`/`cf` may be segment-local at encode time (the builder
-    * replaces them with global term stats in a later small join); only
-    * `avgdl` is needed for the idf-free block-max metadata.
+    * increasing). `positions(i)` are the ascending within-doc token offsets
+    * of posting i (length == tfs(i)); pass empty arrays to build a
+    * positions-free segment (phrase queries then degrade to AND-of-terms).
+    * Needs NO corpus stats: block-max metadata is the avgdl-independent
+    * (maxTf, minDl) pair and df/cf are segment-local (see IndexTables).
     */
-  def encode(term: String, termBucket: Int, segment: Int, df: Long, cf: Long,
+  def encode(term: String, termBucket: Int, segment: Int,
       docIds: Array[Long], tfs: Array[Long], dls: Array[Long],
-      avgdl: Double): PostingSegment = {
+      positions: Array[Array[Int]]): PostingSegment = {
     val count = docIds.length
     require(count > 0, s"empty segment for term '$term'")
     val bs = IndexConf.BlockSize
@@ -24,50 +26,106 @@ object PostingCodec {
     val docBuf = new ArrayBuffer[Byte](count * 2)
     val tfBuf = new ArrayBuffer[Byte](count)
     val dlBuf = new ArrayBuffer[Byte](count * 2)
+    val posBuf = new ArrayBuffer[Byte](count * 2)
     val blockLast = new Array[Long](nBlocks)
-    val blockMax = new Array[Float](nBlocks)
+    val blockMaxTf = new Array[Long](nBlocks)
+    val blockMinDl = new Array[Long](nBlocks)
     val docOff = new Array[Int](nBlocks)
     val tfOff = new Array[Int](nBlocks)
     val dlOff = new Array[Int](nBlocks)
+    val posOff = new Array[Int](nBlocks)
 
     var prev = 0L
     var i = 0
     while (i < count) {
+      val b = i / bs
       if (i % bs == 0) {
-        val b = i / bs
         docOff(b) = docBuf.length
         tfOff(b) = tfBuf.length
         dlOff(b) = dlBuf.length
+        posOff(b) = posBuf.length
+        blockMaxTf(b) = tfs(i)
+        blockMinDl(b) = dls(i)
       }
       VByte.encodeTo(docBuf, if (i == 0) docIds(0) else docIds(i) - prev)
       prev = docIds(i)
       VByte.encodeTo(tfBuf, tfs(i))
       VByte.encodeTo(dlBuf, dls(i))
-      val b = i / bs
-      val s = BM25.tfNorm(tfs(i), dls(i), avgdl)
-      // store as the next float ABOVE the double max so the stored Float is
-      // always a valid upper bound on the true double tfNorm
-      val f = Math.nextUp(s.toFloat)
-      if (i % bs == 0 || f > blockMax(b)) blockMax(b) = f
+      if (i < positions.length && positions(i) != null) {
+        val ps = positions(i)
+        var j = 0
+        var prevPos = 0
+        while (j < ps.length) {
+          VByte.encodeTo(posBuf, (if (j == 0) ps(0) else ps(j) - prevPos).toLong)
+          prevPos = ps(j)
+          j += 1
+        }
+      }
+      if (tfs(i) > blockMaxTf(b)) blockMaxTf(b) = tfs(i)
+      if (dls(i) < blockMinDl(b)) blockMinDl(b) = dls(i)
       blockLast(b) = docIds(i)
       i += 1
     }
-    PostingSegment(termBucket, term, segment, df, cf, count,
+    PostingSegment(termBucket, term, segment, tfs.sum, count,
       docIds(0), docIds(count - 1),
-      docBuf.toArray, tfBuf.toArray, dlBuf.toArray,
-      blockLast, blockMax, docOff, tfOff, dlOff)
+      docBuf.toArray, tfBuf.toArray, dlBuf.toArray, posBuf.toArray,
+      blockLast, blockMaxTf, blockMinDl, docOff, tfOff, dlOff, posOff)
   }
+
+  /** Positions-free convenience overload (tests, compaction of legacy data). */
+  def encode(term: String, termBucket: Int, segment: Int,
+      docIds: Array[Long], tfs: Array[Long],
+      dls: Array[Long]): PostingSegment =
+    encode(term, termBucket, segment, docIds, tfs, dls,
+      Array.empty[Array[Int]])
 
   /** Full sequential decode — used by the exhaustive scorer and tests. */
   def decodeAll(seg: PostingSegment): (Array[Long], Array[Long], Array[Long]) =
     (VByte.decodeDeltas(seg.docIdsVb, seg.count),
      VByte.decode(seg.tfsVb, seg.count),
      VByte.decode(seg.dlsVb, seg.count))
+
+  /** Decode every posting's positions (empty segment-level stream → all
+    * postings get empty arrays). Test/exhaustive-path helper; the WAND path
+    * decodes lazily per block via [[SegCursor.curPositions]].
+    */
+  def decodePositions(seg: PostingSegment): Array[Array[Int]] = {
+    val out = new Array[Array[Int]](seg.count)
+    if (seg.posVb.isEmpty) {
+      java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], Array.empty[Int])
+      return out
+    }
+    val tfs = VByte.decode(seg.tfsVb, seg.count)
+    var p = 0
+    var i = 0
+    while (i < seg.count) {
+      val k = tfs(i).toInt
+      val ps = new Array[Int](k)
+      var acc = 0
+      var j = 0
+      while (j < k) {
+        var v = 0L; var shift = 0
+        var b = seg.posVb(p); p += 1
+        while ((b & 0x80) != 0) {
+          v |= (b & 0x7FL) << shift; shift += 7; b = seg.posVb(p); p += 1
+        }
+        v |= (b & 0x7FL) << shift
+        acc = if (j == 0) v.toInt else acc + v.toInt
+        ps(j) = acc
+        j += 1
+      }
+      out(i) = ps
+      i += 1
+    }
+    out
+  }
 }
 
 /** Lazy block-decoding cursor over one segment. Skipping to a target docId
   * walks blockLastDocId WITHOUT decoding skipped blocks (the VByte gap stream
-  * restarts at each block with base = previous block's last docId).
+  * restarts at each block with base = previous block's last docId). The
+  * positions stream is decoded only if [[curPositions]] is called within the
+  * current block (phrase verification of a surviving candidate).
   */
 final class SegCursor(val seg: PostingSegment, idfv: Double, avgdl: Double) {
   private val bs = IndexConf.BlockSize
@@ -76,6 +134,7 @@ final class SegCursor(val seg: PostingSegment, idfv: Double, avgdl: Double) {
   private var blockDocs: Array[Long] = null
   private var blockTfs: Array[Long] = null
   private var blockDls: Array[Long] = null
+  private var blockPos: Array[Array[Int]] = null // lazily decoded
   private var pos = 0
   private var blockLen = 0
   var exhausted = false
@@ -84,15 +143,26 @@ final class SegCursor(val seg: PostingSegment, idfv: Double, avgdl: Double) {
   def curScore: Double =
     BM25.score(blockTfs(pos), blockDls(pos), avgdl, idfv)
   def curTf: Long = blockTfs(pos)
-  /** Upper bound on the BM25 contribution within the current block
-    * (idf × stored tfNorm bound).
+
+  /** Within-doc token positions of the current posting (ascending). Empty if
+    * the segment has no positions stream.
     */
-  def currentBlockMax: Double = idfv * seg.blockMaxTfNorm(blockIdx)
+  def curPositions: Array[Int] = {
+    if (blockPos == null) decodeBlockPositions()
+    blockPos(pos)
+  }
+
+  /** Upper bound on the BM25 contribution within the current block
+    * (idf x avgdl-independent (maxTf, minDl) bound).
+    */
+  def currentBlockMax: Double =
+    idfv * BM25.tfNorm(seg.blockMaxTf(blockIdx), seg.blockMinDl(blockIdx), avgdl)
   def currentBlockLast: Long = seg.blockLastDocId(blockIdx)
   def maxScore: Double = {
-    var m = 0f; var b = 0
+    var m = 0.0; var b = 0
     while (b < nBlocks) {
-      if (seg.blockMaxTfNorm(b) > m) m = seg.blockMaxTfNorm(b)
+      val s = BM25.tfNorm(seg.blockMaxTf(b), seg.blockMinDl(b), avgdl)
+      if (s > m) m = s
       b += 1
     }
     idfv * m
@@ -114,7 +184,39 @@ final class SegCursor(val seg: PostingSegment, idfv: Double, avgdl: Double) {
     blockDocs = raw
     blockTfs = decodeFrom(seg.tfsVb, seg.blockTfOff(b), blockLen)
     blockDls = decodeFrom(seg.dlsVb, seg.blockDlOff(b), blockLen)
+    blockPos = null
     pos = 0
+  }
+
+  private def decodeBlockPositions(): Unit = {
+    val out = new Array[Array[Int]](blockLen)
+    if (seg.posVb.isEmpty) {
+      java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], Array.empty[Int])
+      blockPos = out
+      return
+    }
+    var p = seg.blockPosOff(blockIdx)
+    var i = 0
+    while (i < blockLen) {
+      val k = blockTfs(i).toInt
+      val ps = new Array[Int](k)
+      var acc = 0
+      var j = 0
+      while (j < k) {
+        var v = 0L; var shift = 0
+        var b = seg.posVb(p); p += 1
+        while ((b & 0x80) != 0) {
+          v |= (b & 0x7FL) << shift; shift += 7; b = seg.posVb(p); p += 1
+        }
+        v |= (b & 0x7FL) << shift
+        acc = if (j == 0) v.toInt else acc + v.toInt
+        ps(j) = acc
+        j += 1
+      }
+      out(i) = ps
+      i += 1
+    }
+    blockPos = out
   }
 
   private def decodeFrom(bytes: Array[Byte], off: Int, k: Int): Array[Long] = {
@@ -185,15 +287,17 @@ final class TermCursor(val term: String, segments: Seq[PostingSegment],
 
   /** Term-level score upper bound within this window. */
   val upperBound: Double = {
-    var m = 0.0f
+    var m = 0.0
     segs.foreach { s =>
       if (s.lastDocId >= lo && s.firstDocId < hi) {
         var b = 0
-        while (b < s.blockMaxTfNorm.length) {
+        while (b < s.blockMaxTf.length) {
           // only blocks overlapping the window matter
           val blockFirst = if (b == 0) s.firstDocId else s.blockLastDocId(b - 1) + 1
-          if (s.blockLastDocId(b) >= lo && blockFirst < hi &&
-              s.blockMaxTfNorm(b) > m) m = s.blockMaxTfNorm(b)
+          if (s.blockLastDocId(b) >= lo && blockFirst < hi) {
+            val bound = BM25.tfNorm(s.blockMaxTf(b), s.blockMinDl(b), avgdl)
+            if (bound > m) m = bound
+          }
           b += 1
         }
       }
@@ -212,8 +316,9 @@ final class TermCursor(val term: String, segments: Seq[PostingSegment],
 
   def curDoc: Long = cur.curDoc
   def curScore: Double = cur.curScore
+  def curPositions: Array[Int] = cur.curPositions
   def currentBlockMax: Double =
-    if (exhausted) 0.0 else cur.currentBlockMax.toDouble
+    if (exhausted) 0.0 else cur.currentBlockMax
   def currentBlockLast: Long = if (exhausted) Long.MaxValue else cur.currentBlockLast
 
   def advanceTo(target: Long): Unit = {

@@ -3,35 +3,52 @@ package graft.oracle
 import scala.collection.mutable
 
 import graft.index.{Analysis, BM25}
-import graft.query.{QueryAst, QueryParser}
+import graft.query.{QueryAst, QueryParser, RangeFilter, Wand}
+
+/** Oracle-side document: mirrors the engine's stored fields. */
+final case class OracleDoc(docId: Long, text: String, lang: String = "en",
+    url: String = "", tsMillis: Long = 0L)
 
 /** Sequential in-memory reference implementation (SURVEY.md §5.1) — the
   * keystone oracle standing in for a live Solr instance. Same tokenizer,
-  * exact-arithmetic tf/df/BM25, naive uncompressed postings, exhaustive
-  * scoring, top-k by (-score, docId). Every distributed result must be
-  * rank-identical (docIds equal, scores within 1e-9) to this on the fixed
-  * query set (FIXTURES.md §3).
+  * exact-arithmetic tf/df/BM25, naive uncompressed postings WITH positions,
+  * exhaustive scoring, top-k by (-score, docId). Every distributed result
+  * must be rank-identical (docIds equal, scores within 1e-9) to this on the
+  * fixed query set (FIXTURES.md §3).
   *
   * Per-doc score = sum of per-term contributions in TERM-SORTED order —
   * the same summation order the distributed WAND scorer fixes, so scores
   * agree to the last bit, not just within tolerance.
   */
-final class SeqOracle(docs: Seq[(Long, String, String)]) {
-  // docs: (docId, text, lang)
+final class SeqOracle(docs: Seq[OracleDoc]) {
+
+  /** Legacy-tuple constructor: (docId, text, lang). */
+  def this(docs: Seq[(Long, String, String)])(implicit d: DummyImplicit) =
+    this(docs.map(t => OracleDoc(t._1, t._2, t._3)))
+
   val n: Long = docs.size.toLong
   private val doclen = mutable.LongMap.empty[Long]
   private val docLang = mutable.LongMap.empty[String]
+  private val docUrl = mutable.LongMap.empty[String]
+  private val docTs = mutable.LongMap.empty[Long]
   // term -> sorted (docId, tf)
   private val postings = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Long)]]
+  // (term, docId) -> ascending within-doc token positions
+  private val positions = mutable.HashMap.empty[(String, Long), Array[Int]]
 
-  docs.sortBy(_._1).foreach { case (id, text, lang) =>
-    val toks = Analysis.tokenize(text)
-    doclen(id) = toks.length.toLong
-    docLang(id) = lang
-    val tf = mutable.HashMap.empty[String, Long]
-    toks.foreach(t => tf(t) = tf.getOrElse(t, 0L) + 1L)
-    tf.foreach { case (t, c) =>
-      postings.getOrElseUpdate(t, mutable.ArrayBuffer.empty) += ((id, c))
+  docs.sortBy(_.docId).foreach { d =>
+    val toks = Analysis.tokenize(d.text)
+    doclen(d.docId) = toks.length.toLong
+    docLang(d.docId) = d.lang
+    docUrl(d.docId) = d.url
+    docTs(d.docId) = d.tsMillis
+    val tf = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
+    toks.zipWithIndex.foreach { case (t, p) =>
+      tf.getOrElseUpdate(t, mutable.ArrayBuffer.empty) += p
+    }
+    tf.foreach { case (t, ps) =>
+      postings.getOrElseUpdate(t, mutable.ArrayBuffer.empty) += ((d.docId, ps.length.toLong))
+      positions((t, d.docId)) = ps.toArray
     }
   }
 
@@ -40,13 +57,49 @@ final class SeqOracle(docs: Seq[(Long, String, String)]) {
   def df(term: String): Long = postings.get(term).map(_.size.toLong).getOrElse(0L)
   def cf(term: String): Long = postings.get(term).map(_.map(_._2).sum).getOrElse(0L)
 
+  private def parseTs(v: String): Long = java.time.Instant.parse(v).toEpochMilli
+
+  /** The engine's stored-field predicate semantics, mirrored exactly:
+    * lang = exact, url = substring containment, ranges inclusive with `*`
+    * open ends (lexicographic for url/lang, instant-parse for warc_ts).
+    */
+  private def fieldFilterOk(ast: QueryAst)(id: Long): Boolean = {
+    ast.langFilter.forall(l => docLang(id) == l) &&
+    ast.urlFilter.forall(u => docUrl(id).contains(u)) &&
+    ast.rangeFilters.forall {
+      case RangeFilter("warc_ts", lo, hi) =>
+        val t = docTs(id)
+        lo.forall(v => t >= parseTs(v)) && hi.forall(v => t <= parseTs(v))
+      case RangeFilter("url", lo, hi) =>
+        val u = docUrl(id)
+        lo.forall(v => u >= v) && hi.forall(v => u <= v)
+      case RangeFilter("lang", lo, hi) =>
+        val l = docLang(id)
+        lo.forall(v => l >= v) && hi.forall(v => l <= v)
+      case RangeFilter(f, _, _) =>
+        throw new IllegalArgumentException(s"unsupported range field $f")
+    }
+  }
+
+  private def phrasesOk(ast: QueryAst)(id: Long): Boolean =
+    ast.phrases.forall { ph =>
+      Wand.phraseMatch(ph.map(t =>
+        positions.getOrElse((t, id), Array.empty[Int])))
+    }
+
   /** Top-k for a parsed query; tiebreak (-score, docId). */
   def topK(query: String, k: Int): Seq[(Long, Double)] = {
     val ast = QueryParser.parse(query)
+    candidates(ast).take(k)
+  }
+
+  /** All matching (docId, score), ordered — the match set behind topK and
+    * facet (Solr facets count over every match, not the page).
+    */
+  def candidates(ast: QueryAst): Seq[(Long, Double)] = {
     val scoringTerms = ast.scoringTerms.distinct.sorted
     val mustTerms = ast.mustTerms.distinct
     val notTerms = ast.notTerms.distinct
-    val langPred = ast.langFilter
 
     val scores = mutable.LongMap.empty[Double]
     val termHits = mutable.LongMap.empty[Int] // how many MUST terms matched
@@ -71,10 +124,26 @@ final class SeqOracle(docs: Seq[(Long, String, String)]) {
       .filter { case (id, _) =>
         (mustTerms.isEmpty || termHits.getOrElse(id, 0) == mustTerms.size) &&
         !excluded.contains(id) &&
-        langPred.forall(l => docLang(id) == l)
+        fieldFilterOk(ast)(id) &&
+        phrasesOk(ast)(id)
       }
       .sortBy { case (id, s) => (-s, id) }
-      .take(k)
+  }
+
+  /** Facet counts over ALL matching docs (the Solr facet.field analog).
+    * Returns (value, count) sorted by count desc, value asc.
+    */
+  def facet(query: String, field: String): Seq[(String, Long)] = {
+    val ast = QueryParser.parse(query)
+    val vals = candidates(ast).map { case (id, _) =>
+      field match {
+        case "lang" => docLang(id)
+        case "url"  => docUrl(id)
+        case f      => throw new IllegalArgumentException(s"facet field $f")
+      }
+    }
+    vals.groupBy(identity).map { case (v, xs) => (v, xs.size.toLong) }
+      .toSeq.sortBy { case (v, c) => (-c, v) }
   }
 
   /** Exhaustive score of one doc for a term list (test helper). */

@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index._
@@ -20,26 +20,74 @@ import graft.index._
   * table is directory-partitioned by termBucket, so Spark's partition
   * discovery skips every other bucket, and Parquet min/max on the sorted
   * `term` column prunes row groups within a bucket.
+  *
+  * Stored-field filters (`lang:` / `url:` / `[a TO b]` ranges) and delete
+  * tombstones become per-doc allow/deny predicates inside the WAND loop:
+  *  - distributed path: the filtered docs table is keyed by docId window and
+  *    COGROUPED with the posting segments — each window task receives only
+  *    its own slice as a window-local bitmap. No driver materialization, no
+  *    unbounded broadcast, no 2^31-docId assumption, at any selectivity.
+  *  - driver fast path: filter docIds are collected only up to a hard cap
+  *    ([[QueryEngine.MaxDriverFilterDocs]]); a larger filter silently routes
+  *    the query to the distributed path. The cap bounds driver memory
+  *    regardless of corpus size.
+  *
+  * The engine reads the index through the generation pointer
+  * ([[IndexLayout]]): segments of the SAME term may come from multiple
+  * append batches, so per-term document frequency is summed over segment
+  * rows at query time (exact — segments are docId-disjoint).
   */
 final class QueryEngine(spark: SparkSession, indexDir: String,
     numBuckets: Int = 32, driverWandMaxSegments: Int = 256) {
   import spark.implicits._
 
-  lazy val stats: CorpusStats =
-    spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
+  // ------------------------------------------------- index state (swappable)
 
-  lazy val docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
+  /** Resolved at construction; [[invalidateCache]] re-resolves, so one engine
+    * instance survives compaction/append (the round-1 lazy vals went stale).
+    */
+  private var segdirs: Seq[String] = IndexLayout.current(spark, indexDir)
+    .getOrElse(throw new IllegalStateException(
+      s"no published index at $indexDir"))
+  private var statsV: CorpusStats = IndexLayout.combinedStats(spark, indexDir)
+  private var docsV: DataFrame = readDocs()
+  private var postingsV: DataFrame = readPostings()
+
+  private def readDocs(): DataFrame =
+    spark.read.parquet(segdirs.map(sd => s"$indexDir/$sd/docs"): _*)
 
   /** One relation handle for all queries — building it per query would
     * re-list the partition directories and re-infer the schema every time.
+    * Each generation is loaded as its own relation and unioned (Spark cannot
+    * infer the termBucket partitioning across multiple roots); predicate
+    * pushdown distributes over the union, so bucket pruning still applies
+    * per generation.
     */
-  private lazy val postingsDf: DataFrame =
-    spark.read.parquet(s"$indexDir/postings")
+  private def readPostings(): DataFrame =
+    segdirs.map(sd => spark.read.parquet(s"$indexDir/$sd/postings"))
+      .reduce(_.unionByName(_))
+
+  def stats: CorpusStats = statsV
+  def docs: DataFrame = docsV
 
   private def tombstones: Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Re-resolve the generation pointer and drop every cache — call after a
+    * compaction or append performed while this engine instance is live.
+    */
+  def invalidateCache(): Unit = {
+    segdirs = IndexLayout.current(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no published index at $indexDir"))
+    statsV = IndexLayout.combinedStats(spark, indexDir)
+    docsV = readDocs()
+    postingsV = readPostings()
+    segCache.synchronized(segCache.clear())
+    filterCache.synchronized(filterCache.clear())
   }
 
   /** Pruned postings scan for a term set: bucket partition pruning + term
@@ -49,7 +97,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val ts = terms.distinct
     if (ts.isEmpty) return spark.emptyDataset[PostingSegment]
     val buckets = ts.map(IndexBuilder.bucketOf(_, numBuckets)).distinct
-    postingsDf
+    postingsV
       .filter($"termBucket".isin(buckets: _*) && $"term".isin(ts: _*))
       .as[PostingSegment]
   }
@@ -75,14 +123,14 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
         size() > 256
     }
 
-  /** Cached per-language docId bitmaps for stored-field filters. */
-  private val langBitmaps =
-    new java.util.HashMap[String, java.util.BitSet]()
-
-  def invalidateCache(): Unit = {
-    segCache.synchronized(segCache.clear())
-    langBitmaps.synchronized(langBitmaps.clear())
-  }
+  /** Bounded LRU of driver-side stored-field filter results: canonical
+    * predicate key → sorted matching docIds (each ≤ MaxDriverFilterDocs).
+    */
+  private val filterCache =
+    new java.util.LinkedHashMap[String, Array[Long]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[Long]]): Boolean = size() > 64
+    }
 
   def search(q: String, k: Int): DataFrame = searchWand(q, k)
 
@@ -94,6 +142,58 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   def topK(q: String, k: Int): Array[Wand.Scored] =
     search(q, k).collect().map(r => Wand.Scored(r.getLong(0), r.getDouble(1)))
 
+  // ------------------------------------------------------- filter predicates
+
+  /** Stored-field predicate over the docs table (SeqOracle.fieldFilterOk is
+    * the sequential twin — semantics must stay aligned).
+    */
+  private def filterPredicate(ast: QueryAst): Option[Column] = {
+    var preds = List.empty[Column]
+    ast.langFilter.foreach(l => preds ::= ($"lang" === l))
+    ast.urlFilter.foreach(u => preds ::= $"url".contains(u))
+    ast.rangeFilters.foreach { rf =>
+      val c = col(rf.field)
+      def b(v: String): Column =
+        if (rf.field == "warc_ts") lit(v).cast("timestamp") else lit(v)
+      rf.lo.foreach(v => preds ::= (c >= b(v)))
+      rf.hi.foreach(v => preds ::= (c <= b(v)))
+    }
+    preds.reduceOption(_ && _)
+  }
+
+  private def filterKey(ast: QueryAst): String =
+    s"${ast.langFilter}|${ast.urlFilter}|${ast.rangeFilters}"
+
+  /** Collect a filter's matching docIds onto the driver, hard-capped.
+    * Some(sorted ids) if the filter fits; None = too large for the driver →
+    * caller must use the distributed path.
+    */
+  private def boundedFilterIds(key: String, pred: Column): Option[Array[Long]] = {
+    filterCache.synchronized(Option(filterCache.get(key))) match {
+      case Some(hit) => return Some(hit)
+      case None      =>
+    }
+    val ids = docsV.filter(pred).select($"docId").as[Long]
+      .limit(QueryEngine.MaxDriverFilterDocs + 1).collect()
+    if (ids.length > QueryEngine.MaxDriverFilterDocs) None
+    else {
+      java.util.Arrays.sort(ids)
+      filterCache.synchronized(filterCache.put(key, ids))
+      Some(ids)
+    }
+  }
+
+  private def boundedTombstoneIds(): Option[Array[Long]] = {
+    tombstones match {
+      case None => Some(Array.empty[Long])
+      case Some(t) =>
+        val ids = t.select($"docId").as[Long]
+          .limit(QueryEngine.MaxDriverFilterDocs + 1).collect()
+        if (ids.length > QueryEngine.MaxDriverFilterDocs) None
+        else { java.util.Arrays.sort(ids); Some(ids) }
+    }
+  }
+
   // ---------------------------------------------------------------- WAND
 
   def searchWand(q: String, k: Int): DataFrame = {
@@ -101,38 +201,18 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val scoring = ast.scoringTerms.distinct.sorted
     val must = ast.mustTerms.toSet
     val not = ast.notTerms.distinct
+    val phrases = ast.phrases
     if (scoring.isEmpty) return emptyResult
     val n = stats.n
     val avgdl = stats.avgdl
-
-    // stored-field predicate → broadcast allow-bitmap over docIds. Sandbox
-    // scale path; at 10^12 docs this becomes a partition-aligned columnar
-    // filter file per docId range (same shape, not materialized on the
-    // driver). Tombstones ride the same bitmap as exclusions.
-    val denyIds: Array[Long] = tombstones match {
-      case Some(t) => t.select($"docId").as[Long].collect()
-      case None    => Array.empty[Long]
-    }
-    val allowBitmap: Option[java.util.BitSet] = ast.langFilter.map { l =>
-      langBitmaps.synchronized(Option(langBitmaps.get(l))) match {
-        case Some(bs) => bs
-        case None =>
-          val bs = new java.util.BitSet(n.toInt)
-          docs.filter($"lang" === l).select($"docId").as[Long]
-            .collect().foreach(id => bs.set(id.toInt))
-          langBitmaps.synchronized(langBitmaps.put(l, bs))
-          bs
-      }
-    }
-    val needAllow = allowBitmap.isDefined || denyIds.nonEmpty
-    val denySet = denyIds.toSet
+    val pred = filterPredicate(ast)
 
     // plan construction alone costs 10s of ms — build only on cache miss
     lazy val segs = postingsFor(scoring ++ not)
 
     // small-query fast path: k·segments fits on the driver → skip the
     // shuffle + global-sort stages entirely (one scan job, cached)
-    val cacheKey = (scoring ++ not).mkString("\u0000")
+    val cacheKey = (scoring ++ not).mkString(" ")
     val sample = segCache.synchronized(Option(segCache.get(cacheKey))) match {
       case Some(hit) => hit
       case None =>
@@ -142,45 +222,120 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
         fetched
     }
     if (sample.length <= DriverWandMaxSegments) {
-      val byTerm = sample.toSeq.groupBy(_.term)
-      val allowFn: Option[Long => Boolean] =
-        if (needAllow) Some { id =>
-          allowBitmap.forall(_.get(id.toInt)) && !denySet.contains(id)
-        } else None
-      val top = Wand.topK(byTerm, scoring, must, not, n, avgdl, k,
-        0L, Long.MaxValue, allowFn)
-      import spark.implicits._
-      return top.toSeq.toDS().toDF()
+      // bounded-collect filter structures; a too-large filter or tombstone
+      // set falls through to the distributed path instead of materializing
+      val allowIdsOpt: Option[Option[Array[Long]]] = pred match {
+        case None    => Some(None)
+        case Some(p) => boundedFilterIds(filterKey(ast), p).map(Some(_))
+      }
+      val denyIdsOpt = boundedTombstoneIds()
+      (allowIdsOpt, denyIdsOpt) match {
+        case (Some(allowIds), Some(denyIds)) =>
+          val byTerm = sample.toSeq.groupBy(_.term)
+          val dfByTerm = byTerm.map { case (t, ss) =>
+            t -> ss.map(_.count.toLong).sum
+          }
+          val allowFn: Option[Long => Boolean] =
+            if (allowIds.isEmpty && denyIds.isEmpty) None
+            else Some { id =>
+              allowIds.forall(a => java.util.Arrays.binarySearch(a, id) >= 0) &&
+              (denyIds.isEmpty || java.util.Arrays.binarySearch(denyIds, id) < 0)
+            }
+          val top = Wand.topK(byTerm, dfByTerm, scoring, must, not, phrases,
+            n, avgdl, k, 0L, Long.MaxValue, allowFn)
+          return top.toSeq.toDS().toDF()
+        case _ => // fall through to the distributed path
+      }
     }
 
-    val bAllow = spark.sparkContext.broadcast((allowBitmap, denySet))
+    // ---- distributed windowed WAND ----
+    // global per-term df: sum of segment counts over ALL the term's segments
+    // (tiny agg over the pruned scan; needed before windowing because a
+    // window only sees its overlapping segments)
+    val dfByTerm: Map[String, Long] = segs
+      .groupBy($"term").agg(sum($"count").as("df"))
+      .as[(String, Long)].collect().toMap
+    val bDf = spark.sparkContext.broadcast(dfByTerm)
+
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
-    val rangeLen = math.max(1L, (n + parallelism - 1) / parallelism)
+    // cap the window length so window-local filter bitmaps stay ≤ 8 MiB
+    // regardless of corpus size (also kills any 2^31-docId assumption)
+    val rangeLen = math.min(
+      math.max(1L, (n + parallelism - 1) / parallelism), 1L << 26)
 
     val mustB = must
     val notB = not
     val scoringB = scoring
+    val phrasesB = phrases
     val kB = k
 
-    val perWindow: Dataset[Wand.Scored] = segs
+    val segWin: Dataset[(Long, PostingSegment)] = segs
       .flatMap { s =>
-        val first = (s.firstDocId / rangeLen).toInt
-        val last = (s.lastDocId / rangeLen).toInt
+        val first = s.firstDocId / rangeLen
+        val last = s.lastDocId / rangeLen
         (first to last).map(r => (r, s))
       }
-      .groupByKey(_._1)
-      .flatMapGroups { (rid, it) =>
-        val byTerm = it.map(_._2).toSeq.groupBy(_.term)
-        val lo = rid.toLong * rangeLen
-        val hi = lo + rangeLen
-        val allowFn: Option[Long => Boolean] =
-          if (needAllow) Some { id =>
-            val (bm, deny) = bAllow.value
-            bm.forall(_.get(id.toInt)) && !deny.contains(id)
-          } else None
-        Wand.topK(byTerm, scoringB, mustB, notB, n, avgdl, kB, lo, hi,
-          allowFn).iterator
+
+    val hasPred = pred.isDefined
+    val filterRows: Option[Dataset[(Long, Long, Boolean)]] = {
+      val allowDs = pred.map(p =>
+        docsV.filter(p).select($"docId").as[Long]
+          .map(id => (id / rangeLen, id, false)))
+      val denyDs = tombstones.map(t =>
+        t.select($"docId").as[Long].map(id => (id / rangeLen, id, true)))
+      (allowDs, denyDs) match {
+        case (Some(a), Some(d)) => Some(a.union(d))
+        case (Some(a), None)    => Some(a)
+        case (None, Some(d))    => Some(d)
+        case (None, None)       => None
       }
+    }
+
+    val perWindow: Dataset[Wand.Scored] = filterRows match {
+      case None =>
+        segWin.groupByKey(_._1).flatMapGroups { (rid, it) =>
+          val byTerm = it.map(_._2).toSeq.groupBy(_.term)
+          val lo = rid * rangeLen
+          Wand.topK(byTerm, bDf.value, scoringB, mustB, notB, phrasesB,
+            n, avgdl, kB, lo, lo + rangeLen, None).iterator
+        }
+      case Some(fr) =>
+        // cogroup: each window task gets its own filter slice as a
+        // window-local bitmap (offset by the window base) — the partition-
+        // aligned filter structure, built inside the plan
+        segWin.groupByKey(_._1).cogroup(fr.groupByKey(_._1)) {
+          (rid, segIt, fIt) =>
+            val segsHere = segIt.map(_._2).toSeq
+            if (segsHere.isEmpty) Iterator.empty
+            else {
+              val lo = rid * rangeLen
+              val hi = lo + rangeLen
+              var allowBs: java.util.BitSet = null
+              var denyBs: java.util.BitSet = null
+              fIt.foreach { case (_, id, isDeny) =>
+                val off = (id - lo).toInt
+                if (isDeny) {
+                  if (denyBs == null) denyBs = new java.util.BitSet()
+                  denyBs.set(off)
+                } else {
+                  if (allowBs == null) allowBs = new java.util.BitSet()
+                  allowBs.set(off)
+                }
+              }
+              val aBs = allowBs; val dBs = denyBs
+              val allowFn: Option[Long => Boolean] =
+                if (!hasPred && dBs == null) None
+                else Some { id =>
+                  val off = (id - lo).toInt
+                  (!hasPred || (aBs != null && aBs.get(off))) &&
+                  (dBs == null || !dBs.get(off))
+                }
+              val byTerm = segsHere.groupBy(_.term)
+              Wand.topK(byTerm, bDf.value, scoringB, mustB, notB, phrasesB,
+                n, avgdl, kB, lo, hi, allowFn).iterator
+            }
+        }
+    }
 
     perWindow.toDF()
       .orderBy(desc("score"), asc("docId"))
@@ -191,6 +346,14 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
   def searchExhaustive(q: String, k: Int): DataFrame = {
     val ast = QueryParser.parse(q)
+    scoredCandidates(ast)
+      .orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
+  /** All matching (docId, score) as a DataFrame — the pure-Catalyst match
+    * set behind searchExhaustive and facet.
+    */
+  private def scoredCandidates(ast: QueryAst): DataFrame = {
     val scoring = ast.scoringTerms.distinct.sorted
     val must = ast.mustTerms.distinct
     val not = ast.notTerms.distinct
@@ -198,10 +361,16 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val n = stats.n
     val avgdl = stats.avgdl
 
+    // per-term global df for idf: tiny agg over the pruned scan
+    val dfByTerm: Map[String, Long] = postingsFor(scoring)
+      .groupBy($"term").agg(sum($"count").as("df"))
+      .as[(String, Long)].collect().toMap
+    val bDf = spark.sparkContext.broadcast(dfByTerm)
+
     def hitsFor(terms: Seq[String]): DataFrame = {
       val nB = n; val avgdlB = avgdl
       postingsFor(terms).flatMap { s =>
-        val idfv = BM25.idf(nB, s.df)
+        val idfv = BM25.idf(nB, bDf.value(s.term))
         val (ids, tfs, dls) = PostingCodec.decodeAll(s)
         val out = new Array[(String, Long, Double)](s.count)
         var i = 0
@@ -227,17 +396,57 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     scored = scored.select($"docId", $"score")
 
     if (not.nonEmpty) {
-      val excl = hitsFor(not).select($"docId").distinct()
+      val excl = postingsFor(not).flatMap { s =>
+        VByte.decodeDeltas(s.docIdsVb, s.count).toSeq
+      }.toDF("docId").distinct()
       scored = scored.join(excl, Seq("docId"), "left_anti")
     }
-    ast.langFilter.foreach { l =>
+    // positional phrase constraint: per-doc position lists of the phrase
+    // terms, verified by the same phraseMatch as WAND and the oracle. The
+    // verification UDF runs on the (small) per-doc collected lists — this is
+    // the slow verification path, not the WAND hot loop.
+    if (ast.phrases.nonEmpty) {
+      val phraseTerms = ast.phrases.flatten.distinct
+      val posDf = postingsFor(phraseTerms).flatMap { s =>
+        val ids = VByte.decodeDeltas(s.docIdsVb, s.count)
+        val poss = PostingCodec.decodePositions(s)
+        Iterator.tabulate(s.count)(i => (ids(i), s.term, poss(i).toSeq))
+      }.toDF("docId", "term", "positions")
+      val phrasesLocal = ast.phrases.map(_.toArray).toArray
+      val phraseOk = udf { (terms: Seq[String], positions: Seq[Seq[Int]]) =>
+        val byTerm = terms.zip(positions.map(_.toArray)).toMap
+        phrasesLocal.forall(ph => Wand.phraseMatch(
+          ph.toSeq.map(t => byTerm.getOrElse(t, Array.empty[Int]))))
+      }
+      val okDocs = posDf.groupBy($"docId")
+        .agg(collect_list($"term").as("terms"),
+          collect_list($"positions").as("poss"))
+        .filter(phraseOk($"terms", $"poss"))
+        .select($"docId")
+      scored = scored.join(okDocs, Seq("docId"), "left_semi")
+    }
+    filterPredicate(ast).foreach { p =>
       scored = scored.join(
-        docs.filter($"lang" === l).select($"docId"), Seq("docId"), "left_semi")
+        docsV.filter(p).select($"docId"), Seq("docId"), "left_semi")
     }
     tombstones.foreach { t =>
       scored = scored.join(t.select($"docId"), Seq("docId"), "left_anti")
     }
-    scored.orderBy(desc("score"), asc("docId")).limit(k)
+    scored
+  }
+
+  /** Query-time facet counts over ALL matching docs (the Solr facet.field
+    * analog, SURVEY.md §2.6): match set → join to the docs table →
+    * groupBy(field).count, ordered (count desc, value asc).
+    */
+  def facet(q: String, field: String, topN: Int = 20): DataFrame = {
+    val ast = QueryParser.parse(q)
+    scoredCandidates(ast)
+      .select($"docId")
+      .join(docsV.select($"docId", col(field)), Seq("docId"))
+      .groupBy(col(field)).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc(field))
+      .limit(topN)
   }
 
   private def emptyResult: DataFrame =
@@ -251,6 +460,14 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     Deletes.delete(spark, indexDir, ids)
     ids.length.toLong
   }
+}
+
+object QueryEngine {
+  /** Hard cap on docIds a stored-field filter / tombstone set may
+    * materialize on the DRIVER (fast path only); larger filters run in the
+    * distributed windowed plan. 4M ids = 32 MB.
+    */
+  val MaxDriverFilterDocs: Int = 1 << 22
 }
 
 /** Delete-by-id as tombstones (reference: solrc.delete(id=…) at

@@ -39,19 +39,52 @@ object Wand {
     def result(): Array[Scored] = pq.dequeueAll.reverse.toArray
   }
 
+  /** True iff the doc's per-term position lists contain the phrase terms at
+    * consecutive offsets: exists p with positions(i) containing p+i for all i.
+    * Position lists are ascending (codec invariant) — binary search each.
+    */
+  def phraseMatch(positionsPerTerm: Seq[Array[Int]]): Boolean = {
+    if (positionsPerTerm.isEmpty) return true
+    if (positionsPerTerm.exists(_.isEmpty)) return false
+    val first = positionsPerTerm.head
+    var i = 0
+    while (i < first.length) {
+      val p = first(i)
+      var ok = true
+      var t = 1
+      while (ok && t < positionsPerTerm.length) {
+        if (java.util.Arrays.binarySearch(positionsPerTerm(t), p + t) < 0)
+          ok = false
+        t += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+
   /** @param segsByTerm   posting segments grouped by term (only segments
     *                     overlapping [lo, hi) need be present)
+    * @param dfByTerm     GLOBAL document frequency per term (sum of `count`
+    *                     over ALL the term's segments, across every window —
+    *                     segments are docId-disjoint, so the sum is exact);
+    *                     drives idf
     * @param scoringTerms distinct, any order (sorted internally)
     * @param mustTerms    conjunctive subset (each must be present)
     * @param notTerms     exclusion terms
-    * @param allow        extra per-doc predicate (stored-field filter bitmap /
+    * @param phrases      each phrase is an ordered term list that must occur
+    *                     at consecutive positions; phrase terms must also be
+    *                     in mustTerms (the parser guarantees this)
+    * @param allow        extra per-doc predicate (stored-field filter /
     *                     tombstones); None = allow all
     */
   def topK(
       segsByTerm: Map[String, Seq[PostingSegment]],
+      dfByTerm: Map[String, Long],
       scoringTerms: Seq[String],
       mustTerms: Set[String],
       notTerms: Seq[String],
+      phrases: Seq[Seq[String]],
       n: Long, avgdl: Double, k: Int,
       lo: Long, hi: Long,
       allow: Option[Long => Boolean] = None): Array[Scored] = {
@@ -60,7 +93,7 @@ object Wand {
     // term-sorted cursor array: scoring iterates this order (determinism)
     val cursors: Array[TermCursor] = sortedTerms.flatMap { t =>
       segsByTerm.get(t).map { segs =>
-        val df = segs.head.df
+        val df = dfByTerm.getOrElse(t, segs.map(_.count.toLong).sum)
         new TermCursor(t, segs, BM25.idf(n, df), avgdl, lo, hi,
           required = mustTerms.contains(t))
       }
@@ -75,6 +108,9 @@ object Wand {
         new TermCursor(t, segs, 0.0, avgdl, lo, hi, required = false))
     }.toArray
 
+    val cursorByTerm: Map[String, TermCursor] =
+      cursors.map(c => c.term -> c).toMap
+
     def allowed(docId: Long): Boolean = {
       var i = 0
       while (i < exclCursors.length) {
@@ -87,6 +123,19 @@ object Wand {
       }
       allow.forall(f => f(docId))
     }
+
+    /** Verify every phrase at an aligned candidate (all phrase terms are
+      * required cursors, so each is positioned exactly at docId here).
+      */
+    def phrasesOk(docId: Long): Boolean =
+      phrases.forall { ph =>
+        Wand.phraseMatch(ph.map { t =>
+          val c = cursorByTerm(t)
+          // required cursors are aligned at docId by the leapfrog loop
+          if (c.exhausted || c.curDoc != docId) Array.empty[Int]
+          else c.curPositions
+        })
+      }
 
     /** Sum contributions of all cursors positioned at docId, in term-sorted
       * order (cursors array IS term-sorted).
@@ -127,7 +176,7 @@ object Wand {
           i += 1
         }
         if (!done && aligned) {
-          if (allowed(candidate)) {
+          if (allowed(candidate) && phrasesOk(candidate)) {
             val s = scoreAt(candidate)
             heap.offer(Scored(candidate, s))
           }

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.index._
+import graft.oracle.{OracleDoc, SeqOracle}
+import graft.query.QueryEngine
+
+/** Incremental append — the reference's repeated-batch operating model
+  * (chunked solrc.add at /root/reference/src/indexdata.py:1778–1788):
+  *
+  *  - build(A) + append(B) must be rank-identical to the oracle over A∪B
+  *    (with the engine's actual docId assignment: batch A ids 0.., batch B
+  *    ids past A's high-water mark) — BM25 over the union corpus, i.e. df
+  *    and avgdl reflect BOTH batches.
+  *  - re-adding an existing url overwrites it (same-id overwrite at
+  *    indexdata.py:1306): the old version vanishes from results.
+  *  - compaction after appends merges the generations back to one.
+  */
+class AppendSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val conf = IndexConf(numBuckets = 4, segmentMaxDocs = 48)
+
+  /** The engine's docId mapping after build(A)+append(B): A in url order
+    * from 0, then B in url order from |A|.
+    */
+  private def unionOracle(nA: Long, nB: Long, seedB: Long): SeqOracle = {
+    val a = CorpusGen.generateLocal(nA).sortBy(_.url).zipWithIndex
+      .map { case (d, i) => OracleDoc(i.toLong, d.text, d.lang, d.url,
+        d.warc_ts.getTime) }
+    val b = CorpusGen.generateLocal(nB, seed = seedB).sortBy(_.url).zipWithIndex
+      .map { case (d, i) => OracleDoc(nA + i.toLong, d.text, d.lang, d.url,
+        d.warc_ts.getTime) }
+    new SeqOracle(a ++ b)
+  }
+
+  test("build(A) + append(B) rank-identical to oracle over A ∪ B") {
+    val dir = SparkTestSession.tempDir("graft-append")
+    val nA = 200L
+    val nB = 120L
+    val seedB = 777L // disjoint url space (urls embed the seed hash)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, nA), dir, conf)
+    val r = IndexBuilder.append(spark,
+      CorpusGen.generate(spark, nB, seed = seedB), dir, conf)
+    assert(r.docs == nB)
+    assert(IndexLayout.current(spark, dir).get.size == 2)
+
+    val oracle = unionOracle(nA, nB, seedB)
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    val distEngine = new QueryEngine(spark, dir, conf.numBuckets,
+      driverWandMaxSegments = 0)
+    assert(engine.stats.n == nA + nB)
+    assert(math.abs(engine.stats.avgdl - oracle.avgdl) < 1e-9)
+
+    Seq("the", "w00001 w00002", "w00003 AND the", "w00017 NOT w00042",
+      "\"the of\"", "lang:no AND w00002").foreach { q =>
+      val expect = oracle.topK(q, 10)
+      Seq("wand" -> engine.searchWand(q, 10),
+          "dist" -> distEngine.searchWand(q, 10),
+          "exh" -> engine.searchExhaustive(q, 10)).foreach { case (tag, df) =>
+        val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got.map(_._1) == expect.map(_._1),
+          s"[$tag] q='$q'\n got=$got\n exp=$expect")
+        got.zip(expect).foreach { case ((_, gs), (_, es)) =>
+          assert(math.abs(gs - es) < 1e-9, s"[$tag] q='$q' score $gs != $es")
+        }
+      }
+    }
+    // results span both batches (docIds above and below the watermark)
+    val hits = engine.search("the", 50).collect().map(_.getLong(0))
+    assert(hits.exists(_ < nA) && hits.exists(_ >= nA),
+      s"expected hits from both batches, got ${hits.toSeq}")
+  }
+
+  test("append with overlapping urls overwrites (upsert-by-url)") {
+    val dir = SparkTestSession.tempDir("graft-upsert")
+    val n = 100L
+    IndexBuilder.build(spark, CorpusGen.generate(spark, n), dir, conf)
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    val docsBefore = engine.docs.select("docId", "url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // re-add doc i=5 (same url) with fresh text
+    val victim = CorpusGen.doc(CorpusGen.DefaultSeed, 5L, n)
+    val newText = "replacementtoken only here " + victim.text
+    val replacement = victim.copy(
+      text = newText,
+      html = s"<html><head><title>t</title></head><body>$newText</body></html>"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    IndexBuilder.append(spark, spark.createDataset(Seq(replacement)), dir, conf)
+    engine.invalidateCache()
+
+    val oldId = docsBefore.collectFirst {
+      case (id, url) if url == victim.url => id
+    }.get
+    // the new version is findable, the old docId is tombstoned out
+    val hits = engine.search("replacementtoken", 10).collect().map(_.getLong(0))
+    assert(hits.length == 1 && hits.head == n) // new id = high-water mark
+    val w17 = engine.search("the", 200).collect().map(_.getLong(0))
+    assert(!w17.contains(oldId), "old version must be hidden after upsert")
+
+    // compaction folds the tombstone in and merges generations
+    Compaction.run(spark, dir, conf)
+    engine.invalidateCache()
+    assert(IndexLayout.current(spark, dir).get.size == 1)
+    assert(engine.stats.n == n) // one doc replaced, not added
+    assert(engine.search("replacementtoken", 10).collect().length == 1)
+    assert(!engine.search("the", 200).collect().map(_.getLong(0))
+      .contains(oldId))
+  }
+}

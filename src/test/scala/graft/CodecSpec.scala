@@ -20,6 +20,12 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  /** Random ascending position list of length tf (token offsets). */
+  private def mkPositions(rng: Random, tf: Int): Array[Int] = {
+    var cur = rng.nextInt(5)
+    Array.fill(tf) { val v = cur; cur += 1 + rng.nextInt(20); v }
+  }
+
   test("VByte plain round-trip") {
     val rng = new Random(1)
     for (_ <- 1 to 200) {
@@ -37,37 +43,74 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
-  test("segment encode/decode round-trip + block-max invariant") {
+  test("segment encode/decode round-trip + avgdl-independent block-max invariant") {
     val rng = new Random(3)
     for (_ <- 1 to 60) {
       val ids = sortedIds(rng, 1 + rng.nextInt(1500))
       val tfs = ids.map(i => (i % 7) + 1)
       val dls = ids.map(i => (i % 500) + 8)
-      val df = ids.length.toLong
-      val n = math.max(100L + rng.nextInt(100000), df)
-      val avgdl = 200.0
-      val seg = PostingCodec.encode("t", 0, 0, df, tfs.sum, ids, tfs, dls, avgdl)
+      val poss = ids.indices.map(i => mkPositions(rng, tfs(i).toInt)).toArray
+      val seg = PostingCodec.encode("t", 0, 0, ids, tfs, dls, poss)
+      assert(seg.count == ids.length)
+      assert(seg.cf == tfs.sum) // segment-local collection frequency
       val (dIds, dTfs, dDls) = PostingCodec.decodeAll(seg)
       assert(dIds.toSeq == ids.toSeq)
       assert(dTfs.toSeq == tfs.toSeq)
       assert(dDls.toSeq == dls.toSeq)
-      ids.indices.foreach { i =>
-        val s = BM25.tfNorm(tfs(i), dls(i), avgdl)
-        val b = i / IndexConf.BlockSize
-        assert(seg.blockMaxTfNorm(b) >= s,
-          s"blockMax ${seg.blockMaxTfNorm(b)} < tfNorm $s at $i")
+      val dPos = PostingCodec.decodePositions(seg)
+      ids.indices.foreach(i => assert(dPos(i).toSeq == poss(i).toSeq))
+      // the (maxTf, minDl) bound must hold for ANY avgdl — the property that
+      // makes incremental append sound (stored bounds never go stale)
+      Seq(10.0, 200.0, 5000.0).foreach { avgdl =>
+        ids.indices.foreach { i =>
+          val s = BM25.tfNorm(tfs(i), dls(i), avgdl)
+          val b = i / IndexConf.BlockSize
+          val bound = BM25.tfNorm(seg.blockMaxTf(b), seg.blockMinDl(b), avgdl)
+          assert(bound >= s, s"block bound $bound < tfNorm $s at $i avgdl=$avgdl")
+        }
       }
       assert(seg.firstDocId == ids.head && seg.lastDocId == ids.last)
       assert(seg.blockLastDocId.last == ids.last)
     }
   }
 
+  test("positions round-trip through the lazy cursor too") {
+    val rng = new Random(9)
+    for (_ <- 1 to 40) {
+      val ids = sortedIds(rng, 1 + rng.nextInt(600))
+      val tfs = ids.map(i => (i % 5) + 1)
+      val dls = ids.map(_ => 100L)
+      val poss = ids.indices.map(i => mkPositions(rng, tfs(i).toInt)).toArray
+      val seg = PostingCodec.encode("t", 0, 0, ids, tfs, dls, poss)
+      val cur = new SegCursor(seg, 1.0, 100.0)
+      cur.init()
+      var i = 0
+      while (!cur.exhausted) {
+        assert(cur.curDoc == ids(i))
+        assert(cur.curPositions.toSeq == poss(i).toSeq, s"at $i")
+        cur.next()
+        i += 1
+      }
+      assert(i == ids.length)
+    }
+  }
+
+  test("positions-free segments decode to empty position lists") {
+    val ids = Array(1L, 5L, 9L)
+    val seg = PostingCodec.encode("t", 0, 0, ids,
+      Array(2L, 1L, 3L), Array(10L, 10L, 10L))
+    assert(PostingCodec.decodePositions(seg).forall(_.isEmpty))
+    val cur = new SegCursor(seg, 1.0, 10.0)
+    cur.init()
+    assert(cur.curPositions.isEmpty)
+  }
+
   test("SegCursor advanceTo lands on first docId >= target (block skipping)") {
     val rng = new Random(4)
     for (_ <- 1 to 100) {
       val ids = sortedIds(rng, 1 + rng.nextInt(1000))
-      val seg = PostingCodec.encode("t", 0, 0, ids.length.toLong,
-        ids.length.toLong, ids, ids.map(_ => 1L), ids.map(_ => 100L), 100.0)
+      val seg = PostingCodec.encode("t", 0, 0,
+        ids, ids.map(_ => 1L), ids.map(_ => 100L))
       for (_ <- 1 to 20) {
         val target = rng.nextLong(1L << 41)
         val cur = new SegCursor(seg, 1.0, 100.0)
@@ -102,8 +145,7 @@ class CodecSpec extends AnyFunSuite {
       val third = math.max(1, ids.length / 3)
       val parts = ids.grouped(third).toSeq.filter(_.nonEmpty)
       val segs = parts.zipWithIndex.map { case (p, i) =>
-        PostingCodec.encode("t", 0, i, ids.length.toLong, ids.length.toLong,
-          p, p.map(_ => 1L), p.map(_ => 100L), 100.0)
+        PostingCodec.encode("t", 0, i, p, p.map(_ => 1L), p.map(_ => 100L))
       }
       val cur = new TermCursor("t", segs, 1.0, 100.0, 0L, Long.MaxValue, false)
       val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -116,8 +158,8 @@ class CodecSpec extends AnyFunSuite {
     val rng = new Random(6)
     for (_ <- 1 to 100) {
       val ids = sortedIds(rng, 1 + rng.nextInt(500)).distinct.sorted
-      val seg = PostingCodec.encode("t", 0, 0, ids.length.toLong,
-        ids.length.toLong, ids, ids.map(_ => 1L), ids.map(_ => 100L), 100.0)
+      val seg = PostingCodec.encode("t", 0, 0,
+        ids, ids.map(_ => 1L), ids.map(_ => 100L))
       val lo = rng.nextLong(1L << 41)
       val hi = lo + rng.nextLong(1L << 40)
       val cur = new TermCursor("t", Seq(seg), 1.0, 100.0, lo, hi, false)

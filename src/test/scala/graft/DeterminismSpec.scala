@@ -7,8 +7,9 @@ import graft.index._
 import graft.query.QueryEngine
 
 /** Build at different parallelism levels ⇒ identical docIds, identical
-  * decoded postings, bit-identical query scores (FIXTURES.md §5; the
-  * sandbox stand-in for "same result at N and 4N executors").
+  * decoded postings (including positions), bit-identical query scores
+  * (FIXTURES.md §5; the sandbox stand-in for "same result at N and 4N
+  * executors").
   */
 class DeterminismSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -18,16 +19,20 @@ class DeterminismSpec extends AnyFunSuite {
   private val conf = IndexConf(numBuckets = 4, segmentMaxDocs = 50)
 
   private def logicalIndex(dir: String)
-      : (Seq[(String, Int, Long, Seq[Long], Seq[Long], Seq[Long])], Seq[(Long, String)]) = {
-    val segs = spark.read.parquet(s"$dir/postings").as[PostingSegment]
+      : (Seq[(String, Int, Int, Seq[Long], Seq[Long], Seq[Long], Seq[Seq[Int]])],
+         Seq[(Long, String)]) = {
+    val segs = spark.read
+      .parquet(IndexLayout.postingsPaths(spark, dir): _*)
+      .as[PostingSegment]
       .collect()
       .map { s =>
         val (ids, tfs, dls) = PostingCodec.decodeAll(s)
-        (s.term, s.segment, s.df, ids.toSeq, tfs.toSeq, dls.toSeq)
+        (s.term, s.segment, s.count, ids.toSeq, tfs.toSeq, dls.toSeq,
+          PostingCodec.decodePositions(s).map(_.toSeq).toSeq)
       }
       .sortBy(t => (t._1, t._2))
       .toSeq
-    val docs = spark.read.parquet(s"$dir/docs")
+    val docs = spark.read.parquet(IndexLayout.docsPaths(spark, dir): _*)
       .select("docId", "url").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
     (segs, docs)
@@ -48,7 +53,7 @@ class DeterminismSpec extends AnyFunSuite {
     }
     // and queries produce bit-identical scores
     val engines = dirs.map(new QueryEngine(spark, _, conf.numBuckets))
-    Seq("the", "w00001 w00002", "w00003 AND the").foreach { q =>
+    Seq("the", "w00001 w00002", "w00003 AND the", "\"the of\"").foreach { q =>
       val res = engines.map(_.search(q, 10).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
       assert(res.tail.forall(_ == res.head), s"query '$q' differs: $res")

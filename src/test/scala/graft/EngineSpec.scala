@@ -1,17 +1,21 @@
 package graft
 
+import java.nio.charset.StandardCharsets.UTF_8
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.corpus.CorpusGen
+import graft.corpus.{CorpusGen, WebDoc}
 import graft.index._
-import graft.oracle.SeqOracle
+import graft.oracle.{OracleDoc, SeqOracle}
 import graft.query.{QueryEngine, Deletes}
 
 /** End-to-end: distributed build → golden queries rank-identical to the
   * sequential oracle (FIXTURES.md §3) via BOTH physical strategies, plus
   * index-structure invariants, determinism across parallelism, resume, and
-  * deletes.
+  * deletes. Golden set covers fielded filters (lang:/url:), ranges, and
+  * positional phrases — each exercised through the driver fast path, the
+  * distributed windowed path (driver threshold 0) and the exhaustive plan.
   */
 class EngineSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -28,22 +32,32 @@ class EngineSpec extends AnyFunSuite {
     dir
   }
 
+  private def oracleDocs(n: Long): Seq[OracleDoc] =
+    CorpusGen.generateLocal(n).sortBy(_.url).zipWithIndex.map { case (d, i) =>
+      OracleDoc(i.toLong, d.text, d.lang, d.url, d.warc_ts.getTime)
+    }
+
   /** Oracle over the same corpus with the engine's docId assignment
     * (dense rank in url order).
     */
-  private lazy val oracle: SeqOracle = {
-    val docs = CorpusGen.generateLocal(NDocs).sortBy(_.url)
-    new SeqOracle(docs.zipWithIndex.map { case (d, i) =>
-      (i.toLong, d.text, d.lang)
-    })
-  }
+  private lazy val oracle: SeqOracle = new SeqOracle(oracleDocs(NDocs))
 
   private lazy val engine = new QueryEngine(spark, indexDir, conf.numBuckets)
 
   private val goldenQueries = Seq(
     "w00017", "the", "w00017 w00342", "w00017 AND w00342",
     "\"w00017 w00342\"", "w00017 NOT w00342", "text:w01234",
-    "lang:no AND w00099", "w49998", "w00001 w00002 w00003 w00004 w00005")
+    "lang:no AND w00099", "w49998", "w00001 w00002 w00003 w00004 w00005",
+    // flat-AND model: any AND promotes every positive term to MUST
+    "w00017 AND w00342 OR w00343",
+    // stored-field url filter (substring) — the round-1 silent-drop bug
+    "url:host3. w00017", "url:host3. the", "url:host1. AND w00002",
+    // positional phrases over the stopword head (adjacency-sensitive)
+    "\"the of\"", "\"of the\" w00017",
+    // stored-field ranges (inclusive, ISO instants / lexicographic)
+    "warc_ts:[2024-01-01T00:00:00Z TO 2024-01-01T02:00:00Z] the",
+    "warc_ts:[2024-01-01T01:00:00Z TO *] w00017",
+    "url:[https://host10 TO https://host12z] the")
 
   private def assertRankIdentical(got: Seq[(Long, Double)],
       expect: Seq[(Long, Double)], ctx: String): Unit = {
@@ -55,19 +69,20 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("index invariants: stats, df, doclen match oracle") {
-    val stats = spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
+    val stats = IndexLayout.combinedStats(spark, indexDir)
     assert(stats.n == NDocs)
     assert(math.abs(stats.avgdl - oracle.avgdl) < 1e-9)
     assert(stats.totalTerms == oracle.totalTerms)
 
-    val segs = spark.read.parquet(s"$indexDir/postings").as[PostingSegment]
-      .collect()
-    // per-term: df equals oracle df; segment counts sum to df; docIds sorted
+    val segs = spark.read
+      .parquet(IndexLayout.postingsPaths(spark, indexDir): _*)
+      .as[PostingSegment].collect()
+    // per-term: segment counts sum to global df, segment cfs to global cf;
+    // docIds sorted; segments docId-disjoint
     segs.groupBy(_.term).foreach { case (term, ss) =>
-      assert(ss.head.df == oracle.df(term), s"df mismatch for $term")
-      assert(ss.head.cf == oracle.cf(term), s"cf mismatch for $term")
-      assert(ss.map(_.count.toLong).sum == oracle.df(term))
-      // segments docId-disjoint and internally sorted
+      assert(ss.map(_.count.toLong).sum == oracle.df(term),
+        s"df mismatch for $term")
+      assert(ss.map(_.cf).sum == oracle.cf(term), s"cf mismatch for $term")
       val ranges = ss.sortBy(_.firstDocId).toSeq
       ranges.sliding(2).foreach { w =>
         if (w.size == 2) assert(w(0).lastDocId < w(1).firstDocId)
@@ -84,7 +99,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("docs table: dense docIds in url order, doclen matches tokenizer") {
-    val docsT = spark.read.parquet(s"$indexDir/docs")
+    val docsT = spark.read.parquet(IndexLayout.docsPaths(spark, indexDir): _*)
       .orderBy("docId").collect()
     assert(docsT.length == NDocs)
     val urls = docsT.map(_.getAs[String]("url"))
@@ -116,6 +131,59 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("url: filter actually filters (round-1 regression: parsed but dropped)") {
+    val unfiltered = engine.search("w00017", 10).collect().map(_.getLong(0))
+    val filtered = engine.search("url:host3. w00017", 200).collect()
+      .map(_.getLong(0))
+    assert(unfiltered.toSet != filtered.toSet,
+      "url-filtered result should differ from unfiltered")
+    val docsT = spark.read.parquet(IndexLayout.docsPaths(spark, indexDir): _*)
+      .select("docId", "url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    filtered.foreach(id =>
+      assert(docsT(id).contains("host3."), s"docId=$id url=${docsT(id)}"))
+    assert(filtered.nonEmpty)
+  }
+
+  test("phrase is positional, not AND-of-terms") {
+    def mk(url: String, text: String): WebDoc = WebDoc(url,
+      new java.sql.Timestamp(1704067200000L),
+      s"<html><head><title>t</title></head><body>$text</body></html>"
+        .getBytes(UTF_8),
+      text, "en")
+    val corpus = Seq(
+      mk("https://a.example.org/1", "alpha beta gamma filler words here"),
+      mk("https://a.example.org/2", "beta alpha gamma other filler text"),
+      mk("https://a.example.org/3", "alpha filler beta nothing adjacent"),
+      mk("https://a.example.org/4", "prefix alpha beta suffix tokens too"))
+    val dir = SparkTestSession.tempDir("graft-phrase")
+    IndexBuilder.build(spark, spark.createDataset(corpus),
+      dir, IndexConf(numBuckets = 4))
+    val eng = new QueryEngine(spark, dir, 4)
+    val orc = new SeqOracle(corpus.sortBy(_.url).zipWithIndex.map {
+      case (d, i) => OracleDoc(i.toLong, d.text, d.lang, d.url, 0L)
+    })
+    val andHits = eng.search("alpha AND beta", 10).collect().map(_.getLong(0))
+    val phraseHits = eng.search("\"alpha beta\"", 10).collect().map(_.getLong(0))
+    assert(andHits.length == 4)
+    assert(phraseHits.length == 2) // docs 1 and 4 have the adjacent bigram
+    assert(phraseHits.toSet.subsetOf(andHits.toSet))
+    assert(phraseHits.toSeq ==
+      orc.topK("\"alpha beta\"", 10).map(_._1))
+    // exhaustive path agrees
+    assert(eng.searchExhaustive("\"alpha beta\"", 10).collect()
+      .map(_.getLong(0)).toSeq == phraseHits.toSeq)
+  }
+
+  test("facet counts over all matches equal oracle") {
+    Seq("w00017", "the", "lang:no AND w00099").foreach { q =>
+      val got = engine.facet(q, "lang").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val expect = oracle.facet(q, "lang")
+      assert(got == expect, s"facet q='$q'\n got=$got\n exp=$expect")
+    }
+  }
+
   test("k larger than hit count returns all hits") {
     val q = "w49998"
     val expect = oracle.topK(q, 10000)
@@ -124,20 +192,31 @@ class EngineSpec extends AnyFunSuite {
     assertRankIdentical(got, expect, "large-k")
   }
 
-  test("deletes: tombstoned docs vanish from results (both paths)") {
+  test("deletes: tombstoned docs vanish from results (all paths)") {
     val dir = SparkTestSession.tempDir("graft-del")
     val docs = CorpusGen.generate(spark, 200)
     IndexBuilder.build(spark, docs, dir, IndexConf(numBuckets = 4))
     val eng = new QueryEngine(spark, dir, 4)
+    val distEng = new QueryEngine(spark, dir, 4, driverWandMaxSegments = 0)
     val before = eng.search("the", 10).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(before.nonEmpty)
     val victim = before.head._1
     Deletes.delete(spark, dir, Seq(victim))
     val afterW = eng.searchWand("the", 10).collect().map(_.getLong(0))
+    val afterD = distEng.searchWand("the", 10).collect().map(_.getLong(0))
     val afterE = eng.searchExhaustive("the", 10).collect().map(_.getLong(0))
     assert(!afterW.contains(victim))
+    assert(!afterD.contains(victim))
     assert(!afterE.contains(victim))
     assert(afterW.toSeq == afterE.toSeq)
+    assert(afterW.toSeq == afterD.toSeq)
+  }
+
+  test("df= default-field parameter: only the indexed field is accepted") {
+    assert(graft.query.QueryParser.parse("w00017", "text") != null)
+    intercept[IllegalArgumentException] {
+      graft.query.QueryParser.parse("w00017", "title")
+    }
   }
 }

@@ -22,7 +22,9 @@ class SkewSpec extends AnyFunSuite {
     IndexBuilder.build(spark, CorpusGen.generate(spark, n, skew = true),
       dir, conf)
 
-    val segs = spark.read.parquet(s"$dir/postings").as[PostingSegment].collect()
+    val segs = spark.read
+      .parquet(IndexLayout.postingsPaths(spark, dir): _*)
+      .as[PostingSegment].collect()
     // docId-range splitting bounds the AVERAGE segment at segmentMaxDocs;
     // per-range counts fluctuate, so allow 2x before calling it skew
     val maxSeg = segs.map(_.count).max
@@ -30,7 +32,7 @@ class SkewSpec extends AnyFunSuite {
     // the stopword head really is salted into many segments
     val theSegs = segs.filter(_.term == "the")
     assert(theSegs.length >= 5, s"'the' has only ${theSegs.length} segments")
-    assert(theSegs.head.df > conf.segmentMaxDocs)
+    assert(theSegs.map(_.count.toLong).sum > conf.segmentMaxDocs)
 
     val docs = CorpusGen.generateLocal(n, skew = true).sortBy(_.url).zipWithIndex
       .map { case (d, i) => (i.toLong, d.text, d.lang) }

@@ -8,8 +8,8 @@ import graft.oracle.SeqOracle
 import graft.query.{Wand, QueryParser}
 
 /** WAND ≡ exhaustive oracle on random small corpora (FIXTURES.md §5),
-  * including the windowed (distributed) merge and salted segmentation.
-  * Pure Scala — no SparkSession needed.
+  * including the windowed (distributed) merge, salted segmentation, and
+  * positional phrases. Pure Scala — no SparkSession needed.
   */
 class WandSpec extends AnyFunSuite {
 
@@ -25,54 +25,59 @@ class WandSpec extends AnyFunSuite {
       (id, text, lang)
     }
 
-  /** Build in-memory segments per term from the corpus, splitting terms with
-    * df > segMax into docId-range segments (as the builder does).
+  /** Build in-memory segments per term from the corpus (with positions),
+    * splitting terms with df > segMax into docId-range segments (as the
+    * builder does). Also returns the global dfByTerm map the query side
+    * derives by summing segment counts.
     */
   private def buildSegments(corpus: Seq[(Long, String, String)],
-      segMax: Int): (Map[String, Seq[PostingSegment]], Long, Double) = {
+      segMax: Int): (Map[String, Seq[PostingSegment]], Map[String, Long],
+        Long, Double) = {
     val n = corpus.size.toLong
     val doclen = corpus.map { case (id, t, _) =>
       id -> Analysis.tokenize(t).length.toLong
     }.toMap
     val avgdl = doclen.values.sum.toDouble / n
     val tf = scala.collection.mutable.HashMap
-      .empty[String, scala.collection.mutable.TreeMap[Long, Long]]
+      .empty[String, scala.collection.mutable.TreeMap[Long, Array[Int]]]
     corpus.foreach { case (id, t, _) =>
-      Analysis.tokenize(t).foreach { w =>
+      Analysis.tokenize(t).zipWithIndex.foreach { case (w, p) =>
         val m = tf.getOrElseUpdate(w, scala.collection.mutable.TreeMap.empty)
-        m(id) = m.getOrElse(id, 0L) + 1L
+        m(id) = m.getOrElse(id, Array.empty[Int]) :+ p
       }
     }
     val segs = tf.map { case (term, m) =>
       val ids = m.keys.toArray
-      val tfs = ids.map(m)
+      val poss = ids.map(m)
+      val tfs = poss.map(_.length.toLong)
       val dls = ids.map(doclen)
       val df = ids.length.toLong
-      val cf = tfs.sum
       val nSeg = if (df <= segMax) 1 else ((df + segMax - 1) / segMax).toInt
       val segLen = math.max(1L, (n + nSeg - 1) / nSeg)
       val byteSegs = ids.indices.groupBy(i => (ids(i) / segLen).toInt).toSeq
         .sortBy(_._1).map { case (segId, idx) =>
-          PostingCodec.encode(term, 0, segId, df, cf,
+          PostingCodec.encode(term, 0, segId,
             idx.map(ids).toArray, idx.map(tfs).toArray, idx.map(dls).toArray,
-            avgdl)
+            idx.map(poss).toArray)
         }
       term -> byteSegs
     }.toMap
-    (segs, n, avgdl)
+    val dfByTerm = tf.map { case (t, m) => t -> m.size.toLong }.toMap
+    (segs, dfByTerm, n, avgdl)
   }
 
   private val queries = Seq(
     "w1", "stop0", "w1 w2", "w1 AND w2", "\"w1 w2\"", "w1 NOT w2",
     "text:w3", "w5 w6 w7 w8 w9", "stop0 AND w4", "w0 w1 stop1 NOT stop2",
-    "nosuchterm", "w1 AND nosuchterm", "w39")
+    "nosuchterm", "w1 AND nosuchterm", "w39",
+    "\"stop0 stop1\"", "\"w1 w2 w3\"", "\"stop1 w1\" w4")
 
   test("WAND == oracle on random corpora (single window + windowed merge)") {
     val rng = new Random(7)
     for (trial <- 1 to 25) {
       val corpus = mkCorpus(rng, 20 + rng.nextInt(180))
       val segMax = 1 + rng.nextInt(30) // force multi-segment terms
-      val (segs, n, avgdl) = buildSegments(corpus, segMax)
+      val (segs, dfByTerm, n, avgdl) = buildSegments(corpus, segMax)
       val oracle = new SeqOracle(corpus)
       val k = 1 + rng.nextInt(12)
       queries.foreach { q =>
@@ -80,16 +85,17 @@ class WandSpec extends AnyFunSuite {
         val expect = oracle.topK(q, k)
 
         // single window over the whole docId space
-        val got = Wand.topK(segs, ast.scoringTerms.distinct.sorted,
-          ast.mustTerms.toSet, ast.notTerms, n, avgdl, k, 0L, Long.MaxValue)
+        val got = Wand.topK(segs, dfByTerm, ast.scoringTerms.distinct.sorted,
+          ast.mustTerms.toSet, ast.notTerms, ast.phrases, n, avgdl, k,
+          0L, Long.MaxValue)
         assertRankIdentical(got.toSeq, expect, s"q='$q' trial=$trial single")
 
         // windowed: 4 disjoint windows, local top-k each, merged globally —
         // exactly what the distributed plan does
         val w = math.max(1L, (n + 3) / 4)
         val merged = (0 until 4).flatMap { r =>
-          Wand.topK(segs, ast.scoringTerms.distinct.sorted,
-            ast.mustTerms.toSet, ast.notTerms, n, avgdl, k,
+          Wand.topK(segs, dfByTerm, ast.scoringTerms.distinct.sorted,
+            ast.mustTerms.toSet, ast.notTerms, ast.phrases, n, avgdl, k,
             r * w, (r + 1) * w)
         }.sortBy(s => (-s.score, s.docId)).take(k)
         assertRankIdentical(merged, expect, s"q='$q' trial=$trial windowed")
@@ -101,17 +107,32 @@ class WandSpec extends AnyFunSuite {
     val rng = new Random(8)
     for (trial <- 1 to 10) {
       val corpus = mkCorpus(rng, 50 + rng.nextInt(150))
-      val (segs, n, avgdl) = buildSegments(corpus, 16)
+      val (segs, dfByTerm, n, avgdl) = buildSegments(corpus, 16)
       val oracle = new SeqOracle(corpus)
       val langOf = corpus.map(c => c._1 -> c._3).toMap
       val q = "lang:no AND w1"
       val ast = QueryParser.parse(q)
       val expect = oracle.topK(q, 10)
-      val got = Wand.topK(segs, ast.scoringTerms.distinct.sorted,
-        ast.mustTerms.toSet, ast.notTerms, n, avgdl, 10, 0L, Long.MaxValue,
-        allow = Some(id => langOf(id) == "no"))
+      val got = Wand.topK(segs, dfByTerm, ast.scoringTerms.distinct.sorted,
+        ast.mustTerms.toSet, ast.notTerms, ast.phrases, n, avgdl, 10,
+        0L, Long.MaxValue, allow = Some(id => langOf(id) == "no"))
       assertRankIdentical(got.toSeq, expect, s"trial=$trial lang")
     }
+  }
+
+  test("phraseMatch: consecutive-position semantics") {
+    // "a b": a at 3, b at 4 → match
+    assert(Wand.phraseMatch(Seq(Array(3), Array(4))))
+    // reversed order → no match
+    assert(!Wand.phraseMatch(Seq(Array(4), Array(3))))
+    // gap → no match
+    assert(!Wand.phraseMatch(Seq(Array(3), Array(5))))
+    // repeated term "a a" needs positions p and p+1 in the same list
+    assert(Wand.phraseMatch(Seq(Array(2, 3), Array(2, 3))))
+    assert(!Wand.phraseMatch(Seq(Array(2, 5), Array(2, 5))))
+    // empty list → no match; empty phrase → vacuous true
+    assert(!Wand.phraseMatch(Seq(Array(1), Array.empty[Int])))
+    assert(Wand.phraseMatch(Seq.empty))
   }
 
   private def assertRankIdentical(got: Seq[Wand.Scored],
