@@ -58,17 +58,17 @@ object MainCommon {
   }
 }
 
-/** Build (or resume) an index.
+/** Build, resume, or incrementally append to an index.
   *   runMain graft.BuildIndex <indexDir> [--docs N | --input parquetPath]
-  *     [--buckets B] [--resume] [--skew]
+  *     [--buckets B] [--seed S] [--resume | --append] [--skew]
   */
 object BuildIndex {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: BuildIndex <indexDir> [--docs N | --input path] [--buckets B] [--resume] [--skew]")
+    require(args.nonEmpty, "usage: BuildIndex <indexDir> [--docs N | --input path] [--buckets B] [--seed S] [--resume | --append] [--skew]")
     val indexDir = args(0)
     val (opts, flags) = MainCommon.parseArgs(args.drop(1).toSeq,
       valued = Set("--docs", "--input", "--buckets", "--seed"),
-      flagNames = Set("--resume", "--skew"))
+      flagNames = Set("--resume", "--append", "--skew"))
     val spark = MainCommon.session("graft-build")
     import spark.implicits._
     val conf = IndexConf(numBuckets = opts.getOrElse("--buckets", "32").toInt)
@@ -82,6 +82,7 @@ object BuildIndex {
     }
     val report =
       if (flags.contains("--resume")) IndexBuilder.resume(spark, docs, indexDir, conf)
+      else if (flags.contains("--append")) IndexBuilder.append(spark, docs, indexDir, conf)
       else IndexBuilder.build(spark, docs, indexDir, conf)
     println(s"[graft] build complete: docs=${report.docs} terms=${report.terms} " +
       s"postings=${report.postings} segments=${report.segments} " +

@@ -52,10 +52,15 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, d) => Ops.dedupNgram(s, d)),
     "q_embed_cosine" -> ((s, d) => Ops.embedCosine(s, d)),
     "q_media_meta" -> ((s, d) => Ops.mediaMeta(s, d)),
+    // engine query-surface analogs (Q2/Q3): fielded filter, range, phrase
+    "q_url_filter" -> ((s, d) => Ops.urlFilterTopk(s, d)),
+    "q_range_filter" -> ((s, d) => Ops.rangeFilterTopk(s, d)),
+    "q_phrase_match" -> ((s, d) => Ops.phraseMatch(s, d)),
     // rows-only (hash fns / cluster assignment not portable to DuckDB)
     "q_minhash_lsh" -> ((s, d) => Ops.minhashLsh(s, d)),
     "q_simhash" -> ((s, d) => Ops.simhash(s, d)),
     "q_ann_ivf" -> ((s, d) => Ops.annIvf(s, d)),
+    "q_dedup_lsh_verified" -> ((s, d) => Ops.dedupLshVerified(s, d)),
   )
 
   private val Tok =
@@ -173,14 +178,41 @@ object SparkEntry {
         "WHEN hits_es >= hits_fr THEN 'es' ELSE 'fr' END AS predicted FROM h"),
     "q_dedup_ngram" ->
       (s"WITH tok AS (SELECT doc_id, list_filter($Tok, x -> x <> '') AS t FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1), " +
+        "sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1), " +
         "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), " +
+        // symmetric hot-shingle cap (matches Ops.HotShingleDf = 1000): drop
+        // boilerplate shingles from pair generation AND set sizes
+        "hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000), " +
+        "sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)), " +
         "sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id), " +
         "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter " +
         "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2) " +
         "SELECT id_a, id_b, round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard " +
         "FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
         "WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.05"),
+    "q_url_filter" ->
+      (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
+        "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +
+        "dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term) " +
+        "SELECT tf.doc_id, round(sum(ln(1 + (s.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf / " +
+        "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
+        "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
+        "WHERE tf.term IN ('spark','window') AND tf.doc_id IN " +
+        "(SELECT doc_id FROM documents WHERE source = 'src3') " +
+        "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
+    "q_range_filter" ->
+      (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
+        "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +
+        "dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term) " +
+        "SELECT tf.doc_id, round(sum(ln(1 + (s.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf / " +
+        "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
+        "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
+        "WHERE tf.term IN ('spark','window') AND tf.doc_id IN " +
+        "(SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 300) " +
+        "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
+    "q_phrase_match" ->
+      ("SELECT doc_id FROM documents " +
+        "WHERE regexp_matches(lower(text), 'data[^a-z0-9]+group')"),
     "q_embed_cosine" ->
       ("SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], " +
         "q.embedding::DOUBLE[]), 4) AS c FROM embeddings e, " +

@@ -49,12 +49,11 @@ object Ops {
     doclen(spark, dir).agg(count(lit(1)).as("n_docs"),
       avg("doclen").as("avgdl"), sum("doclen").as("total_terms"))
 
-  /** Q4/A8: BM25 top-10 for a fixed two-term query, as a pure Catalyst plan
-    * (SURVEY.md §7 step 3 — the "minimum end-to-end slice"). k1=1.2, b=0.75,
-    * idf = ln(1+(N-df+0.5)/(df+0.5)).
+  /** All (doc_id, score) BM25 matches for a term set, as a pure Catalyst
+    * plan. k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5)).
     */
-  def bm25TopK(spark: SparkSession, dir: String,
-      queryTerms: Seq[String] = Seq("spark", "window"), k: Int = 10): DataFrame = {
+  private def bm25Scored(spark: SparkSession, dir: String,
+      queryTerms: Seq[String]): DataFrame = {
     val tf = tokenizeTf(spark, dir)
     val dl = doclen(spark, dir)
     val stats = corpusStats(spark, dir)
@@ -70,9 +69,48 @@ object Ops {
             (lit(1.0) - 0.75 + lit(0.75) * col("doclen") / col("avgdl"))))
       .groupBy("doc_id")
       .agg(round(sum("contrib"), 4).as("score"))
+  }
+
+  /** Q4/A8: BM25 top-10 for a fixed two-term query (SURVEY.md §7 step 3 —
+    * the "minimum end-to-end slice").
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "window"), k: Int = 10): DataFrame =
+    bm25Scored(spark, dir, queryTerms)
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
-  }
+
+  /** Q2: fielded stored-field filter on a scored query — the driver-table
+    * analog of the engine's `url:<v> terms` (filter gates candidates; corpus
+    * stats stay corpus-wide, matching Solr fq semantics).
+    */
+  def urlFilterTopk(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir, Seq("spark", "window"))
+      .join(t(spark, dir, "documents").filter(col("source") === "src3")
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+
+  /** Q3: stored-field range `[a TO b]` on a scored query — the driver-table
+    * analog of the engine's `warc_ts:[lo TO hi] terms` (inclusive bounds).
+    */
+  def rangeFilterTopk(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir, Seq("spark", "window"))
+      .join(t(spark, dir, "documents")
+        .filter(col("n_chars") >= 100 && col("n_chars") <= 300)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+
+  /** Q3: positional phrase as a token-adjacency predicate — SQL-expressible
+    * twin of the engine's positions-based "data group" phrase (the regex is
+    * exactly "token, one non-token run, token", i.e. adjacency under the
+    * engine tokenizer).
+    */
+  def phraseMatch(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(lower(col("text")).rlike("data[^a-z0-9]+group"))
+      .select("doc_id")
 
   /** A8/Q5: top-k with deterministic tiebreak (TakeOrderedAndProject). */
   def topkOrders(spark: SparkSession, dir: String): DataFrame =
@@ -153,13 +191,20 @@ object Ops {
           lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
       .select("o_orderkey")
 
-  /** §2.11: dense-rank window (docId assignment analog). */
+  /** §2.11: dense-rank window (docId assignment analog) — top-N-then-rank:
+    * TakeOrderedAndProject bounds the global sort at 50 rows, and the
+    * row_number window then runs over those 50 rows only. The naive
+    * `row_number over (order by ...)` would funnel the WHOLE table through
+    * a single partition (the round-1 plan, flagged weak at 100x).
+    */
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     t(spark, dir, "documents")
+      .select("doc_id", "n_chars")
+      .orderBy(desc("n_chars"), asc("doc_id"))
+      .limit(50)
       .withColumn("rn", row_number().over(
         Window.orderBy(desc("n_chars"), asc("doc_id"))))
-      .filter(col("rn") <= 50)
       .select("doc_id", "n_chars", "rn")
   }
 
@@ -241,23 +286,61 @@ object Ops {
         .as("s"))
       .distinct()
 
+  /** Shingles with document frequency above this are dropped before pair
+    * generation AND from the per-doc set sizes (i.e. Jaccard is computed
+    * over the capped shingle sets, symmetrically — the DuckDB oracle applies
+    * the identical cap). Boilerplate shingles shared by millions of docs
+    * contribute candidate-pair blowup, not discrimination; capping them is
+    * what keeps the self-join's per-key fan-out bounded at corpus scale.
+    */
+  val HotShingleDf = 1000L
+
   /** Near-dup detection: 3-gram shingle Jaccard over candidate pairs that
-    * share at least one shingle (the exact-verification half of MinHash/LSH;
-    * at 100 TB the pair-generation is bounded by the LSH buckets instead of
-    * a full shingle self-join).
+    * share at least one (non-boilerplate) shingle. Scale shape: hot-shingle
+    * cap bounds the self-join fan-out per key; the per-doc size table joins
+    * by shuffle (it is O(N docs) — round 1 broadcast it, which ships the
+    * whole table to every executor). For truly web-scale corpora the pair
+    * generation is LSH buckets instead — see [[dedupLshVerified]].
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    val sh0 = shingles(spark, dir)
+    val hot = sh0.groupBy("s").agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") > HotShingleDf).select("s")
+    val sh = sh0.join(hot, Seq("s"), "left_anti")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("id_a"), col("s"))
     val b = sh.select(col("doc_id").as("id_b"), col("s"))
     val pairs = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     pairs
-      .join(broadcast(sz.select(col("doc_id").as("id_a"), col("n").as("na"))), "id_a")
-      .join(broadcast(sz.select(col("doc_id").as("id_b"), col("n").as("nb"))), "id_b")
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
       .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= 0.05)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** The 100 TB near-dup path: pair generation via MinHash/LSH band buckets
+    * (no shingle self-join at all), then exact Jaccard verification of ONLY
+    * the candidate pairs — shingle sets join against the candidate list
+    * first, so the verify stage is O(candidates x shingles), never O(N^2).
+    * Rows-only (the MinHash permutation isn't portable to DuckDB); OpsSpec
+    * checks recall against exact dedupNgram.
+    */
+  def dedupLshVerified(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashLsh(spark, dir) // (id_a, id_b), distinct
+    val sh = shingles(spark, dir)
+    val aSide = cand.join(
+      sh.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
+    val inter = aSide.join(
+      sh.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.5)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
   }
 
@@ -351,46 +434,83 @@ object Ops {
       .limit(10)
   }
 
-  /** IVF-style ANN (rows-only): centroids = vec_id<8; assign each vector to
-    * its nearest centroid (broadcast argmax); probe only the query's cluster.
-    * The scale path: clusters partition the corpus so a query touches 1/K of
-    * the data.
+  private def cosFD(a: Array[Float], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -2.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Nearest-centroid id, ties to the smaller id. */
+  private def nearestCluster(cents: Array[(Int, Array[Double])],
+      v: Array[Float]): Int = {
+    var best = Int.MaxValue; var bestC = -3.0
+    cents.foreach { case (cid, cv) =>
+      val c = cosFD(v, cv)
+      if (c > bestC || (c == bestC && cid < best)) { best = cid; bestC = c }
+    }
+    best
+  }
+
+  /** IVF ANN (rows-only): k-means centroids (deterministic seeds = lowest
+    * vec_ids, then Lloyd iterations as distributed per-dimension means),
+    * cluster assignment via broadcast argmax, then the query probes its
+    * `nprobe` nearest clusters only. The scale shape: centroids are O(k·dim)
+    * driver state, assignment is one narrow pass, and a query touches
+    * nprobe/k of the corpus — never a full scan, never an O(N) broadcast.
+    * The query vector comes from a pruned point lookup on the SOURCE table
+    * (round 1 ran `.head()` on the assigned table, forcing the whole
+    * assignment job just to fetch one row).
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, kClusters: Int = 8,
+      iters: Int = 3, nprobe: Int = 2, queryId: Long = 42L,
+      k: Int = 10): DataFrame = {
     import spark.implicits._
     val e = t(spark, dir, "embeddings")
-    val cents: Array[(Int, Array[Float])] = e.filter(col("vec_id") < 8)
       .select("vec_id", "embedding").as[(Long, Array[Float])]
-      .collect().map { case (id, v) => (id.toInt, v) }
-    val bc = spark.sparkContext.broadcast(cents)
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+
+    // deterministic init: the kClusters lowest vec_ids
+    var cents: Array[(Int, Array[Double])] = e
+      .filter(col("vec_id") < kClusters).collect().sortBy(_._1)
+      .map { case (id, v) => (id.toInt, v.map(_.toDouble)) }
+
+    // Lloyd: assign (broadcast argmax) → per-dimension mean via hash agg
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val means = e.map { case (_, v) => (nearestCluster(bc.value, v), v) }
+        .toDF("cluster", "v")
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .as[(Int, Seq[(Int, Double)])].collect()
+        .map { case (c, dims) => c -> dims.map(_._2).toArray }.toMap
+      cents = cents.map { case (c, old) => (c, means.getOrElse(c, old)) }
     }
-    val assigned = e.select("vec_id", "embedding").as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        var best = -1; var bestC = -2.0
-        bc.value.foreach { case (cid, cv) =>
-          val c = cos(v, cv)
-          if (c > bestC || (c == bestC && cid < best)) { best = cid; bestC = c }
-        }
-        (id, best, v)
-      }.toDF("vec_id", "cluster", "embedding")
-    val qRow = assigned.filter(col("vec_id") === 42)
-      .select("cluster", "embedding").head()
-    val qCluster = qRow.getInt(0)
-    val qv = qRow.getSeq[Float](1).toArray
-    val bq = spark.sparkContext.broadcast(qv)
-    assigned.filter(col("cluster") === qCluster && col("vec_id") =!= 42)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = e
+      .map { case (id, v) => (id, nearestCluster(bc.value, v), v) }
+      .toDF("vec_id", "cluster", "embedding")
+
+    // query vector: point lookup on the source table (k-row collect)
+    val qv = e.filter(col("vec_id") === queryId).head()._2
+    val qClusters: Seq[Int] = cents
+      .map { case (cid, cv) => (cid, cosFD(qv, cv)) }
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(nprobe).map(_._1).toSeq
+    val bq = spark.sparkContext.broadcast(qv.map(_.toDouble))
+    assigned
+      .filter(col("cluster").isin(qClusters: _*) && col("vec_id") =!= queryId)
       .select("vec_id", "embedding").as[(Long, Array[Float])]
-      .map { case (id, v) => (id, math.rint(cos(v, bq.value) * 10000) / 10000) }
+      .map { case (id, v) =>
+        (id, math.rint(cosFD(v, bq.value) * 10000) / 10000)
+      }
       .toDF("vec_id", "c")
       .orderBy(desc("c"), asc("vec_id"))
-      .limit(5)
+      .limit(k)
   }
 
   /** S5 analog: semi-structured payload → typed field (the reference's

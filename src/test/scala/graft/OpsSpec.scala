@@ -50,4 +50,55 @@ class OpsSpec extends AnyFunSuite {
     assert(top.head.getLong(0) == 0L)
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
   }
+
+  test("IVF ANN: recall >= 0.9 vs exact top-k at nprobe=2 on clustered data") {
+    // the driver's embeddings table is isotropic noise (no cluster
+    // structure, max off-diagonal cosine ~0.32), so IVF recall is verified
+    // on planted clusters: 8 unit centers, 200 points = center + noise
+    import spark.implicits._
+    val rng = new scala.util.Random(4242)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rng.nextGaussian()))
+    val vecs: Seq[(Long, Array[Float])] = (0L until 200L).map { i =>
+      val c = centers((i % 8).toInt)
+      val v = c.map(x => (x + 0.15 * rng.nextGaussian()).toFloat)
+      (i, v)
+    }
+    val tmp = SparkTestSession.tempDir("graft-ivf")
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val qv = vecs.find(_._1 == 42L).get._2
+    val exact = vecs.filter(_._1 != 42L)
+      .map { case (id, v) => (id, cos(v, qv)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+
+    val got = graft.ops.Ops.annIvf(spark, tmp, kClusters = 8, iters = 3,
+      nprobe = 2, queryId = 42L, k = 10).collect().map(_.getLong(0)).toSet
+    val recall = exact.count(got).toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall (got=$got exact=$exact)")
+  }
+
+  test("LSH-verified near-dup recalls the high-jaccard exact pairs") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.ops.Ops.dedupNgram(spark, dir)
+      .filter(col("jaccard") >= 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = graft.ops.Ops.dedupLshVerified(spark, dir)
+      .filter(col("jaccard") >= 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(verified).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH-verified recall $recall over ${exact.size}")
+    // verified pairs carry EXACT jaccard — they must be a subset of exact
+    assert(verified.subsetOf(exact))
+  }
 }
