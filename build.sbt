@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // NOTE: this sandbox is a Firecracker microVM where FIRST-TOUCH memory is
+  // kernel-expensive (demand paging shows as 90%+ system CPU) — a bigger
+  // heap measurably SLOWED large builds by touching more fresh pages
+  // (48g: 636 s; 24g: 159 s for the same local[8] 1.2M-doc build). Keep the
+  // heap modest so G1 reuses warm regions.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

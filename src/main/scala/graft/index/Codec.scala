@@ -1,7 +1,5 @@
 package graft.index
 
-import scala.collection.mutable.ArrayBuffer
-
 /** Variable-byte + delta-gap codecs for posting lists.
   *
   * The reference delegates posting storage to Solr/Lucene (add/search
@@ -19,20 +17,20 @@ import scala.collection.mutable.ArrayBuffer
   */
 object VByte {
 
-  /** Append one non-negative value. */
-  def encodeTo(buf: ArrayBuffer[Byte], value: Long): Unit = {
+  /** Append one non-negative value (unboxed buffer — see [[ByteBuf]]). */
+  def encodeTo(buf: ByteBuf, value: Long): Unit = {
     require(value >= 0, s"VByte requires non-negative values, got $value")
     var v = value
     while ((v & ~0x7FL) != 0L) {
-      buf += ((v & 0x7F) | 0x80).toByte
+      buf.add(((v & 0x7F) | 0x80).toByte)
       v >>>= 7
     }
-    buf += v.toByte
+    buf.add(v.toByte)
   }
 
   /** Encode a plain (non-delta) sequence, e.g. term frequencies. */
   def encode(values: Array[Long]): Array[Byte] = {
-    val buf = new ArrayBuffer[Byte](values.length * 2)
+    val buf = new ByteBuf(values.length * 2)
     var i = 0
     while (i < values.length) { encodeTo(buf, values(i)); i += 1 }
     buf.toArray
@@ -61,7 +59,7 @@ object VByte {
 
   /** Delta-gap encode a strictly-increasing sorted sequence (docIds). */
   def encodeDeltas(sorted: Array[Long]): Array[Byte] = {
-    val buf = new ArrayBuffer[Byte](sorted.length * 2)
+    val buf = new ByteBuf(sorted.length * 2)
     var prev = 0L
     var i = 0
     while (i < sorted.length) {

@@ -64,7 +64,8 @@ object Compaction {
       .as[PostingSegment]
       .flatMap { s =>
         val (ids, tfs, dls) = PostingCodec.decodeAll(s)
-        val poss = PostingCodec.decodePositions(s)
+        // positions stay VByte-packed per posting through the re-shuffle
+        val poss = PostingCodec.slicePositions(s)
         Iterator.tabulate(s.count)(i =>
           (s.term, ids(i), tfs(i), dls(i), poss(i)))
       }
@@ -72,10 +73,19 @@ object Compaction {
       .join(tombs, Seq("docId"), "left_anti")
       .localCheckpoint()
 
-    // write the merged generation beside the live ones
+    // write the merged generation beside the live ones. The hot-term sample
+    // filter is the SQL twin of the builder's Scala-side sampleHash (same
+    // xxhash64 rows) — here the rows are already materialized, so the
+    // DataFrame filter is free of re-tokenize cost.
     val seg = IndexLayout.nextSegDir(spark, indexDir)
     val segPath = s"$indexDir/$seg"
-    IndexBuilder.encodePostings(spark, rows, nDocs, conf, segPath,
+    val sampleMod = IndexBuilder.sampleModFor(nDocs)
+    val sampled =
+      if (sampleMod <= 1) rows
+      else rows.filter(
+        pmod(xxhash64($"term", $"docId"), lit(sampleMod)) === 0)
+    val hot = IndexBuilder.hotTermSegLens(sampled, sampleMod, nDocs, conf)
+    IndexBuilder.encodePostings(spark, rows, hot, totalTerms, conf, segPath,
       append = false, onlyBuckets = None)
     docs.write.mode(SaveMode.Overwrite).parquet(s"$segPath/docs")
     Seq(CorpusStats(nDocs, avgdl, totalTerms)).toDS()
@@ -84,14 +94,9 @@ object Compaction {
     docs.unpersist()
 
     // manifest for the new generation (same shape as a fresh build's)
-    val written = spark.read.parquet(s"$segPath/postings")
-    val manifest = written.groupBy($"termBucket")
-      .agg(min($"term").as("termRangeLo"), max($"term").as("termRangeHi"),
-        count(lit(1)).as("segCount"), sum($"count").as("rowCount"),
-        (sum(length($"docIdsVb")) + sum(length($"tfsVb")) +
-          sum(length($"dlsVb")) + sum(length($"posVb"))).as("bytes"))
-      .select($"termBucket".cast("int").as("partitionId"),
-        $"termRangeLo", $"termRangeHi", $"segCount", $"rowCount", $"bytes",
+    val manifest = IndexBuilder.manifestStats(spark, segPath)
+      .select($"partitionId", $"termRangeLo", $"termRangeHi", $"segCount",
+        $"rowCount", $"bytes",
         typedLit(Seq.empty[String]).as("inputFiles"),
         lit(0L).as("durationMs"), lit("complete").as("status"))
       .as[ManifestRow].collect()

@@ -27,20 +27,42 @@ final case class IdDoc(docId: Long, url: String, warc_ts: Timestamp,
   * within-doc token offsets of the (docId, term) posting (length == tf).
   */
 final case class TfRow(term: String, segment: Int, docId: Long, tf: Long,
-    doclen: Long, positions: Array[Int])
+    doclen: Long, positions: Array[Byte])
+
+/** Tf row before segment assignment (as produced narrowly per document).
+  * `positions` is the posting's PRE-PACKED position byte run
+  * (PostingCodec.packPositions layout) — shuffled in compressed form.
+  */
+final case class PreTfRow(term: String, docId: Long, tf: Long,
+    doclen: Long, positions: Array[Byte])
+
+/** Streaming per-term position accumulator: VByte-packs ascending token
+  * offsets as they arrive (first absolute, then gaps — the posVb layout),
+  * entirely unboxed.
+  */
+private final class PosAcc {
+  val buf = new ByteBuf(4)
+  var count = 0
+  private var last = 0
+  def add(p: Int): Unit = {
+    VByte.encodeTo(buf, (if (count == 0) p else p - last).toLong)
+    last = p
+    count += 1
+  }
+  def bytes: Array[Byte] = buf.toArray
+}
 
 /** Distributed inverted-index build — the from-scratch replacement for the
   * Solr ingestion the reference delegates to (`solrc.add` at
-  * /root/reference/src/indexdata.py:1306). One batch job, THREE shuffles of
+  * /root/reference/src/indexdata.py:1306). One batch job, TWO shuffles of
   * corpus-scale data (SURVEY.md §3 E1):
   *
   *   read → extract+doclen (narrow) → docId assign (shuffle 1: range by url)
-  *        → tokenize posexplode (narrow, codegen) → tf+positions agg
-  *          (shuffle 2: hash by (docId,term); map-side partial agg collapses
-  *          the token stream; doclen rides along, so NO doclen join is ever
-  *          needed)
+  *        → per-doc tf+positions rows (NARROW — a doc's tokens are all local,
+  *          so the (docId,term) aggregation needs no groupBy shuffle; doclen
+  *          rides along, so NO doclen join is ever needed)
   *        → segment assign (broadcast join against the tiny hot-term table —
-  *          no UDF, no df join) → encode (shuffle 3: hash by (term,segment))
+  *          no UDF, no df join) → encode (shuffle 2: hash by (term,segment))
   *          → write partitioned by termBucket
   *        → manifest commit (visibility barrier — the reference's
   *          solrc.commit analog, indexdata.py:1795–1798; write-audit-publish)
@@ -128,17 +150,59 @@ object IndexBuilder {
     (idDocs, () => { sorted.unpersist(); () }) // frees the checkpoint blocks
   }
 
-  /** Tokenize with codegen'd built-ins (no UDF in the hot path); the
-    * expression mirrors Analysis.tokenize exactly — the HOF filter runs
-    * BEFORE posexplode so `pos` indexes the filtered token sequence, i.e.
-    * equals the Analysis.tokenize array index. doclen rides along.
+  /** Row-pure sampling hash over (term, docId) — bit-identical to the SQL
+    * expression `xxhash64(term, docId)` (seed 42, columns folded in order),
+    * so Scala-side and DataFrame-side sampling pick the SAME rows. Purity
+    * per row is what makes segmentation independent of partitioning.
     */
-  def tokens(idDocs: Dataset[IdDoc]): DataFrame =
-    idDocs.toDF()
-      .select(col("docId"), col("doclen"),
-        posexplode(filter(split(lower(col("text")), Analysis.TokenSplitRegex),
-          t => length(t) > 0)))
-      .withColumnRenamed("col", "term")
+  def sampleHash(term: String, docId: Long): Long =
+    XXH64.hashLong(docId, XXH64.hashUTF8String(UTF8String.fromString(term), 42L))
+
+  /** Per-document tf rows with positions, produced NARROWLY: a document's
+    * tokens all live in its own row, so the (docId, term) aggregation is
+    * complete inside one pass over the partition — no groupBy, no shuffle.
+    * (Round 1 ran tokenize-explode → corpus-scale hash-agg shuffle here;
+    * eliminating it turned the build from 3 corpus-scale shuffles into 2.)
+    * Emission order within a doc is arbitrary; everything downstream sorts
+    * by (term, segment, docId) or samples by sampleHash, so the physical
+    * index is unaffected (DeterminismSpec).
+    *
+    * @param sampleMod keep only rows with sampleHash ≡ 0 (mod sampleMod) —
+    *   the hot-term detection pass samples INSIDE this narrow pass instead
+    *   of materializing all tf rows (a 1.2M-doc corpus produced a ~20 GB
+    *   checkpoint that thrashed the block store; tokenizing twice is far
+    *   cheaper than spilling the full tf stream).
+    */
+  def tfRowsOf(idDocs: Dataset[IdDoc], sampleMod: Int = 1): Dataset[PreTfRow] = {
+    import idDocs.sparkSession.implicits._
+    idDocs.mapPartitions { it =>
+      it.flatMap { d =>
+        val toks = Analysis.tokenize(d.text)
+        // positions VByte-pack on the fly (token order is ascending), into
+        // unboxed buffers — no Int boxing, rows already in shuffle form
+        val m = new java.util.HashMap[String, PosAcc]()
+        var p = 0
+        while (p < toks.length) {
+          var acc = m.get(toks(p))
+          if (acc == null) { acc = new PosAcc; m.put(toks(p), acc) }
+          acc.add(p)
+          p += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[PreTfRow](m.size)
+        val eit = m.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          if (sampleMod <= 1 ||
+              math.floorMod(sampleHash(e.getKey, d.docId), sampleMod.toLong) == 0L) {
+            val acc = e.getValue
+            out += PreTfRow(e.getKey, d.docId, acc.count.toLong, d.doclen,
+              acc.bytes)
+          }
+        }
+        out.iterator
+      }
+    }
+  }
 
   /** Full (re)build: materialize a fresh segment dir and publish a pointer
     * naming ONLY it — atomic at the pointer flip; a previous index at the
@@ -236,20 +300,25 @@ object IndexBuilder {
     }
   }
 
-  /** Deterministic hot-term detection: estimate df from a hash-keyed sample
-    * of tf rows (exact when sampleMod == 1) and return term → segment length
-    * for terms whose estimated df exceeds the segment cap. The sample key is
-    * xxhash64(term, docId) — a pure row function, so the result (and hence
-    * the physical index) is independent of partitioning.
+  /** Hot-term sampling rate for a corpus size: exact counting up to 50k
+    * docs, 1-in-200 row sampling above (df estimates only steer segment
+    * sizing, never correctness).
     */
-  private[index] def hotTermSegLens(tfRows: DataFrame, nDocs: Long,
-      conf: IndexConf): Map[String, Long] = {
-    val spark = tfRows.sparkSession
+  private[index] def sampleModFor(nDocs: Long): Int =
+    if (nDocs <= 50000) 1 else 200
+
+  /** Deterministic hot-term detection over PRE-SAMPLED tf rows: estimate df
+    * (count × sampleMod; exact when sampleMod == 1) and return term →
+    * segment length for terms whose estimated df exceeds the segment cap.
+    * The sample key is sampleHash(term, docId) — a pure row function, so the
+    * result (and hence the physical index) is independent of partitioning.
+    */
+  private[index] def hotTermSegLens(sampledTfRows: DataFrame, sampleMod: Int,
+      nDocs: Long, conf: IndexConf): Map[String, Long] = {
+    val spark = sampledTfRows.sparkSession
     import spark.implicits._
-    val sampleMod: Int = if (nDocs <= 50000) 1 else 200
     val segMax = conf.segmentMaxDocs
-    tfRows
-      .filter(pmod(xxhash64($"term", $"docId"), lit(sampleMod)) === 0)
+    sampledTfRows
       .groupBy($"term").agg(count(lit(1)).as("c"))
       .filter($"c" * sampleMod > segMax)
       .select($"term", $"c")
@@ -268,12 +337,22 @@ object IndexBuilder {
     * docId-disjoint (new ids start past the high-water mark), which is the
     * only property the query-side TermCursor needs.
     */
+  /** Target tf rows per encode task (~150 MB working set): the encode
+    * shuffle's partition count scales with DATA VOLUME, not just cores —
+    * sizing it by core count alone put gigabytes into each in-task sort at
+    * larger corpora (measured: 1.2M docs at 8 partitions = 815 s of spill;
+    * and at 4M rows/task, 32 concurrent sorts thrashed the unified pool —
+    * local[32] ran SLOWER than local[8]). Matches the "size partitions so
+    * they fit executor memory at the target SF" rule: per-task working set
+    * must fit (heap / concurrent tasks) with headroom.
+    */
+  private val EncodeRowsPerTask = 1200000L
+
   private[index] def encodePostings(spark: SparkSession, tfRows: DataFrame,
-      nDocs: Long, conf: IndexConf, outDir: String,
-      append: Boolean, onlyBuckets: Option[Set[Int]]): Unit = {
+      hot: Map[String, Long], totalTokens: Long, conf: IndexConf,
+      outDir: String, append: Boolean, onlyBuckets: Option[Set[Int]]): Unit = {
     import spark.implicits._
     val nb = conf.numBuckets
-    val hot = hotTermSegLens(tfRows, nDocs, conf)
     // segment = docId / segLen for hot terms, 0 otherwise — a broadcast hash
     // join against the tiny hot-term table + integer division, fully inside
     // whole-stage codegen (the round-1 per-row Scala UDF measured as shuffle
@@ -288,8 +367,10 @@ object IndexBuilder {
     onlyBuckets.foreach { bs =>
       rows = rows.filter(bucketCol($"term", nb).isin(bs.toSeq: _*))
     }
-    val encodePartitions =
-      math.max(1, spark.sparkContext.defaultParallelism)
+    // tf rows <= token occurrences; partition for bounded in-task sorts
+    val encodePartitions = math.max(
+      math.max(1, spark.sparkContext.defaultParallelism),
+      math.min(totalTokens / EncodeRowsPerTask + 1, 100000L).toInt)
     val segRows: Dataset[PostingSegment] = rows
       .select($"term", $"segment", $"docId", $"tf", $"doclen", $"positions")
       .repartition(encodePartitions, $"term", $"segment")
@@ -306,6 +387,37 @@ object IndexBuilder {
       .sortWithinPartitions($"term", $"segment")
       .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
       .partitionBy("termBucket").parquet(s"$outDir/postings")
+  }
+
+  /** Per-bucket manifest statistics of a written postings dir. Row counts
+    * and term ranges come from a COLUMN-PRUNED scan (term + count only —
+    * never the binary posting columns), compressed byte sizes from the
+    * filesystem's per-directory content summaries; re-reading the full
+    * binary columns just to sum their lengths measured as a multi-second
+    * serial tail on every build.
+    */
+  private[index] def manifestStats(spark: SparkSession,
+      outDir: String): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketBytes: Map[Int, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$outDir/postings")).toSeq
+        .filter(_.getPath.getName.startsWith("termBucket="))
+        .map { st =>
+          st.getPath.getName.stripPrefix("termBucket=").toInt ->
+            fs.getContentSummary(st.getPath).getLength
+        }.toMap
+    val bBytes = spark.sparkContext.broadcast(bucketBytes)
+    spark.read.parquet(s"$outDir/postings")
+      .select($"termBucket", $"term", $"count")
+      .groupBy($"termBucket")
+      .agg(min($"term").as("termRangeLo"), max($"term").as("termRangeHi"),
+        count(lit(1)).as("segCount"), sum($"count").as("rowCount"))
+      .select($"termBucket".cast("int").as("partitionId"),
+        $"termRangeLo", $"termRangeHi", $"segCount", $"rowCount")
+      .withColumn("bytes", udf((b: Int) => bBytes.value.getOrElse(b, 0L))
+        .apply($"partitionId"))
   }
 
   private def buildInternal(spark: SparkSession, docs: Dataset[WebDoc],
@@ -344,30 +456,31 @@ object IndexBuilder {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
     }
 
-    // tf rows: one row per (docId, term) with its sorted position list —
-    // partial+final hash agg collapses the token stream before the shuffle
-    val tfs = tokens(idDocs)
-      .groupBy($"docId", $"term")
-      .agg(count(lit(1)).as("tf"), first($"doclen").as("doclen"),
-        sort_array(collect_list($"pos")).as("positions"))
-      .localCheckpoint()
+    // hot-term detection: sampled INSIDE the narrow tf pass — nothing
+    // corpus-scale is materialized (a full tf checkpoint measured ~20 GB at
+    // 1.2M docs and thrashed the block store; re-tokenizing for the encode
+    // pass is far cheaper)
+    val sampleMod = sampleModFor(nDocs)
+    val hot = hotTermSegLens(tfRowsOf(idDocs, sampleMod).toDF(), sampleMod,
+      nDocs, conf)
+    phase(s"hot terms sampled (${hot.size})")
 
-    encodePostings(spark, tfs, nDocs, conf, outDir, append, onlyBuckets)
+    // tf rows: one row per (docId, term) with its position list, produced
+    // narrowly per document (no shuffle — see tfRowsOf), consumed exactly
+    // once by the encode shuffle
+    val tfs = tfRowsOf(idDocs).toDF()
+
+    encodePostings(spark, tfs, hot, totalTerms, conf, outDir, append,
+      onlyBuckets)
     phase("postings written")
     Await.result(sideWrites, Duration.Inf)
     phase("docs+stats written")
 
     // manifest LAST = the commit barrier
     val durationMs = (System.nanoTime() - t0) / 1000000L
-    val written = spark.read.parquet(s"$outDir/postings")
-    var manifestNew = written
-      .groupBy($"termBucket")
-      .agg(min($"term").as("termRangeLo"), max($"term").as("termRangeHi"),
-        count(lit(1)).as("segCount"), sum($"count").as("rowCount"),
-        (sum(length($"docIdsVb")) + sum(length($"tfsVb")) +
-          sum(length($"dlsVb")) + sum(length($"posVb"))).as("bytes"))
-      .select($"termBucket".cast("int").as("partitionId"),
-        $"termRangeLo", $"termRangeHi", $"segCount", $"rowCount", $"bytes",
+    var manifestNew = manifestStats(spark, outDir)
+      .select($"partitionId", $"termRangeLo", $"termRangeHi", $"segCount",
+        $"rowCount", $"bytes",
         typedLit(inputFiles.toSeq).as("inputFiles"),
         lit(durationMs).as("durationMs"), lit("complete").as("status"))
     onlyBuckets.foreach { bs =>
@@ -386,7 +499,6 @@ object IndexBuilder {
 
     val segCount = manifestRows.map(_.segCount).sum
     val postingsCount = manifestRows.map(_.rowCount).sum
-    tfs.unpersist()
     unpersistSorted()
     BuildReport(nDocs, segCount, postingsCount, segCount, nb, durationMs)
   }
@@ -409,12 +521,12 @@ private final class SegmentEncoder(it: Iterator[TfRow],
     val docIds = new scala.collection.mutable.ArrayBuffer[Long]()
     val tfs = new scala.collection.mutable.ArrayBuffer[Long]()
     val dls = new scala.collection.mutable.ArrayBuffer[Long]()
-    val poss = new scala.collection.mutable.ArrayBuffer[Array[Int]]()
+    val poss = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     while (buf.hasNext && buf.head.term == term && buf.head.segment == segment) {
       val r = buf.next()
       docIds += r.docId; tfs += r.tf; dls += r.doclen; poss += r.positions
     }
-    PostingCodec.encode(term, IndexBuilder.bucketOf(term, numBuckets), segment,
-      docIds.toArray, tfs.toArray, dls.toArray, poss.toArray)
+    PostingCodec.encodePacked(term, IndexBuilder.bucketOf(term, numBuckets),
+      segment, docIds.toArray, tfs.toArray, dls.toArray, poss.toArray)
   }
 }

@@ -1,32 +1,78 @@
 package graft.index
 
-import scala.collection.mutable.ArrayBuffer
-
 /** Encode/decode of [[PostingSegment]] rows and the block-skipping cursors
   * the query engine iterates. This is the from-scratch replacement for the
   * posting machinery the reference delegates to Solr/Lucene (SURVEY.md §4.2).
   */
 object PostingCodec {
 
-  /** Encode one segment from parallel arrays sorted by docId (strictly
-    * increasing). `positions(i)` are the ascending within-doc token offsets
-    * of posting i (length == tfs(i)); pass empty arrays to build a
-    * positions-free segment (phrase queries then degrade to AND-of-terms).
-    * Needs NO corpus stats: block-max metadata is the avgdl-independent
-    * (maxTf, minDl) pair and df/cf are segment-local (see IndexTables).
+  // Segments encode from parallel arrays sorted by docId (strictly
+  // increasing); positions per posting are ascending within-doc token
+  // offsets (length == tf). Encoding needs NO corpus stats: block-max
+  // metadata is the avgdl-independent (maxTf, minDl) pair and df/cf are
+  // segment-local (see IndexTables).
+
+  /** VByte-pack one posting's ascending positions (first absolute, then
+    * gaps) — the exact per-posting byte layout of the posVb stream, so
+    * pre-packed positions can be CONCATENATED into a segment without any
+    * decode/re-encode (the build shuffles positions in this packed form:
+    * ~2× smaller rows than int arrays, which matters doubly in this sandbox
+    * where fresh memory is kernel-expensive).
     */
-  def encode(term: String, termBucket: Int, segment: Int,
+  def packPositions(ps: Array[Int]): Array[Byte] = {
+    val buf = new ByteBuf(ps.length + 2)
+    var prev = 0
+    var j = 0
+    while (j < ps.length) {
+      VByte.encodeTo(buf, (if (j == 0) ps(0) else ps(j) - prev).toLong)
+      prev = ps(j)
+      j += 1
+    }
+    buf.toArray
+  }
+
+  /** Slice a segment's posVb stream into per-posting byte runs WITHOUT
+    * decoding values (walks VByte terminator bytes, tf values per posting) —
+    * lets compaction re-shuffle positions in packed form.
+    */
+  def slicePositions(seg: PostingSegment): Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](seg.count)
+    if (seg.posVb.isEmpty) {
+      java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]],
+        Array.empty[Byte])
+      return out
+    }
+    val tfs = VByte.decode(seg.tfsVb, seg.count)
+    var p = 0
+    var i = 0
+    while (i < seg.count) {
+      val start = p
+      var k = tfs(i).toInt
+      while (k > 0) { // skip k VByte values: a value ends at high-bit-0
+        if ((seg.posVb(p) & 0x80) == 0) k -= 1
+        p += 1
+      }
+      out(i) = java.util.Arrays.copyOfRange(seg.posVb, start, p)
+      i += 1
+    }
+    out
+  }
+
+  /** Encode from per-posting PRE-PACKED position byte runs (see
+    * [[packPositions]]); `posBytes(i)` may be empty for positions-free data.
+    */
+  def encodePacked(term: String, termBucket: Int, segment: Int,
       docIds: Array[Long], tfs: Array[Long], dls: Array[Long],
-      positions: Array[Array[Int]]): PostingSegment = {
+      posBytes: Array[Array[Byte]]): PostingSegment = {
     val count = docIds.length
     require(count > 0, s"empty segment for term '$term'")
     val bs = IndexConf.BlockSize
     val nBlocks = (count + bs - 1) / bs
 
-    val docBuf = new ArrayBuffer[Byte](count * 2)
-    val tfBuf = new ArrayBuffer[Byte](count)
-    val dlBuf = new ArrayBuffer[Byte](count * 2)
-    val posBuf = new ArrayBuffer[Byte](count * 2)
+    val docBuf = new ByteBuf(count * 2)
+    val tfBuf = new ByteBuf(count)
+    val dlBuf = new ByteBuf(count * 2)
+    val posBuf = new ByteBuf(count * 2)
     val blockLast = new Array[Long](nBlocks)
     val blockMaxTf = new Array[Long](nBlocks)
     val blockMinDl = new Array[Long](nBlocks)
@@ -51,16 +97,8 @@ object PostingCodec {
       prev = docIds(i)
       VByte.encodeTo(tfBuf, tfs(i))
       VByte.encodeTo(dlBuf, dls(i))
-      if (i < positions.length && positions(i) != null) {
-        val ps = positions(i)
-        var j = 0
-        var prevPos = 0
-        while (j < ps.length) {
-          VByte.encodeTo(posBuf, (if (j == 0) ps(0) else ps(j) - prevPos).toLong)
-          prevPos = ps(j)
-          j += 1
-        }
-      }
+      if (i < posBytes.length && posBytes(i) != null)
+        posBuf.addAll(posBytes(i))
       if (tfs(i) > blockMaxTf(b)) blockMaxTf(b) = tfs(i)
       if (dls(i) < blockMinDl(b)) blockMinDl(b) = dls(i)
       blockLast(b) = docIds(i)
@@ -72,12 +110,21 @@ object PostingCodec {
       blockLast, blockMaxTf, blockMinDl, docOff, tfOff, dlOff, posOff)
   }
 
+  /** Encode from plain per-posting position Int arrays (tests, oracle-side
+    * segment builders).
+    */
+  def encode(term: String, termBucket: Int, segment: Int,
+      docIds: Array[Long], tfs: Array[Long], dls: Array[Long],
+      positions: Array[Array[Int]]): PostingSegment =
+    encodePacked(term, termBucket, segment, docIds, tfs, dls,
+      positions.map(packPositions))
+
   /** Positions-free convenience overload (tests, compaction of legacy data). */
   def encode(term: String, termBucket: Int, segment: Int,
       docIds: Array[Long], tfs: Array[Long],
       dls: Array[Long]): PostingSegment =
-    encode(term, termBucket, segment, docIds, tfs, dls,
-      Array.empty[Array[Int]])
+    encodePacked(term, termBucket, segment, docIds, tfs, dls,
+      Array.empty[Array[Byte]])
 
   /** Full sequential decode — used by the exhaustive scorer and tests. */
   def decodeAll(seg: PostingSegment): (Array[Long], Array[Long], Array[Long]) =
