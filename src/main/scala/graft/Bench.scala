@@ -29,6 +29,10 @@ object Bench {
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // zstd trades (scalable) CPU for (shared) shuffle bytes — on this
+      // bandwidth-bound box it helps the 8-vs-32 ratio, at cluster scale it
+      // cuts network/disk shuffle volume
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -107,7 +107,8 @@ object IndexBuilder {
     * start at the existing index's high-water mark).
     */
   def assignDocIds(spark: SparkSession, docs: Dataset[WebDoc],
-      partitions: Int = 0, idOffset: Long = 0L): (Dataset[IdDoc], () => Unit) = {
+      partitions: Int = 0, idOffset: Long = 0L)
+      : (Dataset[IdDoc], () => Unit, CorpusStats) = {
     import spark.implicits._
     val p = if (partitions > 0) partitions
             else math.max(1, spark.sparkContext.defaultParallelism)
@@ -128,12 +129,18 @@ object IndexBuilder {
       .sortWithinPartitions($"url")
       .map(d => d.copy(doclen = Analysis.tokenize(d.text).length.toLong))
       .localCheckpoint()
-    val counts = sorted.toDF()
-      .select(spark_partition_id().as("pid"))
-      .groupBy($"pid").count()
+    // ONE pass yields both the per-partition counts (docId offsets) and the
+    // corpus stats — each pass over the checkpoint deserializes every row,
+    // so fused passes are a measured win on this bandwidth-bound box
+    val perPid = sorted.toDF()
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("c"), sum($"doclen").as("toks"))
       .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
+    val counts = perPid.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nDocs = perPid.map(_.getLong(1)).sum
+    val totalTerms = perPid.map(_.getLong(2)).sum
+    val stats = CorpusStats(nDocs,
+      if (nDocs == 0) 0.0 else totalTerms.toDouble / nDocs, totalTerms)
     val offsets = new Array[Long](p + 1)
     offsets(0) = idOffset
     var i = 0
@@ -147,7 +154,7 @@ object IndexBuilder {
         out
       }
     }
-    (idDocs, () => { sorted.unpersist(); () }) // frees the checkpoint blocks
+    (idDocs, () => { sorted.unpersist(); () }, stats) // unpersist frees blocks
   }
 
   /** Row-pure sampling hash over (term, docId) — bit-identical to the SQL
@@ -431,18 +438,12 @@ object IndexBuilder {
     val append = onlyBuckets.isDefined
     val inputFiles = docs.inputFiles
 
-    val (idDocs, unpersistSorted) =
+    val (idDocs, unpersistSorted, stats) =
       assignDocIds(spark, docs, conf.buildPartitions, idOffset)
-    phase("docIds assigned")
-
-    // corpus stats straight off the cached sorted docs (no tf detour)
-    val statsRow = idDocs.toDF().agg(
-      count(lit(1)).as("n"), avg($"doclen").as("avgdl"),
-      sum($"doclen").as("totalTerms")).head()
-    val nDocs = statsRow.getLong(0)
-    val avgdl = statsRow.getDouble(1)
-    val totalTerms = statsRow.getLong(2)
-    phase(s"stats computed (n=$nDocs)")
+    val nDocs = stats.n
+    val avgdl = stats.avgdl
+    val totalTerms = stats.totalTerms
+    phase(s"docIds assigned (n=$nDocs)")
 
     // docs table + stats write concurrently with the postings pipeline
     import scala.concurrent.{Await, Future}
