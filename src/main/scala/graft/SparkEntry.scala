@@ -61,6 +61,7 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => Ops.simhash(s, d)),
     "q_ann_ivf" -> ((s, d) => Ops.annIvf(s, d)),
     "q_dedup_lsh_verified" -> ((s, d) => Ops.dedupLshVerified(s, d)),
+    "q_emb_neardup" -> ((s, d) => Ops.embNearDup(s, d)),
   )
 
   private val Tok =

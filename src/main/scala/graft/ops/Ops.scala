@@ -513,6 +513,55 @@ object Ops {
       .limit(k)
   }
 
+  /** Embedding-cosine near-dup via random-hyperplane LSH (SimHash for
+    * vectors; rows-only — the hyperplane draws aren't portable to DuckDB):
+    * deterministic hyperplanes → sign-bit signatures → band-bucket equi-join
+    * for candidates (never an all-pairs product) → exact cosine verification
+    * of candidates only. The 100 TB shape for "drop near-identical
+    * embeddings": signatures are one narrow pass, candidate generation is a
+    * shuffle join on the bucket key, verification is O(candidates).
+    */
+  def embNearDup(spark: SparkSession, dir: String, bits: Int = 16,
+      bands: Int = 4, threshold: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+    val dim = e.head()._2.length // k-row point lookup for the dimensionality
+    // deterministic gaussian hyperplanes (seeded; independent of data order)
+    val rng = new java.util.Random(424242L)
+    val planes = Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+    val bp = spark.sparkContext.broadcast(planes)
+    val perBand = bits / bands
+    val sigs = e.map { case (id, v) =>
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val h = bp.value(b)
+        var dot = 0.0; var i = 0
+        while (i < v.length) { dot += h(i) * v(i); i += 1 }
+        if (dot >= 0) sig |= (1L << b)
+        b += 1
+      }
+      (id, sig)
+    }.toDF("vec_id", "sig")
+    val banded = sigs.select(col("vec_id"), explode(sequence(lit(0),
+        lit(bands - 1))).as("band"),
+        col("sig"))
+      .select(col("vec_id"), col("band"),
+        expr(s"(sig >> (band * $perBand)) & ${(1L << perBand) - 1}").as("h"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "h"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    // exact verification of candidates only
+    val ea = e.toDF("id_a", "va")
+    val eb = e.toDF("id_b", "vb")
+    cand.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("c", cosineCol(col("va"), col("vb")))
+      .filter(col("c") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos"))
+  }
+
   /** S5 analog: semi-structured payload → typed field (the reference's
     * nested-dict path extraction, indexdata.py:430–1171). Regex-based so the
     * oracle needs no JSON extension.

@@ -87,6 +87,43 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall (got=$got exact=$exact)")
   }
 
+  test("embedding near-dup: LSH candidates + exact verify on planted dups") {
+    import spark.implicits._
+    val rng = new scala.util.Random(77)
+    val dim = 24
+    // 60 base vectors; every 4th gets a near-duplicate twin (tiny noise)
+    val base = (0 until 60).map(_ => Array.fill(dim)(rng.nextGaussian()))
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    var id = 0L
+    val planted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    base.zipWithIndex.foreach { case (v, i) =>
+      val a = id; vecs += ((a, v.map(_.toFloat))); id += 1
+      if (i % 4 == 0) {
+        val b = id
+        vecs += ((b, v.map(x => (x + 0.02 * rng.nextGaussian()).toFloat)))
+        planted += ((a, b))
+        id += 1
+      }
+    }
+    val tmp = SparkTestSession.tempDir("graft-embdup")
+    vecs.toSeq.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = graft.ops.Ops.embNearDup(spark, tmp, threshold = 0.98)
+      .collect().map(r => (r.getLong(1) min r.getLong(0),
+        r.getLong(0) max r.getLong(1))).toSet
+    val hits = planted.count(got)
+    assert(hits >= (planted.size * 0.8).toInt,
+      s"recalled $hits of ${planted.size} planted near-dups: $got")
+    // verification is exact, so no false positives below the threshold
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble*b(i); na += a(i).toDouble*a(i); nb += b(i).toDouble*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val byId = vecs.toMap
+    got.foreach { case (x, y) => assert(cos(byId(x), byId(y)) >= 0.98) }
+  }
+
   test("LSH-verified near-dup recalls the high-jaccard exact pairs") {
     import org.apache.spark.sql.functions._
     val exact = graft.ops.Ops.dedupNgram(spark, dir)
