@@ -61,7 +61,10 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => Ops.simhash(s, d)),
     "q_ann_ivf" -> ((s, d) => Ops.annIvf(s, d)),
     "q_dedup_lsh_verified" -> ((s, d) => Ops.dedupLshVerified(s, d)),
-    "q_emb_neardup" -> ((s, d) => Ops.embNearDup(s, d)),
+    // driver embeddings are isotropic noise (no true near-dups), so the
+    // driver entry runs the candidate+verify pipeline at a low threshold to
+    // exercise it end-to-end; library default is 0.9
+    "q_emb_neardup" -> ((s, d) => Ops.embNearDup(s, d, threshold = 0.2)),
   )
 
   private val Tok =

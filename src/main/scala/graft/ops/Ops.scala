@@ -521,8 +521,11 @@ object Ops {
     * embeddings": signatures are one narrow pass, candidate generation is a
     * shuffle join on the bucket key, verification is O(candidates).
     */
-  def embNearDup(spark: SparkSession, dir: String, bits: Int = 16,
+  def embNearDup(spark: SparkSession, dir: String, bits: Int = 32,
       bands: Int = 4, threshold: Double = 0.9): DataFrame = {
+    // 8-bit bands (256 buckets each) keep within-bucket pair generation
+    // sub-quadratic at scale while true near-dups (cosine ~1) still collide
+    // in >=1 band with probability ~1
     import spark.implicits._
     val e = t(spark, dir, "embeddings")
       .select("vec_id", "embedding").as[(Long, Array[Float])]
