@@ -1,14 +1,34 @@
 package graft
-/** Temporary plan-audit main (not part of the library surface). */
+
+/** Plan-audit main (developer tool, also exercised ad hoc for BASELINE.md's
+  * plan evidence):
+  *  - `ExplainCheck <indexDir> <buckets>`: pruning filters of the postings
+  *    scan (PartitionFilters / PushedFilters).
+  *  - `ExplainCheck ops <sfDir>`: formatted plans of the ops whose physical
+  *    shape the scale review cares about (no single-partition exchange in
+  *    q_window_rank, no corpus-sized broadcast in q_dedup_ngram).
+  */
 object ExplainCheck {
   def main(args: Array[String]): Unit = {
     val spark = MainCommon.session("explain")
-    val e = new graft.query.QueryEngine(spark, args(0), args(1).toInt)
-    val plan = e.postingsFor(Seq("w00017", "w00342"))
-      .queryExecution.executedPlan.toString
-    plan.split("\n").filter(l => l.contains("PartitionFilters") ||
-      l.contains("PushedFilters") || l.contains("ReadSchema"))
-      .foreach(l => println("[plan] " + l.trim.take(1200)))
+    if (args.headOption.contains("ops")) {
+      val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+      Seq(
+        "q_window_rank" -> graft.ops.Ops.windowRank(spark, dir),
+        "q_dedup_ngram" -> graft.ops.Ops.dedupNgram(spark, dir)
+      ).foreach { case (name, df) =>
+        println(s"=== $name ===")
+        val plan = df.queryExecution.executedPlan.toString
+        plan.split("\n").foreach(l => println("[plan] " + l.take(200)))
+      }
+    } else {
+      val e = new graft.query.QueryEngine(spark, args(0), args(1).toInt)
+      val plan = e.postingsFor(Seq("w00017", "w00342"))
+        .queryExecution.executedPlan.toString
+      plan.split("\n").filter(l => l.contains("PartitionFilters") ||
+        l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .foreach(l => println("[plan] " + l.trim.take(1200)))
+    }
     spark.stop()
   }
 }
