@@ -75,6 +75,53 @@ class AppendSpec extends AnyFunSuite {
       s"expected hits from both batches, got ${hits.toSeq}")
   }
 
+  test("resume finishes an append killed before (or during) publish") {
+    val dir = SparkTestSession.tempDir("graft-append-resume")
+    val nA = 150L
+    val nB = 80L
+    val seedB = 555L
+    IndexBuilder.build(spark, CorpusGen.generate(spark, nA), dir, conf)
+    IndexBuilder.append(spark,
+      CorpusGen.generate(spark, nB, seed = seedB), dir, conf)
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash simulation: drop the append's pointer AND one of its buckets +
+    // manifest rows — the batch is half-written and unpublished
+    val ptrs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("current-")).sortBy(_.getName)
+    fs.delete(ptrs.last, false) // back to [seg-000000]
+    assert(IndexLayout.current(spark, dir).get == Seq("seg-000000"))
+    val segB = "seg-000001"
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/$segB/postings/termBucket=2"), true)
+    val mrows = spark.read.parquet(s"$dir/$segB/manifest").as[ManifestRow]
+      .collect().filterNot(_.partitionId == 2)
+    mrows.toSeq.toDS().coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/$segB/manifest")
+
+    // resume with the SAME batch: rebuilds bucket 2 at the correct docId
+    // offset and publishes the pointer
+    IndexBuilder.resume(spark,
+      CorpusGen.generate(spark, nB, seed = seedB), dir, conf)
+    assert(IndexLayout.current(spark, dir).get ==
+      Seq("seg-000000", "seg-000001"))
+
+    val oracle = unionOracle(nA, nB, seedB)
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    Seq("the", "w00001 w00002", "w00003 AND the").foreach { q =>
+      val expect = oracle.topK(q, 10)
+      val got = engine.searchWand(q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) == expect.map(_._1),
+        s"q='$q'\n got=$got\n exp=$expect")
+      got.zip(expect).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-9)
+      }
+    }
+  }
+
   test("append with overlapping urls overwrites (upsert-by-url)") {
     val dir = SparkTestSession.tempDir("graft-upsert")
     val n = 100L
