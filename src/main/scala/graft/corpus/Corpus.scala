@@ -150,14 +150,17 @@ object CorpusGen {
   */
 object Extractor {
   private val BodyRe = "(?s)<body>(.*)</body>".r
+  // precompiled: String.replaceAll would Pattern.compile on EVERY call, and
+  // extract runs once per document per pass over the corpus
+  private val TagPattern = java.util.regex.Pattern.compile("(?s)<[^>]*>")
 
   def extract(html: Array[Byte]): String = {
     val s = new String(html, UTF_8)
     val body = BodyRe.findFirstMatchIn(s).map(_.group(1)).getOrElse {
       // no <body> — strip all tags from the whole page
-      s.replaceAll("(?s)<[^>]*>", "")
+      TagPattern.matcher(s).replaceAll("")
     }
-    decodeEntities(body.replaceAll("(?s)<[^>]*>", ""))
+    decodeEntities(TagPattern.matcher(body).replaceAll(""))
   }
 
   private def decodeEntities(s: String): String =

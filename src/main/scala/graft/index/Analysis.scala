@@ -25,8 +25,64 @@ object Analysis {
     */
   val TokenSplitRegex = "[^a-z0-9]+"
 
-  def tokenize(text: String): Array[String] =
-    text.toLowerCase(Locale.ROOT).split(TokenSplitRegex).filter(_.nonEmpty)
+  /** Tokenize. Hot path: a zero-regex ASCII scanner (tokenize runs 3× per
+    * document per build — the regex form Pattern.compile'd on EVERY call and
+    * allocated a full lowercase copy + NFA per invocation, a measured chunk
+    * of the build's allocation/page-fault bill on this VM). Any non-ASCII
+    * char falls back to the reference regex path, so the two are
+    * byte-identical by construction on ASCII and definitionally identical
+    * otherwise (AnalysisSpec property-checks the equivalence).
+    */
+  def tokenize(text: String): Array[String] = {
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      if (text.charAt(i) >= 0x80) return tokenizeViaRegex(text)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuilder.ofRef[String]
+    i = 0
+    while (i < n) {
+      var c = text.charAt(i)
+      if (isTokChar(c)) {
+        val start = i
+        var hasUpper = c >= 'A' && c <= 'Z'
+        i += 1
+        var run = true
+        while (run && i < n) {
+          c = text.charAt(i)
+          if (isTokChar(c)) {
+            if (c >= 'A' && c <= 'Z') hasUpper = true
+            i += 1
+          } else run = false
+        }
+        out += (if (!hasUpper) text.substring(start, i)
+        else {
+          val arr = new Array[Char](i - start)
+          var j = 0
+          while (j < arr.length) {
+            val ch = text.charAt(start + j)
+            arr(j) = if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch
+            j += 1
+          }
+          new String(arr)
+        })
+      } else i += 1
+    }
+    out.result()
+  }
+
+  @inline private def isTokChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z')
+
+  private val SplitPattern = java.util.regex.Pattern.compile(TokenSplitRegex)
+
+  /** The reference definition (matches the Spark SQL expression
+    * `filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')` and the DuckDB
+    * oracle regex — see CLAUDE.md tokenizer rule).
+    */
+  private[graft] def tokenizeViaRegex(text: String): Array[String] =
+    SplitPattern.split(text.toLowerCase(Locale.ROOT)).filter(_.nonEmpty)
 }
 
 object BM25 {

@@ -353,7 +353,8 @@ object IndexBuilder {
     * they fit executor memory at the target SF" rule: per-task working set
     * must fit (heap / concurrent tasks) with headroom.
     */
-  private val EncodeRowsPerTask = 1200000L
+  private val EncodeRowsPerTask =
+    sys.props.get("graft.encodeRowsPerTask").map(_.toLong).getOrElse(1200000L)
 
   private[index] def encodePostings(spark: SparkSession, tfRows: DataFrame,
       hot: Map[String, Long], totalTokens: Long, conf: IndexConf,
@@ -514,18 +515,24 @@ private final class SegmentEncoder(it: Iterator[TfRow],
     numBuckets: Int) extends Iterator[PostingSegment] {
 
   private val buf = it.buffered
+  // unboxed run accumulators, reused across every (term, segment) run in the
+  // task (project rule 8: ArrayBuffer[Long] boxes into Object[] — 8× the
+  // fresh pages on this fault-expensive VM, and this loop runs once per run
+  // across the whole corpus)
+  private val docIds = new LongBuf(256)
+  private val tfs = new LongBuf(256)
+  private val dls = new LongBuf(256)
+  private val poss = new BytesBuf(256)
   override def hasNext: Boolean = buf.hasNext
   override def next(): PostingSegment = {
     val head = buf.head
     val term = head.term
     val segment = head.segment
-    val docIds = new scala.collection.mutable.ArrayBuffer[Long]()
-    val tfs = new scala.collection.mutable.ArrayBuffer[Long]()
-    val dls = new scala.collection.mutable.ArrayBuffer[Long]()
-    val poss = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    docIds.clear(); tfs.clear(); dls.clear(); poss.clear()
     while (buf.hasNext && buf.head.term == term && buf.head.segment == segment) {
       val r = buf.next()
-      docIds += r.docId; tfs += r.tf; dls += r.doclen; poss += r.positions
+      docIds.add(r.docId); tfs.add(r.tf); dls.add(r.doclen)
+      poss.add(r.positions)
     }
     PostingCodec.encodePacked(term, IndexBuilder.bucketOf(term, numBuckets),
       segment, docIds.toArray, tfs.toArray, dls.toArray, poss.toArray)
