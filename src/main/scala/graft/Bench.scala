@@ -9,8 +9,10 @@ import graft.query.QueryEngine
 /** Shared session/config for the bench mains. */
 private[graft] object BenchCommon {
   def session(cpus: Int): SparkSession = {
+    // SPARK_GRAFT_BENCH_MASTER overrides the master for methodology
+    // experiments (e.g. "local-cluster[4,4,3072]" forks real executor JVMs)
     val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_BENCH_MASTER", s"local[$cpus]"))
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.local.dir",

@@ -101,20 +101,21 @@ object BuildIndex {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--delete] [--exhaustive]")
+    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--delete] [--exhaustive]")
     val indexDir = args(0)
     val query = args(1)
     val (opts, flags) = MainCommon.parseArgs(args.drop(2).toSeq,
-      valued = Set("--k", "--buckets"),
+      valued = Set("--k", "--buckets", "--df"),
       flagNames = Set("--delete", "--exhaustive"))
     val k = opts.getOrElse("--k", "10").toInt
+    val df = opts.getOrElse("--df", "text") // Solr's df= default field
     val spark = MainCommon.session("graft-search")
     val engine = new QueryEngine(spark, indexDir,
       opts.getOrElse("--buckets", "32").toInt)
     val t0 = System.nanoTime()
     val res =
-      (if (flags.contains("--exhaustive")) engine.searchExhaustive(query, k)
-       else engine.search(query, k)).collect()
+      (if (flags.contains("--exhaustive")) engine.searchExhaustive(query, k, df)
+       else engine.search(query, k, df)).collect()
     val ms = (System.nanoTime() - t0) / 1e6
     println(f"[graft] query='$query' hits=${res.length} latencyMs=$ms%.1f")
     res.zipWithIndex.foreach { case (r, i) =>

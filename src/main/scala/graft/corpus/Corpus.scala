@@ -150,6 +150,7 @@ object CorpusGen {
   */
 object Extractor {
   private val BodyRe = "(?s)<body>(.*)</body>".r
+  private val TitleRe = "(?s)<title>(.*?)</title>".r
   // precompiled: String.replaceAll would Pattern.compile on EVERY call, and
   // extract runs once per document per pass over the corpus
   private val TagPattern = java.util.regex.Pattern.compile("(?s)<[^>]*>")
@@ -161,6 +162,15 @@ object Extractor {
       TagPattern.matcher(s).replaceAll("")
     }
     decodeEntities(TagPattern.matcher(body).replaceAll(""))
+  }
+
+  /** Title text of the page ("" when absent) — the second indexed field
+    * (the reference's mmd_title analog, indexdata.py:1516–1523).
+    */
+  def extractTitle(html: Array[Byte]): String = {
+    val s = new String(html, UTF_8)
+    TitleRe.findFirstMatchIn(s).map(m => decodeEntities(m.group(1)))
+      .getOrElse("")
   }
 
   private def decodeEntities(s: String): String =

@@ -51,11 +51,13 @@ object Compaction {
       .join(tombs, Seq("docId"), "left_anti")
       .localCheckpoint()
     val statsRow = docs.agg(count(lit(1)).as("n"), avg($"doclen").as("avgdl"),
-      sum($"doclen").as("totalTerms")).head()
+      sum($"doclen").as("totalTerms"), sum($"titleLen").as("titleTerms"))
+      .head()
     val nDocs = statsRow.getLong(0)
     require(nDocs > 0, "compaction would empty the index")
     val avgdl = statsRow.getDouble(1)
     val totalTerms = statsRow.getLong(2)
+    val titleTerms = statsRow.getLong(3)
 
     // decode (including positions) → drop tombstoned postings
     val rows = published
@@ -88,7 +90,8 @@ object Compaction {
     IndexBuilder.encodePostings(spark, rows, hot, totalTerms, conf, segPath,
       append = false, onlyBuckets = None)
     docs.write.mode(SaveMode.Overwrite).parquet(s"$segPath/docs")
-    Seq(CorpusStats(nDocs, avgdl, totalTerms)).toDS()
+    Seq(CorpusStats(nDocs, avgdl, totalTerms,
+      if (nDocs == 0) 0.0 else titleTerms.toDouble / nDocs, titleTerms)).toDS()
       .write.mode(SaveMode.Overwrite).parquet(s"$segPath/stats")
     rows.unpersist()
     docs.unpersist()

@@ -19,9 +19,9 @@ final case class BuildReport(
     durationMs: Long)
 
 final case class ExtractedDoc(url: String, warc_ts: Timestamp,
-    lang: String, text: String, doclen: Long)
+    lang: String, text: String, doclen: Long, title: String, titleLen: Long)
 final case class IdDoc(docId: Long, url: String, warc_ts: Timestamp,
-    lang: String, text: String, doclen: Long)
+    lang: String, text: String, doclen: Long, title: String, titleLen: Long)
 
 /** One tf row headed into the segment encoder; positions are the ascending
   * within-doc token offsets of the (docId, term) posting (length == tf).
@@ -116,7 +116,8 @@ object IndexBuilder {
     // shuffle-write passes don't re-tokenize; the snapshot below makes the
     // tokenize pass run exactly once.
     val extracted = docs.map { d =>
-      ExtractedDoc(d.url, d.warc_ts, d.lang, Extractor.extract(d.html), 0L)
+      ExtractedDoc(d.url, d.warc_ts, d.lang, Extractor.extract(d.html), 0L,
+        Extractor.extractTitle(d.html), 0L)
     }
     // localCheckpoint (serialized UnsafeRows in the block store) rather than
     // .persist: Dataset.persist builds compressed COLUMNAR cache batches,
@@ -127,20 +128,24 @@ object IndexBuilder {
     val sorted = extracted
       .repartitionByRange(p, $"url")
       .sortWithinPartitions($"url")
-      .map(d => d.copy(doclen = Analysis.tokenize(d.text).length.toLong))
+      .map(d => d.copy(doclen = Analysis.tokenize(d.text).length.toLong,
+        titleLen = Analysis.tokenize(d.title).length.toLong))
       .localCheckpoint()
     // ONE pass yields both the per-partition counts (docId offsets) and the
     // corpus stats — each pass over the checkpoint deserializes every row,
     // so fused passes are a measured win on this bandwidth-bound box
     val perPid = sorted.toDF()
       .groupBy(spark_partition_id().as("pid"))
-      .agg(count(lit(1)).as("c"), sum($"doclen").as("toks"))
+      .agg(count(lit(1)).as("c"), sum($"doclen").as("toks"),
+        sum($"titleLen").as("ttoks"))
       .collect()
     val counts = perPid.map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nDocs = perPid.map(_.getLong(1)).sum
     val totalTerms = perPid.map(_.getLong(2)).sum
+    val titleTerms = perPid.map(_.getLong(3)).sum
     val stats = CorpusStats(nDocs,
-      if (nDocs == 0) 0.0 else totalTerms.toDouble / nDocs, totalTerms)
+      if (nDocs == 0) 0.0 else totalTerms.toDouble / nDocs, totalTerms,
+      if (nDocs == 0) 0.0 else titleTerms.toDouble / nDocs, titleTerms)
     val offsets = new Array[Long](p + 1)
     offsets(0) = idOffset
     var i = 0
@@ -149,7 +154,8 @@ object IndexBuilder {
     val idDocs = sorted.mapPartitions { it =>
       var id = bOffsets.value(TaskContext.getPartitionId())
       it.map { d =>
-        val out = IdDoc(id, d.url, d.warc_ts, d.lang, d.text, d.doclen)
+        val out = IdDoc(id, d.url, d.warc_ts, d.lang, d.text, d.doclen,
+          d.title, d.titleLen)
         id += 1
         out
       }
@@ -184,29 +190,36 @@ object IndexBuilder {
     import idDocs.sparkSession.implicits._
     idDocs.mapPartitions { it =>
       it.flatMap { d =>
-        val toks = Analysis.tokenize(d.text)
-        // positions VByte-pack on the fly (token order is ascending), into
-        // unboxed buffers — no Int boxing, rows already in shuffle form
-        val m = new java.util.HashMap[String, PosAcc]()
-        var p = 0
-        while (p < toks.length) {
-          var acc = m.get(toks(p))
-          if (acc == null) { acc = new PosAcc; m.put(toks(p), acc) }
-          acc.add(p)
-          p += 1
-        }
-        val out = new scala.collection.mutable.ArrayBuffer[PreTfRow](m.size)
-        val eit = m.entrySet().iterator()
-        while (eit.hasNext) {
-          val e = eit.next()
-          if (sampleMod <= 1 ||
-              math.floorMod(sampleHash(e.getKey, d.docId), sampleMod.toLong) == 0L) {
-            val acc = e.getValue
-            out += PreTfRow(e.getKey, d.docId, acc.count.toLong, d.doclen,
-              acc.bytes)
+        // both indexed fields in one pass: text tokens under their bare
+        // keys, title tokens under "title:"-qualified keys with the TITLE
+        // doclen riding along (per-field BM25 length norms)
+        def fieldRows(toks: Array[String], keyPrefix: String, dl: Long)
+            : Iterator[PreTfRow] = {
+          val m = new java.util.HashMap[String, PosAcc]()
+          var p = 0
+          while (p < toks.length) {
+            val key = if (keyPrefix.isEmpty) toks(p) else keyPrefix + toks(p)
+            var acc = m.get(key)
+            if (acc == null) { acc = new PosAcc; m.put(key, acc) }
+            acc.add(p)
+            p += 1
           }
+          val out = new scala.collection.mutable.ArrayBuffer[PreTfRow](m.size)
+          val eit = m.entrySet().iterator()
+          while (eit.hasNext) {
+            val e = eit.next()
+            if (sampleMod <= 1 ||
+                math.floorMod(sampleHash(e.getKey, d.docId), sampleMod.toLong) == 0L) {
+              val acc = e.getValue
+              out += PreTfRow(e.getKey, d.docId, acc.count.toLong, dl,
+                acc.bytes)
+            }
+          }
+          out.iterator
         }
-        out.iterator
+        val text = fieldRows(Analysis.tokenize(d.text), "", d.doclen)
+        if (d.titleLen == 0L) text
+        else text ++ fieldRows(Analysis.tokenize(d.title), "title:", d.titleLen)
       }
     }
   }
@@ -451,10 +464,10 @@ object IndexBuilder {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val sideWrites = Future {
-      idDocs.toDF().drop("text")
-        .select($"docId", $"url", $"warc_ts", $"lang", $"doclen")
+      idDocs.toDF()
+        .select($"docId", $"url", $"warc_ts", $"lang", $"doclen", $"titleLen")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
-      Seq(CorpusStats(nDocs, avgdl, totalTerms)).toDS()
+      Seq(stats).toDS()
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
     }
 

@@ -141,6 +141,8 @@ object IndexLayout {
       .flatMap(p => spark.read.parquet(p).as[CorpusStats].collect())
     val n = parts.map(_.n).sum
     val tt = parts.map(_.totalTerms).sum
-    CorpusStats(n, if (n == 0) 0.0 else tt.toDouble / n, tt)
+    val ttl = parts.map(_.titleTerms).sum
+    CorpusStats(n, if (n == 0) 0.0 else tt.toDouble / n, tt,
+      if (n == 0) 0.0 else ttl.toDouble / n, ttl)
   }
 }

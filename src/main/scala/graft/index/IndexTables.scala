@@ -7,13 +7,17 @@ import java.sql.Timestamp
   * pruning, compaction and resume plain relational jobs.
   */
 
-/** Document store row — the analog of Solr's stored fields. */
+/** Document store row — the analog of Solr's stored fields. `doclen` /
+  * `titleLen` are the per-field token counts (compaction re-derives field
+  * stats from them without touching the source corpus).
+  */
 final case class DocRow(
     docId: Long,
     url: String,
     warc_ts: Timestamp,
     lang: String,
-    doclen: Long)
+    doclen: Long,
+    titleLen: Long)
 
 /** One compressed posting segment: a docId-range slice of one term's posting
   * list. Non-skewed terms have exactly one segment (segment=0); terms with
@@ -66,8 +70,14 @@ final case class PostingSegment(
     blockDlOff: Array[Int],
     blockPosOff: Array[Int])
 
-/** Broadcast-sized corpus statistics (single row). */
-final case class CorpusStats(n: Long, avgdl: Double, totalTerms: Long)
+/** Broadcast-sized corpus statistics (single row). BM25 length norms are
+  * PER FIELD (Lucene likewise keeps norms per field): `avgdl`/`totalTerms`
+  * cover the default `text` field, `titleAvgdl`/`titleTerms` the indexed
+  * title field (reference: fielded search on `mmd_title` with df=text_en,
+  * /root/reference/src/indexdata.py:1516–1523).
+  */
+final case class CorpusStats(n: Long, avgdl: Double, totalTerms: Long,
+    titleAvgdl: Double = 0.0, titleTerms: Long = 0L)
 
 /** Per-bucket build lineage + metrics — the checkpoint manifest
   * (north_rule: "resumable from checkpoint with per-partition lineage +

@@ -3,18 +3,21 @@ package graft.oracle
 import scala.collection.mutable
 
 import graft.index.{Analysis, BM25}
-import graft.query.{QueryAst, QueryParser, RangeFilter, Wand}
+import graft.query.{QueryAst, QueryParser, QueryResolve, RangeFilter,
+  ResolvedQuery, Wand}
 
 /** Oracle-side document: mirrors the engine's stored fields. */
 final case class OracleDoc(docId: Long, text: String, lang: String = "en",
-    url: String = "", tsMillis: Long = 0L)
+    url: String = "", tsMillis: Long = 0L, title: String = "")
 
 /** Sequential in-memory reference implementation (SURVEY.md §5.1) — the
   * keystone oracle standing in for a live Solr instance. Same tokenizer,
-  * exact-arithmetic tf/df/BM25, naive uncompressed postings WITH positions,
-  * exhaustive scoring, top-k by (-score, docId). Every distributed result
-  * must be rank-identical (docIds equal, scores within 1e-9) to this on the
-  * fixed query set (FIXTURES.md §3).
+  * exact-arithmetic tf/df/BM25 with PER-FIELD length norms (text + title),
+  * naive uncompressed postings WITH positions (title terms under
+  * "title:"-qualified keys), exhaustive scoring, clause-based boolean
+  * matching identical to the parser's DNF semantics, top-k by
+  * (-score, docId). Every distributed result must be rank-identical (docIds
+  * equal, scores within 1e-9) to this on the fixed query set (FIXTURES.md §3).
   *
   * Per-doc score = sum of per-term contributions in TERM-SORTED order —
   * the same summation order the distributed WAND scorer fixes, so scores
@@ -28,40 +31,53 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
 
   val n: Long = docs.size.toLong
   private val doclen = mutable.LongMap.empty[Long]
+  private val titleLen = mutable.LongMap.empty[Long]
   private val docLang = mutable.LongMap.empty[String]
   private val docUrl = mutable.LongMap.empty[String]
   private val docTs = mutable.LongMap.empty[Long]
-  // term -> sorted (docId, tf)
+  // term key -> sorted (docId, tf); title terms under "title:tok" keys
   private val postings = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Long)]]
-  // (term, docId) -> ascending within-doc token positions
+  // (term, docId) -> ascending within-field token positions
   private val positions = mutable.HashMap.empty[(String, Long), Array[Int]]
 
   docs.sortBy(_.docId).foreach { d =>
-    val toks = Analysis.tokenize(d.text)
-    doclen(d.docId) = toks.length.toLong
     docLang(d.docId) = d.lang
     docUrl(d.docId) = d.url
     docTs(d.docId) = d.tsMillis
-    val tf = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
-    toks.zipWithIndex.foreach { case (t, p) =>
-      tf.getOrElseUpdate(t, mutable.ArrayBuffer.empty) += p
+    def indexField(text: String, keyPrefix: String): Long = {
+      val toks = Analysis.tokenize(text)
+      val tf = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
+      toks.zipWithIndex.foreach { case (t, p) =>
+        tf.getOrElseUpdate(keyPrefix + t, mutable.ArrayBuffer.empty) += p
+      }
+      tf.foreach { case (t, ps) =>
+        postings.getOrElseUpdate(t, mutable.ArrayBuffer.empty) += ((d.docId, ps.length.toLong))
+        positions((t, d.docId)) = ps.toArray
+      }
+      toks.length.toLong
     }
-    tf.foreach { case (t, ps) =>
-      postings.getOrElseUpdate(t, mutable.ArrayBuffer.empty) += ((d.docId, ps.length.toLong))
-      positions((t, d.docId)) = ps.toArray
-    }
+    doclen(d.docId) = indexField(d.text, "")
+    titleLen(d.docId) = indexField(d.title, "title:")
   }
 
   val totalTerms: Long = doclen.values.sum
   val avgdl: Double = if (n == 0) 0.0 else totalTerms.toDouble / n
+  val titleTerms: Long = titleLen.values.sum
+  val titleAvgdl: Double = if (n == 0) 0.0 else titleTerms.toDouble / n
   def df(term: String): Long = postings.get(term).map(_.size.toLong).getOrElse(0L)
   def cf(term: String): Long = postings.get(term).map(_.map(_._2).sum).getOrElse(0L)
+
+  private def dlOf(term: String, id: Long): Long =
+    if (term.startsWith("title:")) titleLen(id) else doclen(id)
+  private def avgdlOf(term: String): Double =
+    if (term.startsWith("title:")) titleAvgdl else avgdl
 
   private def parseTs(v: String): Long = java.time.Instant.parse(v).toEpochMilli
 
   /** The engine's stored-field predicate semantics, mirrored exactly:
     * lang = exact, url = substring containment, ranges inclusive with `*`
-    * open ends (lexicographic for url/lang, instant-parse for warc_ts).
+    * open ends (lexicographic for url/lang, instant-parse for warc_ts —
+    * bounds are validated at parse time, so both sides share one grammar).
     */
   private def fieldFilterOk(ast: QueryAst)(id: Long): Boolean = {
     ast.langFilter.forall(l => docLang(id) == l) &&
@@ -81,52 +97,50 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     }
   }
 
-  private def phrasesOk(ast: QueryAst)(id: Long): Boolean =
-    ast.phrases.forall { ph =>
-      Wand.phraseMatch(ph.map(t =>
-        positions.getOrElse((t, id), Array.empty[Int])))
-    }
-
   /** Top-k for a parsed query; tiebreak (-score, docId). */
-  def topK(query: String, k: Int): Seq[(Long, Double)] = {
-    val ast = QueryParser.parse(query)
+  def topK(query: String, k: Int, df: String = "text"): Seq[(Long, Double)] = {
+    val ast = QueryParser.parse(query, df)
     candidates(ast).take(k)
   }
 
+  private def resolve(ast: QueryAst): ResolvedQuery =
+    QueryResolve.resolve(ast, QueryResolve.dictExpand(postings.keys.toSeq))
+
   /** All matching (docId, score), ordered — the match set behind topK and
-    * facet (Solr facets count over every match, not the page).
+    * facet (Solr facets count over every match, not the page). Match =
+    * ≥1 DNF clause satisfied; score = term-sorted sum of BM25 contributions
+    * of every distinct positive query term the doc contains.
     */
   def candidates(ast: QueryAst): Seq[(Long, Double)] = {
-    val scoringTerms = ast.scoringTerms.distinct.sorted
-    val mustTerms = ast.mustTerms.distinct
-    val notTerms = ast.notTerms.distinct
+    val rq = resolve(ast)
+    val scoringTerms = rq.scoringTerms // distinct + sorted
+    if (scoringTerms.isEmpty || rq.clauses.isEmpty) return Seq.empty
 
     val scores = mutable.LongMap.empty[Double]
-    val termHits = mutable.LongMap.empty[Int] // how many MUST terms matched
     scoringTerms.foreach { t =>
       postings.get(t).foreach { pl =>
         val idfv = BM25.idf(n, pl.size.toLong)
         pl.foreach { case (id, tf) =>
           scores(id) = scores.getOrElse(id, 0.0) +
-            BM25.score(tf, doclen(id), avgdl, idfv)
+            BM25.score(tf, dlOf(t, id), avgdlOf(t), idfv)
         }
       }
     }
-    mustTerms.foreach { t =>
-      postings.get(t).foreach(_.foreach { case (id, _) =>
-        termHits(id) = termHits.getOrElse(id, 0) + 1
-      })
+
+    def present(t: String, id: Long): Boolean =
+      positions.contains((t, id))
+
+    def clausesOk(id: Long): Boolean = rq.clauses.exists { cl =>
+      cl.mustGroups.forall(_.exists(present(_, id))) &&
+      !cl.notTerms.exists(present(_, id)) &&
+      cl.phrases.forall { ph =>
+        Wand.phraseMatch(ph.map(t =>
+          positions.getOrElse((t, id), Array.empty[Int])))
+      }
     }
-    val excluded = mutable.HashSet.empty[Long]
-    notTerms.foreach(t => postings.get(t).foreach(_.foreach(p => excluded += p._1)))
 
     scores.toSeq
-      .filter { case (id, _) =>
-        (mustTerms.isEmpty || termHits.getOrElse(id, 0) == mustTerms.size) &&
-        !excluded.contains(id) &&
-        fieldFilterOk(ast)(id) &&
-        phrasesOk(ast)(id)
-      }
+      .filter { case (id, _) => clausesOk(id) && fieldFilterOk(ast)(id) }
       .sortBy { case (id, s) => (-s, id) }
   }
 
@@ -151,7 +165,7 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     terms.distinct.sorted.foldLeft(0.0) { (acc, t) =>
       postings.get(t).flatMap(_.find(_._1 == docId)) match {
         case Some((_, tf)) =>
-          acc + BM25.score(tf, doclen(docId), avgdl, BM25.idf(n, df(t)))
+          acc + BM25.score(tf, dlOf(t, docId), avgdlOf(t), BM25.idf(n, df(t)))
         case None => acc
       }
     }

@@ -88,6 +88,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     postingsV = readPostings()
     segCache.synchronized(segCache.clear())
     filterCache.synchronized(filterCache.clear())
+    prefixCache.synchronized(prefixCache.clear())
   }
 
   /** Pruned postings scan for a term set: bucket partition pruning + term
@@ -132,7 +133,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
           e: java.util.Map.Entry[String, Array[Long]]): Boolean = size() > 64
     }
 
-  def search(q: String, k: Int): DataFrame = searchWand(q, k)
+  def search(q: String, k: Int, df: String = "text"): DataFrame =
+    searchWand(q, k, df)
 
   /** Library-call form: top-k as driver-side values. For small posting sets
     * this is one (cached) scan with zero result-side Spark jobs — the
@@ -141,6 +143,45 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def topK(q: String, k: Int): Array[Wand.Scored] =
     search(q, k).collect().map(r => Wand.Scored(r.getLong(0), r.getDouble(1)))
+
+  /** Per-term avgdl (per-field BM25 length norms; title terms carry the
+    * "title:" key prefix).
+    */
+  private def avgdlOf: Wand.FieldAvgdl =
+    Wand.FieldAvgdl(stats.avgdl, stats.titleAvgdl)
+
+  // ------------------------------------------------------ prefix expansion
+
+  /** Bounded LRU of prefix → expansion (dictionary terms), cleared with the
+    * other caches on append/compaction.
+    */
+  private val prefixCache =
+    new java.util.LinkedHashMap[String, Seq[String]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[String]]): Boolean = size() > 64
+    }
+
+  /** Dictionary expansion of a trailing-* prefix: a term-RANGE scan over the
+    * sorted term column (Parquet min/max prunes row groups in every bucket —
+    * no full-vocabulary decode; the prefix hashes across buckets, so bucket
+    * pruning does not apply). Ordering + cap must mirror
+    * [[QueryResolve.dictExpand]] exactly: the sequential oracle uses that
+    * rule, and rank-identity depends on both sides expanding alike.
+    */
+  private[query] def expandPrefix(prefix: String): Seq[String] = {
+    prefixCache.synchronized(Option(prefixCache.get(prefix))) match {
+      case Some(hit) => return hit
+      case None      =>
+    }
+    var scan = postingsV
+      .filter($"term" >= prefix && $"term" < prefix + "\uffff")
+    if (!prefix.contains(":")) // text-field prefix: skip field-qualified keys
+      scan = scan.filter(!$"term".contains(":"))
+    val terms = scan.select($"term").distinct().orderBy($"term")
+      .limit(QueryResolve.MaxPrefixExpansion).as[String].collect().toSeq
+    prefixCache.synchronized(prefixCache.put(prefix, terms))
+    terms
+  }
 
   // ------------------------------------------------------- filter predicates
 
@@ -196,15 +237,15 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
   // ---------------------------------------------------------------- WAND
 
-  def searchWand(q: String, k: Int): DataFrame = {
-    val ast = QueryParser.parse(q)
-    val scoring = ast.scoringTerms.distinct.sorted
-    val must = ast.mustTerms.toSet
-    val not = ast.notTerms.distinct
-    val phrases = ast.phrases
-    if (scoring.isEmpty) return emptyResult
+  def searchWand(q: String, k: Int, df: String = "text"): DataFrame = {
+    val ast = QueryParser.parse(q, df)
+    val rq = QueryResolve.resolve(ast, expandPrefix)
+    val scoring = rq.scoringTerms // distinct + sorted by resolve
+    val clauses = rq.clauses
+    val not = clauses.flatMap(_.notTerms).distinct.sorted
+    if (scoring.isEmpty || clauses.isEmpty) return emptyResult
     val n = stats.n
-    val avgdl = stats.avgdl
+    val avgdls = avgdlOf
     val pred = filterPredicate(ast)
 
     // plan construction alone costs 10s of ms — build only on cache miss
@@ -241,8 +282,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
               allowIds.forall(a => java.util.Arrays.binarySearch(a, id) >= 0) &&
               (denyIds.isEmpty || java.util.Arrays.binarySearch(denyIds, id) < 0)
             }
-          val top = Wand.topK(byTerm, dfByTerm, scoring, must, not, phrases,
-            n, avgdl, k, 0L, Long.MaxValue, allowFn)
+          val top = Wand.topK(byTerm, dfByTerm, scoring, clauses,
+            n, avgdls, k, 0L, Long.MaxValue, allowFn)
           return top.toSeq.toDS().toDF()
         case _ => // fall through to the distributed path
       }
@@ -263,10 +304,9 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val rangeLen = math.min(
       math.max(1L, (n + parallelism - 1) / parallelism), 1L << 26)
 
-    val mustB = must
-    val notB = not
+    val clausesB = clauses
     val scoringB = scoring
-    val phrasesB = phrases
+    val avgdlsB = avgdls
     val kB = k
 
     val segWin: Dataset[(Long, PostingSegment)] = segs
@@ -296,8 +336,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
         segWin.groupByKey(_._1).flatMapGroups { (rid, it) =>
           val byTerm = it.map(_._2).toSeq.groupBy(_.term)
           val lo = rid * rangeLen
-          Wand.topK(byTerm, bDf.value, scoringB, mustB, notB, phrasesB,
-            n, avgdl, kB, lo, lo + rangeLen, None).iterator
+          Wand.topK(byTerm, bDf.value, scoringB, clausesB,
+            n, avgdlsB, kB, lo, lo + rangeLen, None).iterator
         }
       case Some(fr) =>
         // cogroup: each window task gets its own filter slice as a
@@ -331,8 +371,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
                   (dBs == null || !dBs.get(off))
                 }
               val byTerm = segsHere.groupBy(_.term)
-              Wand.topK(byTerm, bDf.value, scoringB, mustB, notB, phrasesB,
-                n, avgdl, kB, lo, hi, allowFn).iterator
+              Wand.topK(byTerm, bDf.value, scoringB, clausesB,
+                n, avgdlsB, kB, lo, hi, allowFn).iterator
             }
         }
     }
@@ -344,87 +384,81 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
   // ---------------------------------------------------------- exhaustive
 
-  def searchExhaustive(q: String, k: Int): DataFrame = {
-    val ast = QueryParser.parse(q)
+  def searchExhaustive(q: String, k: Int, df: String = "text"): DataFrame = {
+    val ast = QueryParser.parse(q, df)
     scoredCandidates(ast)
       .orderBy(desc("score"), asc("docId")).limit(k)
   }
 
   /** All matching (docId, score) as a DataFrame — the pure-Catalyst match
-    * set behind searchExhaustive and facet.
+    * set behind searchExhaustive and facet. One pruned scan of every query
+    * term (scoring + negative), a per-doc fold in term-sorted order
+    * (bit-identical scores at any parallelism), and a clause-evaluation
+    * predicate over the doc's collected (term, positions) list. The clause
+    * UDF runs on small per-doc lists — this is the slow regression-anchor
+    * path, not the WAND hot loop.
     */
   private def scoredCandidates(ast: QueryAst): DataFrame = {
-    val scoring = ast.scoringTerms.distinct.sorted
-    val must = ast.mustTerms.distinct
-    val not = ast.notTerms.distinct
-    if (scoring.isEmpty) return emptyResult
+    val rq = QueryResolve.resolve(ast, expandPrefix)
+    val scoring = rq.scoringTerms
+    val clauses = rq.clauses
+    if (scoring.isEmpty || clauses.isEmpty) return emptyResult
+    val not = clauses.flatMap(_.notTerms).distinct
+    val phraseTerms = clauses.flatMap(_.phrases.flatten).distinct.toSet
+    val allTerms = (scoring ++ not).distinct
     val n = stats.n
-    val avgdl = stats.avgdl
+    val avgdls = avgdlOf
 
     // per-term global df for idf: tiny agg over the pruned scan
-    val dfByTerm: Map[String, Long] = postingsFor(scoring)
+    val dfByTerm: Map[String, Long] = postingsFor(allTerms)
       .groupBy($"term").agg(sum($"count").as("df"))
       .as[(String, Long)].collect().toMap
     val bDf = spark.sparkContext.broadcast(dfByTerm)
 
-    def hitsFor(terms: Seq[String]): DataFrame = {
-      val nB = n; val avgdlB = avgdl
-      postingsFor(terms).flatMap { s =>
-        val idfv = BM25.idf(nB, bDf.value(s.term))
-        val (ids, tfs, dls) = PostingCodec.decodeAll(s)
-        val out = new Array[(String, Long, Double)](s.count)
-        var i = 0
-        while (i < s.count) {
-          out(i) = (s.term, ids(i), BM25.score(tfs(i), dls(i), avgdlB, idfv))
-          i += 1
-        }
-        out.toSeq
-      }.toDF("term", "docId", "score")
-    }
+    val nB = n
+    val scoringSet = scoring.toSet
+    val phraseTermsB = phraseTerms
+    // one row per (doc, term) with the term's BM25 contribution (0 for
+    // negative-only terms) and its positions when a phrase needs them
+    val rows = postingsFor(allTerms).flatMap { s =>
+      val idfv = BM25.idf(nB, bDf.value(s.term))
+      val avg = avgdls(s.term)
+      val isScoring = scoringSet.contains(s.term)
+      val needPos = phraseTermsB.contains(s.term)
+      val (ids, tfs, dls) = PostingCodec.decodeAll(s)
+      val poss = if (needPos) PostingCodec.decodePositions(s) else null
+      Iterator.tabulate(s.count) { i =>
+        (ids(i), s.term,
+          if (isScoring) BM25.score(tfs(i), dls(i), avg, idfv) else 0.0,
+          if (needPos) poss(i).toSeq else Seq.empty[Int])
+      }
+    }.toDF("docId", "term", "score", "positions")
 
     // deterministic per-doc score: fold term contributions in term-sorted
     // order via sort_array + aggregate (bit-identical at any parallelism)
-    var scored = hitsFor(scoring)
-      .groupBy($"docId")
-      .agg(
-        aggregate(
-          sort_array(collect_list(struct($"term", $"score"))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("score")).as("score"),
-        sum(when($"term".isin(must: _*), 1).otherwise(0)).as("mustHits"))
-    if (must.nonEmpty) scored = scored.filter($"mustHits" === must.size)
-    scored = scored.select($"docId", $"score")
+    val perDoc = rows.groupBy($"docId").agg(
+      aggregate(
+        sort_array(collect_list(struct($"term", $"score"))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("score")).as("score"),
+      collect_list(struct($"term", $"positions")).as("tps"))
 
-    if (not.nonEmpty) {
-      val excl = postingsFor(not).flatMap { s =>
-        VByte.decodeDeltas(s.docIdsVb, s.count).toSeq
-      }.toDF("docId").distinct()
-      scored = scored.join(excl, Seq("docId"), "left_anti")
-    }
-    // positional phrase constraint: per-doc position lists of the phrase
-    // terms, verified by the same phraseMatch as WAND and the oracle. The
-    // verification UDF runs on the (small) per-doc collected lists — this is
-    // the slow verification path, not the WAND hot loop.
-    if (ast.phrases.nonEmpty) {
-      val phraseTerms = ast.phrases.flatten.distinct
-      val posDf = postingsFor(phraseTerms).flatMap { s =>
-        val ids = VByte.decodeDeltas(s.docIdsVb, s.count)
-        val poss = PostingCodec.decodePositions(s)
-        Iterator.tabulate(s.count)(i => (ids(i), s.term, poss(i).toSeq))
-      }.toDF("docId", "term", "positions")
-      val phrasesLocal = ast.phrases.map(_.toArray).toArray
-      val phraseOk = udf { (terms: Seq[String], positions: Seq[Seq[Int]]) =>
-        val byTerm = terms.zip(positions.map(_.toArray)).toMap
-        phrasesLocal.forall(ph => Wand.phraseMatch(
-          ph.toSeq.map(t => byTerm.getOrElse(t, Array.empty[Int]))))
+    val clausesLocal: Array[(Array[Array[String]], Array[String], Array[Array[String]])] =
+      clauses.map(c => (c.mustGroups.map(_.toArray).toArray,
+        c.notTerms.toArray, c.phrases.map(_.toArray).toArray)).toArray
+    val clauseOk = udf { (tps: Seq[org.apache.spark.sql.Row]) =>
+      val present = tps.map(_.getString(0)).toSet
+      lazy val posByTerm: Map[String, Array[Int]] = tps.map(r =>
+        r.getString(0) -> r.getSeq[Int](1).toArray).toMap
+      clausesLocal.exists { case (groups, nots, phrases) =>
+        groups.forall(_.exists(present.contains)) &&
+        !nots.exists(present.contains) &&
+        phrases.forall(ph => Wand.phraseMatch(
+          ph.toSeq.map(t => posByTerm.getOrElse(t, Array.empty[Int]))))
       }
-      val okDocs = posDf.groupBy($"docId")
-        .agg(collect_list($"term").as("terms"),
-          collect_list($"positions").as("poss"))
-        .filter(phraseOk($"terms", $"poss"))
-        .select($"docId")
-      scored = scored.join(okDocs, Seq("docId"), "left_semi")
     }
+    var scored = perDoc.filter(clauseOk($"tps")).select($"docId", $"score")
+
     filterPredicate(ast).foreach { p =>
       scored = scored.join(
         docsV.filter(p).select($"docId"), Seq("docId"), "left_semi")

@@ -1,46 +1,78 @@
 package graft.query
 
+import scala.collection.mutable
+
 import graft.index.Analysis
 
 /** One stored-field range constraint `field:[lo TO hi]` (Lucene bracket
   * syntax at the reference's search call-site, searchindex.py:98). Bounds are
   * inclusive; `*` = open end. Fields: `url`, `lang` (lexicographic) and
-  * `warc_ts` (ISO-8601 instant).
+  * `warc_ts` (ISO-8601 instant, validated at parse time so the engine and
+  * the sequential oracle accept exactly the same literal grammar).
   */
 final case class RangeFilter(field: String, lo: Option[String],
     hi: Option[String])
 
-/** Parsed query in the flat model the reference actually exercises.
+/** A term literal after analysis. `key` is the field-qualified posting key:
+  * bare tokens for the default `text` field, `"title:" + token` for the
+  * title field (tokens never contain ':', so keys cannot collide).
+  */
+sealed trait TermLit { def key: String }
+final case class ExactLit(key: String) extends TermLit
+/** Trailing-`*` prefix query; expanded against the live dictionary by
+  * [[QueryResolve.resolve]] (engine: pruned term-range scan; oracle: its
+  * posting keys) under one shared deterministic cap.
+  */
+final case class PrefixLit(key: String) extends TermLit
+
+/** One DNF clause of the parsed boolean query: a document matches the clause
+  * iff every positive literal is present (a PrefixLit counts as present when
+  * ≥1 of its expansion terms is), no negative literal is present, and every
+  * phrase occurs at consecutive positions. The query matches iff ≥1 clause
+  * matches.
+  */
+final case class BoolClause(pos: Seq[TermLit], neg: Seq[TermLit],
+    phrases: Seq[Seq[String]])
+
+/** Parsed query.
   *
   * The reference passes raw Lucene query strings to Solr
   * (`solrc.search(searchstring, rows=…)`, /root/reference/src/searchindex.py:98;
   * fielded `mmd_title:… df=text_en`, /root/reference/src/indexdata.py:1516–1523).
-  * Surface (SURVEY.md §2.7 Q2/Q3): bare terms (default OR), AND, NOT,
-  * `-term`, `+term`, `"phrase"` (positional — consecutive tokens), `field:term`
-  * where field is an indexed text field (default `text`, overridable via the
-  * `df` parameter like Solr's df=) or a stored filter field (`lang`, `url`),
-  * and `field:[a TO b]` ranges on stored fields. Wildcard/fuzzy are a
-  * documented non-goal (never exercised by the reference's own code).
+  * Surface (SURVEY.md §2.7 Q2/Q3): bare terms (default OR), AND, OR, NOT,
+  * `-term`, `+term`, parentheses, `"phrase"` (positional — consecutive
+  * tokens), trailing-`*` prefix terms, `field:term` where field is an indexed
+  * text field (`text`, `title`; default overridable via the `df` parameter
+  * like Solr's df=) or a stored filter field (`lang`, `url`), and
+  * `field:[a TO b]` ranges on stored fields.
   *
-  * Boolean model (documented v1 divergence from Lucene): AND is flat — the
-  * presence of any `AND` promotes every positive term to MUST, so
-  * `a AND b OR c` requires all three; there is no precedence tree.
+  * Boolean model (round 3 — replaces the round-1/2 flat-AND divergence):
+  * standard precedence `NOT > AND > adjacency > OR`, parentheses group, and
+  * the tree is normalized to a DISJUNCTION OF CONJUNCTIONS (`clauses`). So
+  * `a AND b OR c` ≡ `(a AND b) OR c` and `a AND (b OR c)` expands to
+  * `(a AND b) OR (a AND c)`. Within one adjacency group Lucene-style occurs
+  * prefixes apply: `+x` is required, `-x`/`NOT x` is prohibited, unmarked
+  * items are shoulds (≥1 must match unless the group has `+` items).
   *
-  * - scoringTerms: positive text terms — each contributes BM25 score.
-  * - mustTerms: all must be present (AND / '+' / phrase semantics).
-  * - notTerms: none may be present.
-  * - phrases: ordered term lists that must occur at consecutive positions
-  *   (each phrase's terms are also in mustTerms).
-  * - langFilter / urlFilter: stored-field predicates on the docs table
-  *   (lang: exact match; url: substring containment, the pragmatic analog of
-  *   a tokenized url field).
-  * - rangeFilters: stored-field range predicates.
+  * Documented divergences from Lucene's classic parser (which has NO
+  * precedence — it mutates pairwise occurs flags, so `a AND b OR c` silently
+  * means `+a +b c` there):
+  *  - boolean-algebra precedence as above (the fix VERDICT r2 item 2 asked
+  *    for);
+  *  - scoring: a matching document scores the sum of BM25 contributions of
+  *    every DISTINCT positive query term it contains (term-sorted summation
+  *    for bit determinism), independent of which clause matched;
+  *  - prefix terms score like ordinary terms per expansion (Lucene rewrites
+  *    them constant-score);
+  *  - negated phrases are rejected with a parse error (ADVICE r2);
+  *  - pure-negative queries/branches (`NOT a`, `a OR NOT b`) are rejected —
+  *    they are unscorable;
+  *  - stored-field filters (`lang:`/`url:`/ranges) are GLOBAL conjuncts
+  *    wherever they appear (Solr fq semantics), never OR-alternatives.
   */
 final case class QueryAst(
-    scoringTerms: Seq[String],
-    mustTerms: Seq[String],
-    notTerms: Seq[String],
-    phrases: Seq[Seq[String]],
+    scoringLits: Seq[TermLit],
+    clauses: Seq[BoolClause],
     langFilter: Option[String],
     urlFilter: Option[String],
     rangeFilters: Seq[RangeFilter]) {
@@ -48,32 +80,97 @@ final case class QueryAst(
     langFilter.isDefined || urlFilter.isDefined || rangeFilters.nonEmpty
 }
 
+/** Post-parse resolution: prefix literals → concrete term lists. */
+final case class ResolvedClause(mustGroups: Seq[Seq[String]],
+    notTerms: Seq[String], phrases: Seq[Seq[String]])
+final case class ResolvedQuery(scoringTerms: Seq[String],
+    clauses: Seq[ResolvedClause])
+
+object QueryResolve {
+  /** Cap on terms a prefix expands to. Both sides of the correctness gate
+    * (engine dictionary scan, oracle key scan) take the lexicographically
+    * FIRST `MaxPrefixExpansion` matches, so results stay rank-identical by
+    * construction. At 10^12 docs this also bounds the per-query cursor count
+    * (Lucene's analog is BooleanQuery.maxClauseCount).
+    */
+  val MaxPrefixExpansion = 512
+
+  /** @param expand prefix key → matching dictionary terms, SORTED ascending
+    *   and capped at [[MaxPrefixExpansion]]. For a bare (text-field) prefix
+    *   the expansion must exclude field-qualified keys (those containing
+    *   ':'); [[dictExpand]] implements the rule for an in-memory dictionary.
+    */
+  def resolve(ast: QueryAst, expand: String => Seq[String]): ResolvedQuery = {
+    val cache = mutable.HashMap.empty[String, Seq[String]]
+    def exp(p: String): Seq[String] = cache.getOrElseUpdate(p, expand(p))
+    def terms(l: TermLit): Seq[String] = l match {
+      case ExactLit(k)  => Seq(k)
+      case PrefixLit(p) => exp(p)
+    }
+    val clauses = ast.clauses.flatMap { c =>
+      val groups = c.pos.map(terms)
+      // a positive prefix matching nothing in the dictionary makes the
+      // clause unsatisfiable — drop it (other OR branches may still match)
+      if (groups.exists(_.isEmpty)) None
+      else Some(ResolvedClause(groups, c.neg.flatMap(terms).distinct,
+        c.phrases))
+    }
+    val scoring = ast.scoringLits.flatMap(terms).distinct.sorted
+    ResolvedQuery(scoring, clauses)
+  }
+
+  /** The shared expansion rule over an in-memory term dictionary (the
+    * sequential oracle; tests). The engine's DataFrame twin must order and
+    * cap identically.
+    */
+  def dictExpand(dict: Iterable[String])(prefix: String): Seq[String] =
+    dict.iterator
+      .filter(k => k.startsWith(prefix) &&
+        (prefix.contains(":") || !k.contains(":")))
+      .toSeq.sorted.take(MaxPrefixExpansion)
+}
+
 object QueryParser {
 
   /** Stored filter fields (docs-table predicates, not scored index terms). */
   val FilterFields: Set[String] = Set("lang", "url", "warc_ts")
 
+  /** Indexed (scored) fields; `df=` must name one of these. */
+  val IndexedFields: Set[String] = Set("text", "title")
+
+  /** Max DNF clauses a query may expand to (parens × AND distribution). */
+  val MaxClauses = 64
+
+  private[query] def termKey(field: String, token: String): String =
+    if (field == "text") token else s"$field:$token"
+
+  // ------------------------------------------------------------------ lexer
+
   private sealed trait Tok
   private case object AndTok extends Tok
   private case object OrTok extends Tok
   private case object NotTok extends Tok
+  private case object PlusTok extends Tok
+  private case object LParen extends Tok
+  private case object RParen extends Tok
   private final case class TermTok(field: Option[String], value: String,
-      phrase: Boolean, neg: Boolean, plus: Boolean) extends Tok
+      phrase: Boolean) extends Tok
   private final case class RangeTok(field: String, lo: Option[String],
       hi: Option[String]) extends Tok
 
-  private def lex(q: String): List[Tok] = {
-    val toks = scala.collection.mutable.ListBuffer.empty[Tok]
+  private def lex(q: String): Vector[Tok] = {
+    val toks = Vector.newBuilder[Tok]
     var i = 0
     val s = q.trim
     while (i < s.length) {
       s.charAt(i) match {
         case c if c.isWhitespace => i += 1
+        case '(' => toks += LParen; i += 1
+        case ')' => toks += RParen; i += 1
         case _ =>
-          var neg = false; var plus = false
-          if (s.charAt(i) == '-') { neg = true; i += 1 }
-          else if (s.charAt(i) == '+') { plus = true; i += 1 }
-          if (i < s.length) {
+          if (s.charAt(i) == '-') { toks += NotTok; i += 1 }
+          else if (s.charAt(i) == '+') { toks += PlusTok; i += 1 }
+          else {
             // optional field prefix
             var field: Option[String] = None
             val colon = s.indexOf(':', i)
@@ -86,7 +183,7 @@ object QueryParser {
             if (i < s.length && s.charAt(i) == '"') {
               val end = s.indexOf('"', i + 1)
               val stop = if (end < 0) s.length else end
-              toks += TermTok(field, s.substring(i + 1, stop), phrase = true, neg, plus)
+              toks += TermTok(field, s.substring(i + 1, stop), phrase = true)
               i = if (end < 0) s.length else end + 1
             } else if (i < s.length && s.charAt(i) == '[') {
               // range literal [lo TO hi] — only meaningful with a field
@@ -106,7 +203,8 @@ object QueryParser {
               toks += RangeTok(f, bound(parts(0)), bound(parts(1)))
             } else {
               var j = i
-              while (j < s.length && !s.charAt(j).isWhitespace) j += 1
+              while (j < s.length && !s.charAt(j).isWhitespace &&
+                s.charAt(j) != '(' && s.charAt(j) != ')') j += 1
               val w = s.substring(i, j)
               i = j
               w match {
@@ -114,63 +212,267 @@ object QueryParser {
                 case "OR"  => toks += OrTok
                 case "NOT" => toks += NotTok
                 case _ if w.nonEmpty =>
-                  toks += TermTok(field, w, phrase = false, neg, plus)
+                  toks += TermTok(field, w, phrase = false)
                 case _ =>
               }
             }
           }
       }
     }
-    toks.toList
+    toks.result()
   }
 
+  // ------------------------------------------------------- formula tree
+
+  private sealed trait N
+  private final case class NTerm(l: TermLit) extends N
+  private final case class NPhrase(ts: Seq[String]) extends N
+  private final case class NAnd(cs: Seq[N]) extends N
+  private final case class NOr(cs: Seq[N]) extends N
+  private final case class NNot(c: N) extends N
+  /** A should-item of a group that has `+` items: contributes scoring terms
+    * but no match constraint (Lucene minimumShouldMatch=0 semantics).
+    */
+  private final case class NShould(c: N) extends N
+  private case object NTrue extends N
+  private case object NFalse extends N
+
+  // ---------------------------------------------------------------- parser
+
   /** @param defaultField the indexed field untargeted terms go to — Solr's
-    *   df= parameter (reference: df='text_en' at indexdata.py:1519). Only
-    *   `text` is an indexed field in this engine; unknown `field:` prefixes
-    *   also fall back to it (Solr schemaless-style leniency), while the
-    *   stored filter fields (lang/url/warc_ts) become docs-table predicates.
+    *   df= parameter (reference: df='text_en' at indexdata.py:1519).
+    *   Unknown `field:` prefixes also fall back to it (Solr
+    *   schemaless-style leniency), while the stored filter fields
+    *   (lang/url/warc_ts) become docs-table predicates.
     */
   def parse(q: String, defaultField: String = "text"): QueryAst = {
-    require(defaultField == "text",
-      s"df='$defaultField': the only indexed field is 'text'")
-    val toks = lex(q)
-    val hasAnd = toks.contains(AndTok)
-    val scoring = Seq.newBuilder[String]
-    val must = Seq.newBuilder[String]
-    val not = Seq.newBuilder[String]
-    val phrases = Seq.newBuilder[Seq[String]]
-    val ranges = Seq.newBuilder[RangeFilter]
-    var lang: Option[String] = None
-    var url: Option[String] = None
+    require(IndexedFields.contains(defaultField),
+      s"df='$defaultField': indexed fields are ${IndexedFields.mkString(", ")}")
+    new P(lex(q), defaultField).run()
+  }
 
-    var negNext = false
-    toks.foreach {
-      case AndTok | OrTok => negNext = false
-      case NotTok         => negNext = true
-      case RangeTok(f, lo, hi) =>
-        require(FilterFields.contains(f),
-          s"range on '$f' unsupported (stored fields: ${FilterFields.mkString(", ")})")
-        negNext = false
-        ranges += RangeFilter(f, lo, hi)
-      case TermTok(field, value, phrase, neg, plus) =>
-        val isNeg = neg || negNext
-        negNext = false
-        field match {
-          case Some("lang") => lang = Some(value.toLowerCase)
-          case Some("url")  => url = Some(value)
-          case Some("text") | None | Some(_) =>
-            // unknown fields fall back to the default indexed field, matching
-            // Solr's df= behavior (indexdata.py:1519 df='text_en')
-            val terms = Analysis.tokenize(value)
-            if (isNeg) not ++= terms
-            else {
-              scoring ++= terms
-              if (phrase || plus || hasAnd) must ++= terms
-              if (phrase && terms.length >= 2) phrases += terms.toSeq
-            }
-        }
+  private final class P(toks: Vector[Tok], defaultField: String) {
+    private var i = 0
+    private var lang: Option[String] = None
+    private var url: Option[String] = None
+    private val ranges = Seq.newBuilder[RangeFilter]
+
+    private def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
+
+    def run(): QueryAst = {
+      val formula = parseOrList(depth = 0)
+      val scoring = mutable.LinkedHashSet.empty[TermLit]
+      collectScoring(formula, pos = true, scoring)
+      val clauses = dnf(nnf(formula, pos = true))
+      val nonEmpty = clauses.distinct.filter(c =>
+        c.pos.nonEmpty || c.phrases.nonEmpty || c.neg.nonEmpty)
+      nonEmpty.foreach { c =>
+        if (c.pos.isEmpty && c.phrases.isEmpty)
+          throw new IllegalArgumentException(
+            "pure-negative query branch is unscorable (every OR-branch " +
+              "needs at least one positive term)")
+      }
+      QueryAst(scoring.toSeq, nonEmpty, lang, url, ranges.result())
     }
-    QueryAst(scoring.result(), must.result(), not.result(), phrases.result(),
-      lang, url, ranges.result())
+
+    /** orList := seq (OR seq)* */
+    private def parseOrList(depth: Int): N = {
+      val alts = Seq.newBuilder[N]
+      var n = 0
+      var more = true
+      while (more) {
+        alts += parseSeq(depth)
+        n += 1
+        if (peek.contains(OrTok)) i += 1 else more = false
+      }
+      val as = alts.result().filterNot(_ == NTrue)
+      if (as.isEmpty) NTrue else if (as.length == 1) as.head else NOr(as)
+    }
+
+    /** seq := seqItem+ — one Lucene-style group: `+` items MUST, negated
+      * items MUST_NOT, the rest SHOULD (≥1 required iff no MUST items).
+      */
+    private def parseSeq(depth: Int): N = {
+      val items = Seq.newBuilder[(N, Boolean)]
+      var more = true
+      while (more) {
+        peek match {
+          case None | Some(OrTok) | Some(RParen) => more = false
+          case _ => parseSeqItem(depth).foreach(items += _)
+        }
+      }
+      val all = items.result()
+      val nots = all.collect { case (n @ NNot(_), _) => n }
+      val musts = all.collect { case (n, true) if !n.isInstanceOf[NNot] => n }
+      val shoulds = all.collect { case (n, false) if !n.isInstanceOf[NNot] => n }
+      if (musts.isEmpty && shoulds.isEmpty && nots.nonEmpty)
+        throw new IllegalArgumentException(
+          "pure-negative group is unscorable (add a positive term)")
+      if (musts.isEmpty && shoulds.isEmpty) NTrue
+      else if (musts.isEmpty) {
+        val disj = if (shoulds.length == 1) shoulds.head else NOr(shoulds)
+        if (nots.isEmpty) disj else NAnd(nots :+ disj)
+      } else NAnd(musts ++ nots ++ shoulds.map(NShould))
+    }
+
+    /** seqItem := prefixed (AND prefixed)* — AND binds tighter than
+      * adjacency. Returns None for filter tokens (pulled out globally).
+      */
+    private def parseSeqItem(depth: Int): Option[(N, Boolean)] = {
+      var first = parsePrefixed(depth)
+      var chain = first.map(f => Seq.newBuilder[N] += f._1)
+      while (peek.contains(AndTok)) {
+        i += 1
+        parsePrefixed(depth) match {
+          case Some((n, _)) =>
+            chain match {
+              case Some(b) => b += n
+              case None => // left operand was a filter: start chain at n
+                chain = Some(Seq.newBuilder[N] += n)
+                first = Some((n, false))
+            }
+          case None => // right operand was a filter (e.g. `a AND lang:no`)
+        }
+      }
+      chain.map { b =>
+        val cs = b.result()
+        (if (cs.length == 1) cs.head else NAnd(cs), first.exists(_._2))
+      }
+    }
+
+    /** prefixed := (NOT | '-' | '+')* unit */
+    private def parsePrefixed(depth: Int): Option[(N, Boolean)] = {
+      var neg = false
+      var plus = false
+      var scanning = true
+      while (scanning) {
+        peek match {
+          case Some(NotTok)  => neg = true; i += 1
+          case Some(PlusTok) => plus = true; i += 1
+          case _             => scanning = false
+        }
+      }
+      val unit: Option[N] = peek match {
+        case Some(LParen) =>
+          i += 1
+          require(depth < 16, "query nesting too deep")
+          val inner = parseOrList(depth + 1)
+          if (peek.contains(RParen)) i += 1 // tolerate unclosed at end
+          Some(inner)
+        case Some(t: TermTok) => i += 1; termNode(t)
+        case Some(r: RangeTok) =>
+          i += 1
+          require(FilterFields.contains(r.field),
+            s"range on '${r.field}' unsupported (stored fields: ${FilterFields.mkString(", ")})")
+          if (r.field == "warc_ts") {
+            // validate bounds NOW so the engine and the oracle accept the
+            // same literal grammar (ADVICE r2: a malformed bound must fail
+            // fast, not become a silent null predicate)
+            (r.lo ++ r.hi).foreach { v =>
+              try java.time.Instant.parse(v)
+              catch {
+                case _: java.time.format.DateTimeParseException =>
+                  throw new IllegalArgumentException(
+                    s"warc_ts range bound '$v' is not an ISO-8601 instant")
+              }
+            }
+          }
+          ranges += RangeFilter(r.field, r.lo, r.hi)
+          None
+        case Some(AndTok) | Some(OrTok) => i += 1; None // dangling operator
+        case Some(RParen) | None => None
+        case Some(NotTok) | Some(PlusTok) => None // unreachable
+      }
+      unit.map(n => (if (neg) NNot(n) else n, plus && !neg))
+    }
+
+    /** A lexed term: filter-field capture, indexed-field key qualification,
+      * analysis, phrase/prefix forms.
+      */
+    private def termNode(t: TermTok): Option[N] = {
+      t.field match {
+        case Some("lang") => lang = Some(t.value.toLowerCase); None
+        case Some("url")  => url = Some(t.value); None
+        case other =>
+          val field = other match {
+            case Some(f) if IndexedFields.contains(f) => f
+            case _ => defaultField // incl. unknown-field leniency
+          }
+          if (t.phrase) {
+            val ts = Analysis.tokenize(t.value).toSeq.map(termKey(field, _))
+            if (ts.isEmpty) None
+            else if (ts.length == 1) Some(NTerm(ExactLit(ts.head)))
+            else Some(NPhrase(ts))
+          } else if (t.value.endsWith("*")) {
+            val base = Analysis.tokenize(t.value.dropRight(1))
+            require(base.length == 1,
+              s"wildcard term '${t.value}' must be a single trailing-* prefix")
+            Some(NTerm(PrefixLit(termKey(field, base(0)))))
+          } else {
+            val ts = Analysis.tokenize(t.value).toSeq.map(termKey(field, _))
+            if (ts.isEmpty) None
+            else if (ts.length == 1) Some(NTerm(ExactLit(ts.head)))
+            else Some(NOr(ts.map(k => NTerm(ExactLit(k))))) // multi-token value
+          }
+      }
+    }
+
+    // ------------------------------------------------- normalization
+
+    private def collectScoring(n: N, pos: Boolean,
+        out: mutable.LinkedHashSet[TermLit]): Unit = n match {
+      case NTerm(l)    => if (pos) out += l
+      case NPhrase(ts) => if (pos) out ++= ts.map(ExactLit)
+      case NAnd(cs)    => cs.foreach(collectScoring(_, pos, out))
+      case NOr(cs)     => cs.foreach(collectScoring(_, pos, out))
+      case NNot(c)     => collectScoring(c, !pos, out)
+      case NShould(c)  => collectScoring(c, pos, out)
+      case NTrue | NFalse =>
+    }
+
+    /** Negation normal form; NShould ≡ TRUE for matching (scoring already
+      * collected), so Not(NShould) ≡ FALSE.
+      */
+    private def nnf(n: N, pos: Boolean): N = n match {
+      case NTerm(_) => if (pos) n else NNot(n)
+      case NPhrase(_) =>
+        if (pos) n
+        else throw new IllegalArgumentException(
+          "negated phrases are unsupported (v1: negate the terms instead)")
+      case NNot(c)    => nnf(c, !pos)
+      case NAnd(cs)   => if (pos) NAnd(cs.map(nnf(_, pos))) else NOr(cs.map(nnf(_, pos)))
+      case NOr(cs)    => if (pos) NOr(cs.map(nnf(_, pos))) else NAnd(cs.map(nnf(_, pos)))
+      case NShould(_) => if (pos) NTrue else NFalse
+      case NTrue      => if (pos) NTrue else NFalse
+      case NFalse     => if (pos) NFalse else NTrue
+    }
+
+    private def merge(a: BoolClause, b: BoolClause): BoolClause =
+      BoolClause((a.pos ++ b.pos).distinct, (a.neg ++ b.neg).distinct,
+        (a.phrases ++ b.phrases).distinct)
+
+    /** NNF → disjunction of conjunctive clauses (capped). */
+    private def dnf(n: N): Seq[BoolClause] = n match {
+      case NTrue  => Seq(BoolClause(Nil, Nil, Nil))
+      case NFalse => Seq.empty
+      case NTerm(l) => Seq(BoolClause(Seq(l), Nil, Nil))
+      case NNot(NTerm(l)) => Seq(BoolClause(Nil, Seq(l), Nil))
+      case NPhrase(ts) =>
+        // phrase terms are positive literals too (must all be present)
+        Seq(BoolClause(ts.map(ExactLit), Nil, Seq(ts)))
+      case NOr(cs) =>
+        val out = cs.flatMap(dnf)
+        require(out.length <= MaxClauses,
+          s"query expands to more than $MaxClauses clauses")
+        out
+      case NAnd(cs) =>
+        cs.map(dnf).reduceLeft { (acc, next) =>
+          val out = for (a <- acc; b <- next) yield merge(a, b)
+          require(out.length <= MaxClauses,
+            s"query expands to more than $MaxClauses clauses")
+          out
+        }
+      case other => throw new IllegalStateException(s"not in NNF: $other")
+    }
   }
 }

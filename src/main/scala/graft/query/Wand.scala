@@ -11,6 +11,13 @@ import graft.index.{PostingSegment, TermCursor, BM25}
   * space into disjoint windows and merges the per-window top-k globally
   * (disjoint windows ⇒ the merge is exact).
   *
+  * Matching is clause-based (round 3): the parsed query arrives as a
+  * disjunction of conjunctive clauses ([[ResolvedClause]]); a doc matches if
+  * ≥1 clause is satisfied. Every clause's positive terms are scoring terms,
+  * so the disjunctive driver over the scoring cursors enumerates a superset
+  * of all possible matches, and the block-max threshold pruning stays exact
+  * (a doc's score ≤ the sum of its scoring-term upper bounds).
+  *
   * Determinism: per-doc scores sum the per-term contributions in term-sorted
   * order, so results are bit-identical across parallelism levels. Tiebreak is
   * (-score, docId) everywhere.
@@ -18,6 +25,15 @@ import graft.index.{PostingSegment, TermCursor, BM25}
 object Wand {
 
   final case class Scored(docId: Long, score: Double)
+
+  /** Serializable per-term avgdl lookup (the title field has its own average
+    * document length; see IndexTables.CorpusStats).
+    */
+  final case class FieldAvgdl(text: Double, title: Double)
+      extends (String => Double) with Serializable {
+    def apply(term: String): Double =
+      if (term.startsWith("title:")) title else text
+  }
 
   /** Bounded top-k: worst element at head; candidate must STRICTLY beat the
     * head's score to enter a full heap (equal score loses on docId because
@@ -69,12 +85,10 @@ object Wand {
     *                     over ALL the term's segments, across every window —
     *                     segments are docId-disjoint, so the sum is exact);
     *                     drives idf
-    * @param scoringTerms distinct, any order (sorted internally)
-    * @param mustTerms    conjunctive subset (each must be present)
-    * @param notTerms     exclusion terms
-    * @param phrases      each phrase is an ordered term list that must occur
-    *                     at consecutive positions; phrase terms must also be
-    *                     in mustTerms (the parser guarantees this)
+    * @param scoringTerms distinct positive terms, any order (sorted inside)
+    * @param clauses      disjunction of conjunctive clauses (every clause's
+    *                     positive terms appear in scoringTerms)
+    * @param avgdlOf      per-term average doc length (per indexed field)
     * @param allow        extra per-doc predicate (stored-field filter /
     *                     tombstones); None = allow all
     */
@@ -82,60 +96,65 @@ object Wand {
       segsByTerm: Map[String, Seq[PostingSegment]],
       dfByTerm: Map[String, Long],
       scoringTerms: Seq[String],
-      mustTerms: Set[String],
-      notTerms: Seq[String],
-      phrases: Seq[Seq[String]],
-      n: Long, avgdl: Double, k: Int,
+      clauses: Seq[ResolvedClause],
+      n: Long, avgdlOf: String => Double, k: Int,
       lo: Long, hi: Long,
       allow: Option[Long => Boolean] = None): Array[Scored] = {
+
+    // clauses whose required structure cannot be satisfied by the index are
+    // dead; terms absent from the index are pruned out of their groups
+    val live = clauses.flatMap { c =>
+      val groups = c.mustGroups.map(_.filter(segsByTerm.contains))
+      if (groups.exists(_.isEmpty)) None
+      else if (!c.phrases.flatten.forall(segsByTerm.contains)) None
+      else Some(ResolvedClause(groups, c.notTerms, c.phrases))
+    }
+    if (live.isEmpty) return Array.empty
 
     val sortedTerms = scoringTerms.distinct.sorted
     // term-sorted cursor array: scoring iterates this order (determinism)
     val cursors: Array[TermCursor] = sortedTerms.flatMap { t =>
       segsByTerm.get(t).map { segs =>
         val df = dfByTerm.getOrElse(t, segs.map(_.count.toLong).sum)
-        new TermCursor(t, segs, BM25.idf(n, df), avgdl, lo, hi,
-          required = mustTerms.contains(t))
+        new TermCursor(t, segs, BM25.idf(n, df), avgdlOf(t), lo, hi,
+          required = false)
       }
     }.toArray
-
-    // a must term entirely absent from the index ⇒ empty result
-    if (mustTerms.exists(t => !segsByTerm.contains(t))) return Array.empty
     if (cursors.isEmpty) return Array.empty
-
-    val exclCursors: Array[TermCursor] = notTerms.distinct.sorted.flatMap { t =>
-      segsByTerm.get(t).map(segs =>
-        new TermCursor(t, segs, 0.0, avgdl, lo, hi, required = false))
-    }.toArray
-
     val cursorByTerm: Map[String, TermCursor] =
       cursors.map(c => c.term -> c).toMap
 
-    def allowed(docId: Long): Boolean = {
-      var i = 0
-      while (i < exclCursors.length) {
-        val c = exclCursors(i)
-        if (!c.exhausted) {
-          c.advanceTo(docId)
-          if (!c.exhausted && c.curDoc == docId) return false
-        }
-        i += 1
+    val exclCursors: Array[TermCursor] =
+      live.flatMap(_.notTerms).distinct.sorted.flatMap { t =>
+        segsByTerm.get(t).map(segs =>
+          new TermCursor(t, segs, 0.0, avgdlOf(t), lo, hi, required = false))
+      }.toArray
+    val exclByTerm: Map[String, TermCursor] =
+      exclCursors.map(c => c.term -> c).toMap
+
+    // candidates are processed in ascending docId order in both drivers, so
+    // presence probes (which advance cursors monotonically) are safe
+    def present(c: TermCursor, docId: Long): Boolean = {
+      if (c.exhausted) false
+      else {
+        c.advanceTo(docId)
+        !c.exhausted && c.curDoc == docId
       }
-      allow.forall(f => f(docId))
     }
 
-    /** Verify every phrase at an aligned candidate (all phrase terms are
-      * required cursors, so each is positioned exactly at docId here).
-      */
-    def phrasesOk(docId: Long): Boolean =
-      phrases.forall { ph =>
-        Wand.phraseMatch(ph.map { t =>
+    def clausesOk(docId: Long): Boolean = live.exists { cl =>
+      cl.mustGroups.forall(_.exists(t => present(cursorByTerm(t), docId))) &&
+      !cl.notTerms.exists(t => exclByTerm.get(t).exists(present(_, docId))) &&
+      cl.phrases.forall { ph =>
+        phraseMatch(ph.map { t =>
           val c = cursorByTerm(t)
-          // required cursors are aligned at docId by the leapfrog loop
-          if (c.exhausted || c.curDoc != docId) Array.empty[Int]
-          else c.curPositions
+          if (!c.exhausted && c.curDoc == docId) c.curPositions
+          else Array.empty[Int]
         })
       }
+    }
+
+    def allowed(docId: Long): Boolean = allow.forall(f => f(docId))
 
     /** Sum contributions of all cursors positioned at docId, in term-sorted
       * order (cursors array IS term-sorted).
@@ -156,10 +175,14 @@ object Wand {
 
     val heap = new TopKHeap(k)
 
-    if (mustTerms.nonEmpty) {
-      // conjunctive: leapfrog intersection over the required cursors, with
-      // optional cursors contributing score at aligned candidates
-      val req = cursors.filter(_.required)
+    // terms required by EVERY clause (singleton must-group in each) drive a
+    // leapfrog intersection — the fast path for plain AND / phrase queries
+    val commonRequired: Array[TermCursor] = sortedTerms.filter { t =>
+      live.forall(_.mustGroups.exists(g => g.length == 1 && g.head == t))
+    }.flatMap(cursorByTerm.get).toArray
+
+    if (commonRequired.nonEmpty) {
+      val req = commonRequired
       if (req.exists(_.exhausted)) return heap.result()
       var done = false
       while (!done) {
@@ -176,56 +199,80 @@ object Wand {
           i += 1
         }
         if (!done && aligned) {
-          if (allowed(candidate) && phrasesOk(candidate)) {
-            val s = scoreAt(candidate)
-            heap.offer(Scored(candidate, s))
-          }
+          if (allowed(candidate) && clausesOk(candidate))
+            heap.offer(Scored(candidate, scoreAt(candidate)))
           // advance the first required cursor past the candidate
           req(0).next()
           if (req(0).exhausted) done = true
         }
       }
     } else {
-      // disjunctive block-max WAND
-      val active = mutable.ArrayBuffer.empty[TermCursor]
-      cursors.foreach(c => if (!c.exhausted) active += c)
-      var done = active.isEmpty
+      // disjunctive block-max WAND over an INCREMENTALLY ordered cursor
+      // array (round-2 review item: the old loop rebuilt filter+sortBy
+      // collections on every pivot — the hottest allocation in the engine)
+      val arr: Array[TermCursor] = cursors.filter(!_.exhausted).clone()
+      java.util.Arrays.sort(arr, Ordering.by[TermCursor, Long](_.curDoc))
+      var active = arr.length // prefix of arr that is not exhausted
+
+      def keyOf(c: TermCursor): Long =
+        if (c.exhausted) Long.MaxValue else c.curDoc
+
+      /** Re-place arr(0) after it moved forward: shift the prefix left and
+        * insert at its new sorted position (exhausted sinks past `active`).
+        */
+      def repositionHead(): Unit = {
+        val c = arr(0)
+        val key = keyOf(c)
+        if (c.exhausted) active -= 1
+        var j = 1
+        while (j < arr.length && keyOf(arr(j)) < key) {
+          arr(j - 1) = arr(j)
+          j += 1
+        }
+        arr(j - 1) = c
+      }
+
+      var done = active == 0
       while (!done) {
-        val arr = active.filter(!_.exhausted)
-        if (arr.isEmpty) done = true
+        if (active == 0) done = true
         else {
-          val sorted = arr.sortBy(_.curDoc)
           val theta = heap.threshold
           // pivot: smallest prefix whose term upper bounds can beat theta
           var acc = 0.0
           var p = -1
           var i = 0
-          while (i < sorted.length && p < 0) {
-            acc += sorted(i).upperBound
+          while (i < active && p < 0) {
+            acc += arr(i).upperBound
             if (acc > theta) p = i
             i += 1
           }
           if (p < 0) done = true // no remaining doc can beat theta
           else {
-            val pivotDoc = sorted(p).curDoc
-            if (sorted(0).curDoc == pivotDoc) {
+            val pivotDoc = arr(p).curDoc
+            if (arr(0).curDoc == pivotDoc) {
               // all cursors up to p are at pivotDoc; extend to every cursor
               // matching pivotDoc for the block-max check
               var pEnd = p
-              while (pEnd + 1 < sorted.length && sorted(pEnd + 1).curDoc == pivotDoc)
+              while (pEnd + 1 < active && arr(pEnd + 1).curDoc == pivotDoc)
                 pEnd += 1
               var bmSum = 0.0
               var j = 0
-              while (j <= pEnd) { bmSum += sorted(j).currentBlockMax; j += 1 }
+              while (j <= pEnd) { bmSum += arr(j).currentBlockMax; j += 1 }
               if (bmSum > theta) {
-                if (allowed(pivotDoc))
+                if (allowed(pivotDoc) && clausesOk(pivotDoc))
                   heap.offer(Scored(pivotDoc, scoreAt(pivotDoc)))
               }
-              j = 0
-              while (j <= pEnd) { sorted(j).next(); j += 1 }
+              // consume every cursor at pivotDoc, repositioning one at a
+              // time (after each step the new head is the next smallest)
+              while (active > 0 && !arr(0).exhausted &&
+                  arr(0).curDoc == pivotDoc) {
+                arr(0).next()
+                repositionHead()
+              }
             } else {
               // advance the smallest cursor up to the pivot
-              sorted(0).advanceTo(pivotDoc)
+              arr(0).advanceTo(pivotDoc)
+              repositionHead()
             }
           }
         }

@@ -34,7 +34,8 @@ class EngineSpec extends AnyFunSuite {
 
   private def oracleDocs(n: Long): Seq[OracleDoc] =
     CorpusGen.generateLocal(n).sortBy(_.url).zipWithIndex.map { case (d, i) =>
-      OracleDoc(i.toLong, d.text, d.lang, d.url, d.warc_ts.getTime)
+      OracleDoc(i.toLong, d.text, d.lang, d.url, d.warc_ts.getTime,
+        graft.corpus.Extractor.extractTitle(d.html))
     }
 
   /** Oracle over the same corpus with the engine's docId assignment
@@ -48,8 +49,14 @@ class EngineSpec extends AnyFunSuite {
     "w00017", "the", "w00017 w00342", "w00017 AND w00342",
     "\"w00017 w00342\"", "w00017 NOT w00342", "text:w01234",
     "lang:no AND w00099", "w49998", "w00001 w00002 w00003 w00004 w00005",
-    // flat-AND model: any AND promotes every positive term to MUST
-    "w00017 AND w00342 OR w00343",
+    // boolean precedence (round 3): OR of conjunctive groups + parens
+    "w00017 AND w00342 OR w00343", "w00017 AND (w00342 OR w00343)",
+    "(w00017 AND w00342) OR (w00343 AND w00344)",
+    "w00017 OR w00342 NOT w00343", "+w00017 w00342 w00343",
+    // trailing-* prefix queries (term-range dictionary expansion)
+    "w0099*", "w1234* AND the", "w00017 NOT w0034*",
+    // title field (second indexed field; every synthetic title is "doc <i>")
+    "title:doc AND w00017", "title:9 w00017",
     // stored-field url filter (substring) — the round-1 silent-drop bug
     "url:host3. w00017", "url:host3. the", "url:host1. AND w00002",
     // positional phrases over the stopword head (adjacency-sensitive)
@@ -213,10 +220,43 @@ class EngineSpec extends AnyFunSuite {
     assert(afterW.toSeq == afterD.toSeq)
   }
 
-  test("df= default-field parameter: only the indexed field is accepted") {
+  test("df= default-field parameter: indexed fields accepted, others rejected") {
     assert(graft.query.QueryParser.parse("w00017", "text") != null)
+    assert(graft.query.QueryParser.parse("doc", "title") != null)
     intercept[IllegalArgumentException] {
-      graft.query.QueryParser.parse("w00017", "title")
+      graft.query.QueryParser.parse("w00017", "mmd_title")
     }
+  }
+
+  test("df=title routes bare terms to the title field (rank-identical)") {
+    val expect = oracle.topK("doc", 10, df = "title")
+    val got = engine.search("doc", 10, df = "title")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assertRankIdentical(got, expect, "df=title")
+    // and equals the explicit field form
+    val explicit = engine.search("title:doc", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assertRankIdentical(explicit, expect, "title: explicit")
+    assert(expect.nonEmpty)
+  }
+
+  test("prefix query expands against the dictionary (capped, deterministic)") {
+    // w0099* expands to w00990..w00999 in this corpus; rank-identical above.
+    // A prefix matching nothing must yield empty, not error.
+    assert(engine.search("zzz*", 10).collect().isEmpty)
+    assert(oracle.topK("zzz*", 10).isEmpty)
+    // text-field prefixes must not leak field-qualified keys: "t*" would
+    // otherwise swallow every "title:..." posting key
+    val tPrefix = engine.search("t*", 10).collect().map(_.getLong(0)).toSeq
+    assert(tPrefix == oracle.topK("t*", 10).map(_._1))
+  }
+
+  test("parser rejects malformed round-3 surface") {
+    import graft.query.QueryParser
+    intercept[IllegalArgumentException](QueryParser.parse("NOT w00017"))
+    intercept[IllegalArgumentException](QueryParser.parse("w1 OR NOT w2"))
+    intercept[IllegalArgumentException](QueryParser.parse("-\"the of\""))
+    intercept[IllegalArgumentException](
+      QueryParser.parse("warc_ts:[not-a-date TO *] w00017"))
   }
 }

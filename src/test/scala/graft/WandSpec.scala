@@ -5,7 +5,7 @@ import scala.util.Random
 
 import graft.index.{Analysis, PostingCodec, PostingSegment}
 import graft.oracle.SeqOracle
-import graft.query.{Wand, QueryParser}
+import graft.query.{Wand, QueryParser, QueryResolve, ResolvedQuery}
 
 /** WAND ≡ exhaustive oracle on random small corpora (FIXTURES.md §5),
   * including the windowed (distributed) merge, salted segmentation, and
@@ -70,7 +70,17 @@ class WandSpec extends AnyFunSuite {
     "w1", "stop0", "w1 w2", "w1 AND w2", "\"w1 w2\"", "w1 NOT w2",
     "text:w3", "w5 w6 w7 w8 w9", "stop0 AND w4", "w0 w1 stop1 NOT stop2",
     "nosuchterm", "w1 AND nosuchterm", "w39",
-    "\"stop0 stop1\"", "\"w1 w2 w3\"", "\"stop1 w1\" w4")
+    "\"stop0 stop1\"", "\"w1 w2 w3\"", "\"stop1 w1\" w4",
+    // round-3 surface: precedence, parens, occurs prefixes, prefix terms
+    "w1 AND w2 OR w3", "w1 AND (w2 OR w3)", "(w1 w2) AND w3",
+    "w1 OR w2 AND w3", "+w1 w2 w3", "-w1 w2", "w1 AND w2 AND w3 OR stop0",
+    "w1*", "w3* AND stop0", "w2 NOT w3*", "(w1 AND w2) OR (w3 AND w4)",
+    "\"w1 w2\" OR w3", "stop0 AND (w1 OR w2 OR w3)")
+
+  private def resolved(q: String,
+      segs: Map[String, Seq[PostingSegment]]): ResolvedQuery =
+    QueryResolve.resolve(QueryParser.parse(q),
+      QueryResolve.dictExpand(segs.keys.toSeq))
 
   test("WAND == oracle on random corpora (single window + windowed merge)") {
     val rng = new Random(7)
@@ -81,24 +91,61 @@ class WandSpec extends AnyFunSuite {
       val oracle = new SeqOracle(corpus)
       val k = 1 + rng.nextInt(12)
       queries.foreach { q =>
-        val ast = QueryParser.parse(q)
+        val rq = resolved(q, segs)
         val expect = oracle.topK(q, k)
 
         // single window over the whole docId space
-        val got = Wand.topK(segs, dfByTerm, ast.scoringTerms.distinct.sorted,
-          ast.mustTerms.toSet, ast.notTerms, ast.phrases, n, avgdl, k,
-          0L, Long.MaxValue)
+        val got = Wand.topK(segs, dfByTerm, rq.scoringTerms, rq.clauses,
+          n, _ => avgdl, k, 0L, Long.MaxValue)
         assertRankIdentical(got.toSeq, expect, s"q='$q' trial=$trial single")
 
         // windowed: 4 disjoint windows, local top-k each, merged globally —
         // exactly what the distributed plan does
         val w = math.max(1L, (n + 3) / 4)
         val merged = (0 until 4).flatMap { r =>
-          Wand.topK(segs, dfByTerm, ast.scoringTerms.distinct.sorted,
-            ast.mustTerms.toSet, ast.notTerms, ast.phrases, n, avgdl, k,
-            r * w, (r + 1) * w)
+          Wand.topK(segs, dfByTerm, rq.scoringTerms, rq.clauses,
+            n, _ => avgdl, k, r * w, (r + 1) * w)
         }.sortBy(s => (-s.score, s.docId)).take(k)
         assertRankIdentical(merged, expect, s"q='$q' trial=$trial windowed")
+      }
+    }
+  }
+
+  test("random boolean queries == oracle (property)") {
+    val rng = new Random(77)
+    def randQuery(depth: Int): String = {
+      def atom(): String =
+        rng.nextInt(6) match {
+          case 0 => "stop" + rng.nextInt(3)
+          case 1 if depth < 2 => "(" + randQuery(depth + 1) + ")"
+          case 2 => "w" + rng.nextInt(5) + "*" // prefix of w0..w39 space
+          case _ => "w" + rng.nextInt(40)
+        }
+      val nItems = 1 + rng.nextInt(3)
+      (1 to nItems).map { _ =>
+        val a = atom()
+        rng.nextInt(5) match {
+          case 0 => s"$a AND ${atom()}"
+          case 1 => s"$a OR ${atom()}"
+          case 2 => s"$a NOT ${atom()}"
+          case _ => a
+        }
+      }.mkString(" ")
+    }
+    for (trial <- 1 to 40) {
+      val corpus = mkCorpus(rng, 30 + rng.nextInt(120))
+      val (segs, dfByTerm, n, avgdl) = buildSegments(corpus, 24)
+      val oracle = new SeqOracle(corpus)
+      (1 to 8).foreach { _ =>
+        val q = randQuery(0)
+        val (expect, rqOpt) =
+          try (oracle.topK(q, 10), Some(resolved(q, segs)))
+          catch { case _: IllegalArgumentException => (Nil, None) }
+        rqOpt.foreach { rq =>
+          val got = Wand.topK(segs, dfByTerm, rq.scoringTerms, rq.clauses,
+            n, _ => avgdl, 10, 0L, Long.MaxValue)
+          assertRankIdentical(got.toSeq, expect, s"q='$q' trial=$trial")
+        }
       }
     }
   }
@@ -111,10 +158,10 @@ class WandSpec extends AnyFunSuite {
       val oracle = new SeqOracle(corpus)
       val langOf = corpus.map(c => c._1 -> c._3).toMap
       val q = "lang:no AND w1"
-      val ast = QueryParser.parse(q)
+      val rq = resolved(q, segs)
       val expect = oracle.topK(q, 10)
-      val got = Wand.topK(segs, dfByTerm, ast.scoringTerms.distinct.sorted,
-        ast.mustTerms.toSet, ast.notTerms, ast.phrases, n, avgdl, 10,
+      val got = Wand.topK(segs, dfByTerm, rq.scoringTerms, rq.clauses,
+        n, _ => avgdl, 10,
         0L, Long.MaxValue, allow = Some(id => langOf(id) == "no"))
       assertRankIdentical(got.toSeq, expect, s"trial=$trial lang")
     }
