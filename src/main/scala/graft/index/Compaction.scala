@@ -38,11 +38,14 @@ object Compaction {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    val hasTombs = fs.exists(tombPath)
-    if (!hasTombs && published.size == 1) return // nothing to fold or merge
+    // delete-by-id tombstones PLUS each live segment's upsert supersedes
+    val tombSources = IndexLayout.tombstonePaths(spark, indexDir, published)
+    if (tombSources.isEmpty && published.size == 1)
+      return // nothing to fold or merge
     val tombs =
-      if (hasTombs) spark.read.parquet(tombPath.toString)
-        .select($"docId").distinct()
+      if (tombSources.nonEmpty)
+        spark.read.schema("docId LONG").parquet(tombSources: _*)
+          .select($"docId").distinct()
       else spark.emptyDataset[Long].toDF("docId")
 
     // surviving docs + new corpus stats
@@ -81,6 +84,11 @@ object Compaction {
     // DataFrame filter is free of re-tokenize cost.
     val seg = IndexLayout.nextSegDir(spark, indexDir)
     val segPath = s"$indexDir/$seg"
+    // intent record first: resume either finishes this merge (all buckets
+    // complete → publish ONLY the merged seg) or discards the orphan — the
+    // round-2 inference would have published it beside its own inputs
+    IndexLayout.writeJobDescriptor(spark, segPath,
+      JobDescriptor("compaction", 0L, Seq(seg)))
     val sampleMod = IndexBuilder.sampleModFor(nDocs)
     val sampled =
       if (sampleMod <= 1) rows

@@ -231,15 +231,23 @@ object IndexBuilder {
   def build(spark: SparkSession, docs: Dataset[WebDoc], indexDir: String,
       conf: IndexConf = IndexConf()): BuildReport = {
     val seg = IndexLayout.nextSegDir(spark, indexDir)
+    // intent record FIRST: a crash at any later point leaves resume enough
+    // to finish THIS job instead of mis-inferring it from the old pointer
+    IndexLayout.writeJobDescriptor(spark, s"$indexDir/$seg",
+      JobDescriptor("build", 0L, Seq(seg)))
     val r = buildInternal(spark, docs, s"$indexDir/$seg", conf,
       onlyBuckets = None)
     IndexLayout.publish(spark, indexDir, Seq(seg))
-    // a fresh build invalidates tombstones aimed at the superseded docIds
+    postBuildCleanup(spark, indexDir)
+    r
+  }
+
+  /** A fresh build invalidates tombstones aimed at the superseded docIds. */
+  private def postBuildCleanup(spark: SparkSession, indexDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
     IndexLayout.gcUnreferenced(spark, indexDir)
-    r
   }
 
   /** Incremental append — the reference's repeated-batch operating model
@@ -261,25 +269,46 @@ object IndexBuilder {
       published.map(sd => s"$indexDir/$sd/docs"): _*)
     val offset = prevDocs.agg(max($"docId")).head().getLong(0) + 1L
     val seg = IndexLayout.nextSegDir(spark, indexDir)
+    IndexLayout.writeJobDescriptor(spark, s"$indexDir/$seg",
+      JobDescriptor("append", offset, published :+ seg))
     val r = buildInternal(spark, newDocs, s"$indexDir/$seg", conf,
       onlyBuckets = None, idOffset = offset)
+    // upsert-by-url: the superseded docIds are written INSIDE the new
+    // segment ($seg/supersedes) BEFORE the pointer flip, so old and new
+    // versions swap visibility atomically AT the flip — a crash on either
+    // side of publish leaves no window where both (or neither) serve
+    // (ADVICE r2; the round-2 global-tombstone write after publish did).
+    writeSupersedes(spark, indexDir, published, seg)
     IndexLayout.publish(spark, indexDir, published :+ seg)
-    // upsert-by-url: tombstone superseded versions (no driver collect — the
-    // semi-join writes tombstones directly; batch-sized, not corpus-sized)
-    val newUrls = spark.read.parquet(s"$indexDir/$seg/docs").select($"url")
-    prevDocs.join(newUrls, Seq("url"), "left_semi")
-      .select($"docId")
-      .write.mode(SaveMode.Append).parquet(s"$indexDir/tombstones")
     r
   }
 
-  /** Resume a partially-completed build or append: target the newest segment
-    * dir on disk, rebuild exactly the termBuckets that have no `complete`
-    * manifest row (segment-granular resume per the north_rule), then publish
-    * the pointer if the crash happened before the flip. Re-derivation is
+  /** Derive and write $seg/supersedes: docIds of prior-generation versions
+    * of urls re-added by `seg`. Depends only on on-disk tables, so resume
+    * can re-run it idempotently (Overwrite; batch-sized, never collected).
+    */
+  private def writeSupersedes(spark: SparkSession, indexDir: String,
+      prevSegs: Seq[String], seg: String): Unit = {
+    import spark.implicits._
+    val prevDocs = spark.read.parquet(
+      prevSegs.map(sd => s"$indexDir/$sd/docs"): _*)
+    val newUrls = spark.read.parquet(s"$indexDir/$seg/docs").select($"url")
+    prevDocs.join(newUrls, Seq("url"), "left_semi")
+      .select($"docId")
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$seg/supersedes")
+  }
+
+  /** Resume a partially-completed job: target the newest segment dir on
+    * disk and REPLAY its job descriptor (kind, docId offset, publish set —
+    * written before any data). Buckets with no `complete` manifest row are
+    * rebuilt (segment-granular resume per the north_rule); re-derivation is
     * deterministic, so rebuilt buckets are identical to what the original
-    * job would have produced. Partial files from a killed attempt are
-    * cleaned before the append.
+    * job would have produced. For an append, the upsert supersedes table is
+    * (re)derived before the pointer flip. A crashed compaction is either
+    * finished (all buckets complete → publish its merged set) or discarded
+    * (its inputs are still fully published); a crashed full rebuild
+    * publishes ONLY itself, at offset 0 — the round-2 inference published
+    * old and new generations together (ADVICE r2).
     */
   def resume(spark: SparkSession, docs: Dataset[WebDoc], indexDir: String,
       conf: IndexConf = IndexConf()): BuildReport = {
@@ -289,34 +318,64 @@ object IndexBuilder {
       case Some(sd) =>
         val segPath = s"$indexDir/$sd"
         val published = IndexLayout.current(spark, indexDir).getOrElse(Nil)
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val desc = IndexLayout.readJobDescriptor(spark, segPath) match {
+          case Some(d) => d
+          case None =>
+            // descriptor is the FIRST write into a segment dir: no
+            // descriptor + unpublished = an empty orphan from a crash
+            // during dir creation — drop it and build fresh
+            if (published.contains(sd))
+              return BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
+            fs.delete(new org.apache.hadoop.fs.Path(segPath), true)
+            return build(spark, docs, indexDir, conf)
+        }
         val done: Set[Int] =
           try spark.read.parquet(s"$segPath/manifest")
             .filter($"status" === "complete")
             .select($"partitionId").as[Int].collect().toSet
           catch { case _: Exception => Set.empty }
         val missing = (0 until conf.numBuckets).filterNot(done).toSet
-        if (missing.isEmpty && published.contains(sd))
-          return BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
-        val report =
-          if (missing.isEmpty) BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
-          else {
-            val fs = new org.apache.hadoop.fs.Path(indexDir)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            missing.foreach { b =>
-              fs.delete(new org.apache.hadoop.fs.Path(
-                s"$segPath/postings/termBucket=$b"), true)
+
+        desc.kind match {
+          case "compaction" =>
+            if (published == desc.publish) // flip already happened
+              return BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
+            if (missing.isEmpty) {
+              // fully materialized, crash was before the flip: finish it
+              IndexLayout.publish(spark, indexDir, desc.publish)
+              fs.delete(
+                new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+              IndexLayout.gcUnreferenced(spark, indexDir)
+            } else {
+              // partial merge: its inputs are still fully published —
+              // discard the orphan; the next Compaction.run redoes it
+              fs.delete(new org.apache.hadoop.fs.Path(segPath), true)
             }
-            // docId offset: batches before this one (append-resume case)
-            val prior = published.filterNot(_ == sd)
-            val offset =
-              if (prior.isEmpty) 0L
-              else spark.read.parquet(prior.map(p => s"$indexDir/$p/docs"): _*)
-                .agg(max($"docId")).head().getLong(0) + 1L
-            buildInternal(spark, docs, segPath, conf, Some(missing), offset)
-          }
-        if (!published.contains(sd))
-          IndexLayout.publish(spark, indexDir, published :+ sd)
-        report
+            BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
+
+          case kind => // "build" | "append"
+            if (missing.isEmpty && published == desc.publish)
+              return BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
+            val report =
+              if (missing.isEmpty) BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
+              else {
+                missing.foreach { b =>
+                  fs.delete(new org.apache.hadoop.fs.Path(
+                    s"$segPath/postings/termBucket=$b"), true)
+                }
+                buildInternal(spark, docs, segPath, conf, Some(missing),
+                  desc.idOffset)
+              }
+            if (kind == "append") // idempotent; always redo before the flip
+              writeSupersedes(spark, indexDir,
+                desc.publish.filterNot(_ == sd), sd)
+            if (published != desc.publish)
+              IndexLayout.publish(spark, indexDir, desc.publish)
+            if (kind == "build") postBuildCleanup(spark, indexDir)
+            report
+        }
     }
   }
 

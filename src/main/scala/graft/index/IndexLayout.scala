@@ -119,6 +119,55 @@ object IndexLayout {
     }
   }
 
+  // ----------------------------------------------------- job descriptors
+
+  /** Written into a segment dir BEFORE any data: what job is materializing
+    * it, which docId offset its buckets use, and which segment set the
+    * pointer must name when it completes. Resume REPLAYS this record instead
+    * of inferring intent from the published pointer (ADVICE r2: inference
+    * mis-published crashed rebuilds and crashed compactions).
+    */
+  def writeJobDescriptor(spark: SparkSession, segPath: String,
+      d: JobDescriptor): Unit = {
+    val fs = fsOf(spark, segPath)
+    val out = fs.create(new Path(segPath, "job.txt"), true)
+    try out.write(
+      s"kind=${d.kind}\nidOffset=${d.idOffset}\npublish=${d.publish.mkString(",")}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readJobDescriptor(spark: SparkSession,
+      segPath: String): Option[JobDescriptor] = {
+    val fs = fsOf(spark, segPath)
+    val p = new Path(segPath, "job.txt")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val kv = txt.split("\n").map(_.trim).filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    for (kind <- kv.get("kind"); off <- kv.get("idOffset")) yield
+      JobDescriptor(kind, off.toLong,
+        kv.getOrElse("publish", "").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq)
+  }
+
+  /** All delete/supersede sources for a live segment set: the global
+    * `tombstones/` dir (delete-by-id) plus each segment's `supersedes/`
+    * (upsert-by-url victims, written INSIDE the segment before the pointer
+    * flip so they become visible atomically WITH the new versions — never
+    * before, never after).
+    */
+  def tombstonePaths(spark: SparkSession, indexDir: String,
+      segdirs: Seq[String]): Seq[String] = {
+    val fs = fsOf(spark, indexDir)
+    val cands = s"$indexDir/tombstones" +:
+      segdirs.map(sd => s"$indexDir/$sd/supersedes")
+    cands.filter(p => fs.exists(new Path(p)))
+  }
+
   def postingsPaths(spark: SparkSession, indexDir: String): Seq[String] =
     live(spark, indexDir).map(sd => s"$indexDir/$sd/postings")
 

@@ -100,6 +100,13 @@ final case class ManifestRow(
   */
 final case class Tombstone(docId: Long)
 
+/** Segment-dir job record (see IndexLayout.writeJobDescriptor): kind is
+  * "build" | "append" | "compaction"; `publish` is the exact segment set the
+  * pointer must name when this job completes.
+  */
+final case class JobDescriptor(kind: String, idOffset: Long,
+    publish: Seq[String])
+
 object IndexConf {
   val BlockSize = 128
 }

@@ -70,10 +70,16 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   def stats: CorpusStats = statsV
   def docs: DataFrame = docsV
 
+  /** Delete-by-id tombstones + each live segment's upsert `supersedes/`
+    * (written before the pointer flip, visible with it — see
+    * IndexLayout.tombstonePaths). Explicit schema: an upsert batch with no
+    * overlapping urls writes an empty (schema-less) parquet dir.
+    */
   private def tombstones: Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val paths = IndexLayout.tombstonePaths(spark, indexDir, segdirs)
+    if (paths.isEmpty) None
+    else Some(spark.read.schema("docId LONG").parquet(paths: _*)
+      .select($"docId"))
   }
 
   /** Re-resolve the generation pointer and drop every cache — call after a

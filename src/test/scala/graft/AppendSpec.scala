@@ -122,6 +122,46 @@ class AppendSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert append killed before publish: resume leaves exactly one version") {
+    // ADVICE r2: round-2 wrote upsert tombstones AFTER publish and resume
+    // never redid them — a crash window left both versions serving forever.
+    // Supersedes now live inside the segment and resume re-derives them.
+    val dir = SparkTestSession.tempDir("graft-upsert-resume")
+    val n = 100L
+    IndexBuilder.build(spark, CorpusGen.generate(spark, n), dir, conf)
+    val victim = CorpusGen.doc(CorpusGen.DefaultSeed, 7L, n)
+    val newText = "upsertcrashtoken " + victim.text
+    val replacement = victim.copy(text = newText,
+      html = s"<html><head><title>t</title></head><body>$newText</body></html>"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    IndexBuilder.append(spark, spark.createDataset(Seq(replacement)), dir, conf)
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash simulation: roll back the pointer AND delete the supersedes
+    // table — the append died between data completion and the two
+    // pre-publish steps
+    val ptrs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("current-")).sortBy(_.getName)
+    fs.delete(ptrs.last, false)
+    val segB = IndexLayout.latestSegDir(spark, dir).get
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$segB/supersedes"), true)
+    // old index serves the OLD version only (no tombstone leak pre-publish)
+    val engine0 = new QueryEngine(spark, dir, conf.numBuckets)
+    assert(engine0.search("the", 200).collect().nonEmpty)
+    assert(engine0.search("upsertcrashtoken", 10).collect().isEmpty)
+
+    IndexBuilder.resume(spark, spark.createDataset(Seq(replacement)), dir, conf)
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    val hits = engine.search("upsertcrashtoken", 10).collect().map(_.getLong(0))
+    assert(hits.length == 1 && hits.head == n)
+    // exactly one version of the url serves: the old docId is superseded
+    val oldId = engine.docs.filter($"url" === victim.url &&
+      $"docId" < n).select($"docId").collect().head.getLong(0)
+    val all = engine.search("the", 500).collect().map(_.getLong(0))
+    assert(!all.contains(oldId), "old version must be hidden after resume")
+  }
+
   test("append with overlapping urls overwrites (upsert-by-url)") {
     val dir = SparkTestSession.tempDir("graft-upsert")
     val n = 100L

@@ -68,6 +68,86 @@ class ResumeSpec extends AnyFunSuite {
     assert(logicalPostings(dir) == before)
   }
 
+  test("resume replays a REBUILD-over-published-index crash correctly") {
+    // ADVICE r2: round-2 resume inferred idOffset from the published
+    // generation and published old+new together. The descriptor fixes both:
+    // the rebuilt seg uses offset 0 and the pointer names ONLY it.
+    val dir = SparkTestSession.tempDir("graft-resume-rebuild")
+    val ref = SparkTestSession.tempDir("graft-resume-rebuild-ref")
+    val c = IndexConf(numBuckets = 4)
+    val docsOld = CorpusGen.generate(spark, 80)
+    val docsNew = CorpusGen.generate(spark, 120, seed = 99L)
+    IndexBuilder.build(spark, docsOld, dir, c) // published generation
+    IndexBuilder.build(spark, docsNew, dir, c) // the rebuild, completed...
+    IndexBuilder.build(spark, docsNew, ref, c)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ...but roll the pointer back to generation 1 + wipe a bucket: the
+    // rebuild "crashed" half-done while the old index kept serving
+    val ptrs = fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(_.getName.startsWith("current-")).sortBy(_.getName)
+    fs.delete(ptrs.last, false)
+    val seg = IndexLayout.latestSegDir(spark, dir).get
+    fs.delete(new Path(s"$dir/$seg/postings/termBucket=2"), true)
+    val mrows = spark.read.parquet(s"$dir/$seg/manifest").as[ManifestRow]
+      .collect().filterNot(_.partitionId == 2)
+    mrows.toSeq.toDS().coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/$seg/manifest")
+
+    IndexBuilder.resume(spark, docsNew, dir, c)
+    // ONLY the rebuilt generation serves, docIds start at 0
+    assert(IndexLayout.current(spark, dir).get == Seq(seg))
+    assert(logicalPostings(dir) == logicalPostings(ref))
+    val ids = spark.read.parquet(s"$dir/$seg/docs")
+      .agg(org.apache.spark.sql.functions.min($"docId"),
+        org.apache.spark.sql.functions.max($"docId")).head()
+    assert(ids.getLong(0) == 0L && ids.getLong(1) == 119L)
+  }
+
+  test("resume finishes a compaction crashed before the flip (no duplicates)") {
+    val dir = SparkTestSession.tempDir("graft-resume-compact")
+    val c = IndexConf(numBuckets = 4)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 80), dir, c)
+    IndexBuilder.append(spark,
+      CorpusGen.generate(spark, 40, seed = 31L), dir, c)
+    intercept[RuntimeException] {
+      Compaction.runInternal(spark, dir, c, failBeforePublish = true)
+    }
+    // old generations still serve; the merged seg is complete on disk
+    assert(IndexLayout.current(spark, dir).get.size == 2)
+    IndexBuilder.resume(spark, CorpusGen.generate(spark, 80), dir, c)
+    val live = IndexLayout.current(spark, dir).get
+    assert(live.size == 1, s"merged generation must serve alone, got $live")
+    // postings are single-sourced: no term appears in two generations
+    val engine = new graft.query.QueryEngine(spark, dir, c.numBuckets)
+    assert(engine.stats.n == 120)
+  }
+
+  test("resume discards a compaction crashed mid-merge (inputs keep serving)") {
+    val dir = SparkTestSession.tempDir("graft-resume-compact2")
+    val c = IndexConf(numBuckets = 4)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 80), dir, c)
+    IndexBuilder.append(spark,
+      CorpusGen.generate(spark, 40, seed = 32L), dir, c)
+    val before = IndexLayout.current(spark, dir).get
+    intercept[RuntimeException] {
+      Compaction.runInternal(spark, dir, c, failBeforePublish = true)
+    }
+    // wipe a bucket + its manifest row: merge half-done
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seg = IndexLayout.latestSegDir(spark, dir).get
+    fs.delete(new Path(s"$dir/$seg/postings/termBucket=1"), true)
+    val mrows = spark.read.parquet(s"$dir/$seg/manifest").as[ManifestRow]
+      .collect().filterNot(_.partitionId == 1)
+    mrows.toSeq.toDS().coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/$seg/manifest")
+    IndexBuilder.resume(spark, CorpusGen.generate(spark, 80), dir, c)
+    assert(IndexLayout.current(spark, dir).get == before)
+    assert(IndexLayout.latestSegDir(spark, dir).get != seg,
+      "half-merged orphan must be discarded")
+  }
+
   test("resume publishes a build killed before the pointer flip") {
     val ref = SparkTestSession.tempDir("graft-resume-ref2")
     val dir = SparkTestSession.tempDir("graft-resume-unpub")
