@@ -124,6 +124,44 @@ class OpsSpec extends AnyFunSuite {
     got.foreach { case (x, y) => assert(cos(byId(x), byId(y)) >= 0.98) }
   }
 
+  test("LSH band buckets are capped: identical-text flood stays bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2.5k byte-identical docs would emit ~3.1M within-bucket pairs per
+    // band without the cap (r2 verdict item 4: the one 100 TB scale hole);
+    // with it the flood contributes nothing while a genuinely similar pair
+    // in a normal bucket is still found.
+    val boiler = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    val a = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val b = a + " alphaextra"
+    val docs = (0L until 2500L).map(i => (i, boiler)) ++
+      Seq((5000L, a), (5001L, b))
+    val tmp = SparkTestSession.tempDir("graft-lshcap")
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cand = graft.ops.Ops.minhashLsh(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((5000L, 5001L)), "planted near-dup must survive")
+    assert(cand.size < 100,
+      s"flood pairs must be capped out, got ${cand.size} candidates")
+
+    // same guard on the embedding side: an identical-vector flood
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val same = Array.fill(dim)(rng.nextGaussian().toFloat)
+    val va = Array.fill(dim)(rng.nextGaussian().toFloat)
+    val vb = va.map(x => x + 0.001f)
+    val vecs = (0L until 1500L).map(i => (i, same)) ++
+      Seq((9000L, va), (9001L, vb))
+    val tmp2 = SparkTestSession.tempDir("graft-lshcap-emb")
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp2/embeddings.parquet")
+    val emb = graft.ops.Ops.embNearDup(spark, tmp2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emb.contains((9000L, 9001L)))
+    assert(emb.size < 100, s"embedding flood must be capped, got ${emb.size}")
+  }
+
   test("LSH-verified near-dup recalls the high-jaccard exact pairs") {
     import org.apache.spark.sql.functions._
     val exact = graft.ops.Ops.dedupNgram(spark, dir)
