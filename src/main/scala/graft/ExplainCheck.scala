@@ -28,6 +28,10 @@ object ExplainCheck {
       plan.split("\n").filter(l => l.contains("PartitionFilters") ||
         l.contains("PushedFilters") || l.contains("ReadSchema"))
         .foreach(l => println("[plan] " + l.trim.take(1200)))
+      println("=== prefix dictionary scan (w000*) ===")
+      e.prefixScanPlan("w000").split("\n")
+        .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .foreach(l => println("[plan] " + l.trim.take(1200)))
     }
     spark.stop()
   }

@@ -174,6 +174,18 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * [[QueryResolve.dictExpand]] exactly: the sequential oracle uses that
     * rule, and rank-identity depends on both sides expanding alike.
     */
+  /** Plan-audit hook (ExplainCheck): the physical plan of the prefix
+    * dictionary scan, for verifying the range predicate reaches the parquet
+    * reader as PushedFilters (no full-vocabulary decode).
+    */
+  def prefixScanPlan(prefix: String): String = {
+    var scan = postingsV.filter($"term" >= prefix && $"term" < prefix + "\uffff")
+    if (!prefix.contains(":")) scan = scan.filter(!$"term".contains(":"))
+    scan.select($"term").distinct().orderBy($"term")
+      .limit(QueryResolve.MaxPrefixExpansion)
+      .queryExecution.executedPlan.toString
+  }
+
   private[query] def expandPrefix(prefix: String): Seq[String] = {
     prefixCache.synchronized(Option(prefixCache.get(prefix))) match {
       case Some(hit) => return hit
