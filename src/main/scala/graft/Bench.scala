@@ -74,9 +74,13 @@ object BenchArm {
     val osb = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val cpu0 = osb.getProcessCpuTime
+    // 2 range-partitions per core by default: one-wave stages leave cores
+    // idle behind the slowest task (hypervisor steal makes stragglers
+    // common); two waves halve the tail at negligible task overhead
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTS_MULT", "2").toInt
     val (_, wall) = BenchCommon.timeS {
       IndexBuilder.build(s, CorpusGen.generate(s, docs), dir,
-        conf.copy(buildPartitions = cores))
+        conf.copy(buildPartitions = cores * mult))
     }
     val cpu = (osb.getProcessCpuTime - cpu0) / 1e9
     println(f"""GRAFT_ARM_JSON {"cores":$cores,"docs":$docs,"buildSec":$wall%.2f,"cpuSec":$cpu%.1f}""")
@@ -222,7 +226,10 @@ object Bench {
     val arms = sys.env.getOrElse("SPARK_GRAFT_BENCH_ARMS", "4,16")
       .split(",").map(_.trim.toInt)
     val Array(smallCores, largeCores) = arms
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // 4 paired reps by default: the hypervisor's steal regime shifts on a
+    // ~10-minute scale, so more pairs = more chances that one lands in a
+    // quiet window (the per-pair util fields expose which ones did)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
     val conf = IndexConf(numBuckets = 32)
     val skipScaling = mode == "query"
 
