@@ -501,6 +501,30 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       .limit(topN)
   }
 
+  /** Real-time get by url — the Solr `/get?id=` analog the reference calls
+    * at indexdata.py:1529–1533. Solr's RTG sees documents BEFORE commit;
+    * the analog here: consult the newest ON-DISK segment's docs table even
+    * when its pointer flip has not happened yet (an in-flight append
+    * batch), layered over the published generations; the newest version of
+    * the url wins (docIds are monotone across batches). Best-effort on the
+    * uncommitted segment: a batch whose docs table is still being written
+    * is simply not visible yet.
+    */
+  def realtimeGet(url: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = IndexLayout.latestSegDir(spark, indexDir).toSeq
+      .filterNot(segdirs.contains)
+      .filter { sd =>
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sd/docs/_SUCCESS")
+        fs.exists(p) // docs table fully written (job-commit marker)
+      }
+    val paths = (segdirs ++ latest).map(sd => s"$indexDir/$sd/docs")
+    spark.read.parquet(paths: _*)
+      .filter($"url" === url)
+      .orderBy(desc("docId")).limit(1)
+  }
+
   private def emptyResult: DataFrame =
     spark.emptyDataset[Wand.Scored].toDF()
 

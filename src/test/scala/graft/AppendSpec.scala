@@ -162,6 +162,32 @@ class AppendSpec extends AnyFunSuite {
     assert(!all.contains(oldId), "old version must be hidden after resume")
   }
 
+  test("real-time get sees an uncommitted append batch (Solr /get analog)") {
+    val dir = SparkTestSession.tempDir("graft-rtg")
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 60), dir, conf)
+    IndexBuilder.append(spark,
+      CorpusGen.generate(spark, 20, seed = 808L), dir, conf)
+    // roll the pointer back: the append batch is on disk but UNCOMMITTED
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptrs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("current-")).sortBy(_.getName)
+    fs.delete(ptrs.last, false)
+
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    val newDoc = CorpusGen.doc(808L, 3L, 20L)
+    // search does NOT see the uncommitted batch…
+    assert(engine.docs.filter($"url" === newDoc.url).collect().isEmpty)
+    // …real-time get DOES (newest on-disk version)
+    val got = engine.realtimeGet(newDoc.url).collect()
+    assert(got.length == 1 && got.head.getAs[String]("url") == newDoc.url)
+    assert(got.head.getAs[Long]("docId") >= 60L)
+    // a published doc resolves too, and a missing url is empty
+    val oldDoc = CorpusGen.doc(CorpusGen.DefaultSeed, 1L, 60L)
+    assert(engine.realtimeGet(oldDoc.url).collect().length == 1)
+    assert(engine.realtimeGet("https://nosuch.example/x").collect().isEmpty)
+  }
+
   test("append with overlapping urls overwrites (upsert-by-url)") {
     val dir = SparkTestSession.tempDir("graft-upsert")
     val n = 100L
