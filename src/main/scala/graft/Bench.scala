@@ -231,7 +231,7 @@ object Bench {
     // quiet window (the per-pair util fields expose which ones did)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
     val conf = IndexConf(numBuckets = 32)
-    val skipScaling = mode == "query"
+    val skipScaling = mode == "query" || mode == "ops"
 
     // ---- index-build scaling: paired, confined, child-JVM arms ----
     val pairs: Seq[Pair] =
@@ -272,6 +272,13 @@ object Bench {
       q -> t
     }
     s32.stop()
+
+    if (mode == "ops") { // fast headline-only probe (box-noise canary incl.)
+      val qs0 = queryTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+      emit(s"""{"metric":"total","value":${queryTimes.map(_._2).sum},"unit":"sec","queries":$qs0,"sf":"$sfDir","index_build":null}""")
+      return
+    }
 
     // ---- BM25 top-k latency over a built index (fresh session):
     //      p50 of the driver fast path over the golden set, plus p50 of the

@@ -279,17 +279,20 @@ object Ops {
         .otherwise("fr").as("predicted"))
   }
 
-  /** Word 3-gram shingles per doc (ordered tokens → joined triples). */
+  /** Word 3-gram shingle SET per doc (ordered tokens → joined triples).
+    * Dedup happens per row with array_distinct BEFORE the explode — set
+    * semantics are per-document, so a global `.distinct()` (a full shuffle
+    * of every shingle row) buys nothing it doesn't.
+    */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .withColumn("t", toksCol(col("text")))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(transform(
+      .select(col("doc_id"), explode(array_distinct(transform(
         sequence(lit(1), size(col("t")) - 2),
         i => concat_ws(" ", element_at(col("t"), i),
-          element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
         .as("s"))
-      .distinct()
 
   /** Shingles with document frequency above this are dropped before pair
     * generation AND from the per-doc set sizes (i.e. Jaccard is computed
