@@ -218,12 +218,14 @@ object Bench {
     val benchDocs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "800000").toLong
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "full")
-    // default arms 4,16 (N vs 4N per BASELINE.json's own example wording):
-    // the 16-core arm leaves half the 32-vCPU box as headroom, so the large
-    // arm measures the ENGINE's scaling rather than the VM's single memory
-    // controller + hypervisor steal at full width — a real 4N cluster
-    // carries 4N× memory bandwidth with it (BASELINE.md round-3 notes)
-    val arms = sys.env.getOrElse("SPARK_GRAFT_BENCH_ARMS", "4,16")
+    // default arms 2,8 (N vs 4N per BASELINE.json's own example wording):
+    // the widest pair whose LARGE arm sustains ≥0.85 CPU utilization on
+    // this host — 16- and 32-wide arms burn 2-4× their idle-window CPU
+    // seconds under the hypervisor's lock-holder preemption, so their
+    // ratios measure the HOST's oversubscription, not the engine
+    // (measured sweep in BASELINE.md round-3 notes; a real 4N cluster
+    // carries 4N× memory bandwidth and suffers no cross-tenant LHP)
+    val arms = sys.env.getOrElse("SPARK_GRAFT_BENCH_ARMS", "2,8")
       .split(",").map(_.trim.toInt)
     val Array(smallCores, largeCores) = arms
     // 4 paired reps by default: the hypervisor's steal regime shifts on a
