@@ -323,12 +323,19 @@ object IndexBuilder {
         val desc = IndexLayout.readJobDescriptor(spark, segPath) match {
           case Some(d) => d
           case None =>
-            // descriptor is the FIRST write into a segment dir: no
-            // descriptor + unpublished = an empty orphan from a crash
-            // during dir creation — drop it and build fresh
+            // descriptor is the FIRST write into a segment dir: an absent
+            // or torn (empty/unparseable) job.txt means the crash landed
+            // inside dir creation — the orphan carries no recoverable
+            // intent. Drop it; if ANYTHING is published, leave it serving
+            // (ADVICE r3: assuming "fresh full build" here made resume
+            // itself replace a whole published index with just the batch
+            // docs). Only an index with no published generation at all may
+            // fall through to a fresh build.
             if (published.contains(sd))
               return BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
             fs.delete(new org.apache.hadoop.fs.Path(segPath), true)
+            if (published.nonEmpty)
+              return BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
             return build(spark, docs, indexDir, conf)
         }
         val done: Set[Int] =

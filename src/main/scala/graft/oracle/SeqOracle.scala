@@ -134,8 +134,8 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       cl.mustGroups.forall(_.exists(present(_, id))) &&
       !cl.notTerms.exists(present(_, id)) &&
       cl.phrases.forall { ph =>
-        Wand.phraseMatch(ph.map(t =>
-          positions.getOrElse((t, id), Array.empty[Int])))
+        Wand.phraseMatch(ph.terms.map(t =>
+          positions.getOrElse((t, id), Array.empty[Int])), ph.slop)
       }
     }
 

@@ -422,7 +422,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val clauses = rq.clauses
     if (scoring.isEmpty || clauses.isEmpty) return emptyResult
     val not = clauses.flatMap(_.notTerms).distinct
-    val phraseTerms = clauses.flatMap(_.phrases.flatten).distinct.toSet
+    val phraseTerms = clauses.flatMap(_.phrases.flatMap(_.terms)).distinct.toSet
     val allTerms = (scoring ++ not).distinct
     val n = stats.n
     val avgdls = avgdlOf
@@ -461,9 +461,10 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
         (acc, x) => acc + x.getField("score")).as("score"),
       collect_list(struct($"term", $"positions")).as("tps"))
 
-    val clausesLocal: Array[(Array[Array[String]], Array[String], Array[Array[String]])] =
+    val clausesLocal: Array[(Array[Array[String]], Array[String], Array[(Array[String], Int)])] =
       clauses.map(c => (c.mustGroups.map(_.toArray).toArray,
-        c.notTerms.toArray, c.phrases.map(_.toArray).toArray)).toArray
+        c.notTerms.toArray,
+        c.phrases.map(p => (p.terms.toArray, p.slop)).toArray)).toArray
     val clauseOk = udf { (tps: Seq[org.apache.spark.sql.Row]) =>
       val present = tps.map(_.getString(0)).toSet
       lazy val posByTerm: Map[String, Array[Int]] = tps.map(r =>
@@ -471,8 +472,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       clausesLocal.exists { case (groups, nots, phrases) =>
         groups.forall(_.exists(present.contains)) &&
         !nots.exists(present.contains) &&
-        phrases.forall(ph => Wand.phraseMatch(
-          ph.toSeq.map(t => posByTerm.getOrElse(t, Array.empty[Int]))))
+        phrases.forall { case (ph, slop) => Wand.phraseMatch(
+          ph.toSeq.map(t => posByTerm.getOrElse(t, Array.empty[Int])), slop) }
       }
     }
     var scored = perDoc.filter(clauseOk($"tps")).select($"docId", $"score")
@@ -520,9 +521,19 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
         fs.exists(p) // docs table fully written (job-commit marker)
       }
     val paths = (segdirs ++ latest).map(sd => s"$indexDir/$sd/docs")
-    spark.read.parquet(paths: _*)
-      .filter($"url" === url)
-      .orderBy(desc("docId")).limit(1)
+    var cand = spark.read.parquet(paths: _*).filter($"url" === url)
+    // a deleted doc must not resurface via /get (ADVICE r3): apply the SAME
+    // tombstone view the search path anti-joins — global tombstones/ plus
+    // supersedes of every segment in this RTG view (incl. the uncommitted
+    // one, whose supersedes may not exist yet: best-effort like the rest)
+    val tombPaths = IndexLayout.tombstonePaths(spark, indexDir,
+      segdirs ++ latest)
+    if (tombPaths.nonEmpty) {
+      val t = spark.read.schema("docId LONG").parquet(tombPaths: _*)
+        .select($"docId")
+      cand = cand.join(t, Seq("docId"), "left_anti")
+    }
+    cand.orderBy(desc("docId")).limit(1)
   }
 
   private def emptyResult: DataFrame =

@@ -25,14 +25,24 @@ final case class ExactLit(key: String) extends TermLit
   */
 final case class PrefixLit(key: String) extends TermLit
 
+/** One positional phrase constraint. `slop` is the number of EXTRA positions
+  * the matching window may stretch by (Lucene `"a b"~N` surface,
+  * searchindex.py:98): the phrase matches iff its terms occur IN ORDER at
+  * strictly increasing positions spanning ≤ (len-1) + slop. slop=0 is the
+  * exact consecutive phrase. Documented divergence: Lucene's edit-distance
+  * slop also admits term transposition at slop ≥ 2; this engine requires
+  * order (the common "within-N words, in order" reading).
+  */
+final case class PhraseQ(terms: Seq[String], slop: Int)
+
 /** One DNF clause of the parsed boolean query: a document matches the clause
   * iff every positive literal is present (a PrefixLit counts as present when
   * ≥1 of its expansion terms is), no negative literal is present, and every
-  * phrase occurs at consecutive positions. The query matches iff ≥1 clause
-  * matches.
+  * phrase matches within its slop window ([[PhraseQ]]). The query matches
+  * iff ≥1 clause matches.
   */
 final case class BoolClause(pos: Seq[TermLit], neg: Seq[TermLit],
-    phrases: Seq[Seq[String]])
+    phrases: Seq[PhraseQ])
 
 /** Parsed query.
   *
@@ -82,7 +92,7 @@ final case class QueryAst(
 
 /** Post-parse resolution: prefix literals → concrete term lists. */
 final case class ResolvedClause(mustGroups: Seq[Seq[String]],
-    notTerms: Seq[String], phrases: Seq[Seq[String]])
+    notTerms: Seq[String], phrases: Seq[PhraseQ])
 final case class ResolvedQuery(scoringTerms: Seq[String],
     clauses: Seq[ResolvedClause])
 
@@ -154,7 +164,7 @@ object QueryParser {
   private case object LParen extends Tok
   private case object RParen extends Tok
   private final case class TermTok(field: Option[String], value: String,
-      phrase: Boolean) extends Tok
+      phrase: Boolean, slop: Int = 0) extends Tok
   private final case class RangeTok(field: String, lo: Option[String],
       hi: Option[String]) extends Tok
 
@@ -183,8 +193,19 @@ object QueryParser {
             if (i < s.length && s.charAt(i) == '"') {
               val end = s.indexOf('"', i + 1)
               val stop = if (end < 0) s.length else end
-              toks += TermTok(field, s.substring(i + 1, stop), phrase = true)
+              val body = s.substring(i + 1, stop)
               i = if (end < 0) s.length else end + 1
+              // phrase slop suffix `"..."~N` (Lucene classic surface)
+              var slop = 0
+              if (i < s.length && s.charAt(i) == '~') {
+                var j = i + 1
+                while (j < s.length && s.charAt(j).isDigit) j += 1
+                require(j > i + 1,
+                  "phrase slop requires an integer: \"...\"~N")
+                slop = s.substring(i + 1, j).toInt
+                i = j
+              }
+              toks += TermTok(field, body, phrase = true, slop)
             } else if (i < s.length && s.charAt(i) == '[') {
               // range literal [lo TO hi] — only meaningful with a field
               val end = s.indexOf(']', i + 1)
@@ -226,7 +247,7 @@ object QueryParser {
 
   private sealed trait N
   private final case class NTerm(l: TermLit) extends N
-  private final case class NPhrase(ts: Seq[String]) extends N
+  private final case class NPhrase(ts: Seq[String], slop: Int) extends N
   private final case class NAnd(cs: Seq[N]) extends N
   private final case class NOr(cs: Seq[N]) extends N
   private final case class NNot(c: N) extends N
@@ -317,26 +338,29 @@ object QueryParser {
 
     /** seqItem := prefixed (AND prefixed)* — AND binds tighter than
       * adjacency. Returns None for filter tokens (pulled out globally).
+      * The item is a MUST if ANY operand of the AND chain carries `+`
+      * (ADVICE r3: taking only the first operand's flag silently demoted
+      * `a AND +b` to a should-alternative).
       */
     private def parseSeqItem(depth: Int): Option[(N, Boolean)] = {
-      var first = parsePrefixed(depth)
-      var chain = first.map(f => Seq.newBuilder[N] += f._1)
+      var anyPlus = false
+      var chain: Option[scala.collection.mutable.Builder[N, Seq[N]]] = None
+      def add(r: Option[(N, Boolean)]): Unit = r.foreach { case (n, p) =>
+        anyPlus ||= p
+        chain match {
+          case Some(b) => b += n
+          case None    => chain = Some(Seq.newBuilder[N] += n)
+        }
+      }
+      add(parsePrefixed(depth))
       while (peek.contains(AndTok)) {
         i += 1
-        parsePrefixed(depth) match {
-          case Some((n, _)) =>
-            chain match {
-              case Some(b) => b += n
-              case None => // left operand was a filter: start chain at n
-                chain = Some(Seq.newBuilder[N] += n)
-                first = Some((n, false))
-            }
-          case None => // right operand was a filter (e.g. `a AND lang:no`)
-        }
+        // a filter operand (e.g. `a AND lang:no`) adds no chain node
+        add(parsePrefixed(depth))
       }
       chain.map { b =>
         val cs = b.result()
-        (if (cs.length == 1) cs.head else NAnd(cs), first.exists(_._2))
+        (if (cs.length == 1) cs.head else NAnd(cs), anyPlus)
       }
     }
 
@@ -402,27 +426,47 @@ object QueryParser {
             val ts = Analysis.tokenize(t.value).toSeq.map(termKey(field, _))
             if (ts.isEmpty) None
             else if (ts.length == 1) Some(NTerm(ExactLit(ts.head)))
-            else Some(NPhrase(ts))
-          } else if (t.value.endsWith("*")) {
-            val base = Analysis.tokenize(t.value.dropRight(1))
-            require(base.length == 1,
-              s"wildcard term '${t.value}' must be a single trailing-* prefix")
-            Some(NTerm(PrefixLit(termKey(field, base(0)))))
+            else Some(NPhrase(ts, t.slop))
           } else {
-            val ts = Analysis.tokenize(t.value).toSeq.map(termKey(field, _))
-            if (ts.isEmpty) None
-            else if (ts.length == 1) Some(NTerm(ExactLit(ts.head)))
-            else Some(NOr(ts.map(k => NTerm(ExactLit(k))))) // multi-token value
+            rejectUnsupported(t.value)
+            if (t.value.endsWith("*")) {
+              val base = Analysis.tokenize(t.value.dropRight(1))
+              require(base.length == 1,
+                s"wildcard term '${t.value}' must be a single trailing-* prefix")
+              Some(NTerm(PrefixLit(termKey(field, base(0)))))
+            } else {
+              val ts = Analysis.tokenize(t.value).toSeq.map(termKey(field, _))
+              if (ts.isEmpty) None
+              else if (ts.length == 1) Some(NTerm(ExactLit(ts.head)))
+              else Some(NOr(ts.map(k => NTerm(ExactLit(k))))) // multi-token value
+            }
           }
       }
+    }
+
+    /** The rest of Lucene's classic multi-term surface is NOT implemented —
+      * fail loudly instead of tokenizing the marker characters away into a
+      * silently-different query (VERDICT r3 item 5). Applies only to
+      * indexed-field bare terms: url/lang filter values keep their raw
+      * characters, and quoted phrases are analyzed verbatim.
+      */
+    private def rejectUnsupported(v: String): Unit = {
+      def bad(what: String): Nothing = throw new IllegalArgumentException(
+        s"unsupported query syntax in '$v': $what")
+      if (v.contains("^")) bad("boost (term^N) is not supported")
+      if (v.contains("~")) bad("fuzzy (term~ / term~N) is not supported")
+      if (v.contains("?")) bad("single-character wildcard (?) is not supported")
+      val stars = v.count(_ == '*')
+      if (stars > 1 || (stars == 1 && !v.endsWith("*")))
+        bad("only a single trailing-* prefix wildcard is supported")
     }
 
     // ------------------------------------------------- normalization
 
     private def collectScoring(n: N, pos: Boolean,
         out: mutable.LinkedHashSet[TermLit]): Unit = n match {
-      case NTerm(l)    => if (pos) out += l
-      case NPhrase(ts) => if (pos) out ++= ts.map(ExactLit)
+      case NTerm(l)       => if (pos) out += l
+      case NPhrase(ts, _) => if (pos) out ++= ts.map(ExactLit)
       case NAnd(cs)    => cs.foreach(collectScoring(_, pos, out))
       case NOr(cs)     => cs.foreach(collectScoring(_, pos, out))
       case NNot(c)     => collectScoring(c, !pos, out)
@@ -435,7 +479,7 @@ object QueryParser {
       */
     private def nnf(n: N, pos: Boolean): N = n match {
       case NTerm(_) => if (pos) n else NNot(n)
-      case NPhrase(_) =>
+      case NPhrase(_, _) =>
         if (pos) n
         else throw new IllegalArgumentException(
           "negated phrases are unsupported (v1: negate the terms instead)")
@@ -457,9 +501,9 @@ object QueryParser {
       case NFalse => Seq.empty
       case NTerm(l) => Seq(BoolClause(Seq(l), Nil, Nil))
       case NNot(NTerm(l)) => Seq(BoolClause(Nil, Seq(l), Nil))
-      case NPhrase(ts) =>
+      case NPhrase(ts, slop) =>
         // phrase terms are positive literals too (must all be present)
-        Seq(BoolClause(ts.map(ExactLit), Nil, Seq(ts)))
+        Seq(BoolClause(ts.map(ExactLit), Nil, Seq(PhraseQ(ts, slop))))
       case NOr(cs) =>
         val out = cs.flatMap(dnf)
         require(out.length <= MaxClauses,

@@ -55,25 +55,38 @@ object Wand {
     def result(): Array[Scored] = pq.dequeueAll.reverse.toArray
   }
 
-  /** True iff the doc's per-term position lists contain the phrase terms at
-    * consecutive offsets: exists p with positions(i) containing p+i for all i.
-    * Position lists are ascending (codec invariant) — binary search each.
+  /** True iff the doc's per-term position lists admit the phrase within a
+    * slop-stretched window: exist strictly increasing positions p_0 < p_1 <
+    * … < p_{m-1}, in term order, with span p_{m-1} - p_0 ≤ (m-1) + slop.
+    * slop=0 degenerates to the exact consecutive phrase (p_i = p_0 + i).
+    *
+    * For a fixed start p_0, greedily taking the SMALLEST valid next position
+    * per term minimizes the final span (each greedy choice dominates any
+    * alternative by induction), so scanning all starts of the first term is
+    * exact. Position lists are ascending (codec invariant) — binary search.
     */
-  def phraseMatch(positionsPerTerm: Seq[Array[Int]]): Boolean = {
+  def phraseMatch(positionsPerTerm: Seq[Array[Int]], slop: Int = 0): Boolean = {
     if (positionsPerTerm.isEmpty) return true
     if (positionsPerTerm.exists(_.isEmpty)) return false
+    val m = positionsPerTerm.length
+    if (m == 1) return true
     val first = positionsPerTerm.head
+    val maxSpan = (m - 1) + slop
     var i = 0
     while (i < first.length) {
-      val p = first(i)
+      val p0 = first(i)
+      var prev = p0
       var ok = true
       var t = 1
-      while (ok && t < positionsPerTerm.length) {
-        if (java.util.Arrays.binarySearch(positionsPerTerm(t), p + t) < 0)
-          ok = false
+      while (ok && t < m) {
+        val arr = positionsPerTerm(t)
+        var idx = java.util.Arrays.binarySearch(arr, prev + 1)
+        if (idx < 0) idx = -idx - 1 // insertion point = first > prev
+        if (idx >= arr.length) ok = false
+        else prev = arr(idx)
         t += 1
       }
-      if (ok) return true
+      if (ok && prev - p0 <= maxSpan) return true
       i += 1
     }
     false
@@ -106,7 +119,7 @@ object Wand {
     val live = clauses.flatMap { c =>
       val groups = c.mustGroups.map(_.filter(segsByTerm.contains))
       if (groups.exists(_.isEmpty)) None
-      else if (!c.phrases.flatten.forall(segsByTerm.contains)) None
+      else if (!c.phrases.flatMap(_.terms).forall(segsByTerm.contains)) None
       else Some(ResolvedClause(groups, c.notTerms, c.phrases))
     }
     if (live.isEmpty) return Array.empty
@@ -146,11 +159,11 @@ object Wand {
       cl.mustGroups.forall(_.exists(t => present(cursorByTerm(t), docId))) &&
       !cl.notTerms.exists(t => exclByTerm.get(t).exists(present(_, docId))) &&
       cl.phrases.forall { ph =>
-        phraseMatch(ph.map { t =>
+        phraseMatch(ph.terms.map { t =>
           val c = cursorByTerm(t)
           if (!c.exhausted && c.curDoc == docId) c.curPositions
           else Array.empty[Int]
-        })
+        }, ph.slop)
       }
     }
 

@@ -188,6 +188,31 @@ class AppendSpec extends AnyFunSuite {
     assert(engine.realtimeGet("https://nosuch.example/x").collect().isEmpty)
   }
 
+  test("real-time get does not resurrect deleted docs (ADVICE r3)") {
+    val dir = SparkTestSession.tempDir("graft-rtg-del")
+    val n = 50L
+    IndexBuilder.build(spark, CorpusGen.generate(spark, n), dir, conf)
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    val victim = CorpusGen.doc(CorpusGen.DefaultSeed, 4L, n)
+    val victimId = engine.realtimeGet(victim.url).collect().head.getLong(0)
+    graft.query.Deletes.delete(spark, dir, Seq(victimId))
+    // the reference uses /get to decide whether a url is indexed
+    // (indexdata.py:1529–1533): a deleted url must read as NOT indexed,
+    // matching the search view's tombstone anti-join
+    assert(engine.realtimeGet(victim.url).collect().isEmpty,
+      "deleted doc must not be returned by /get")
+    // an upserted url returns ONLY the new version (old one superseded)
+    val other = CorpusGen.doc(CorpusGen.DefaultSeed, 9L, n)
+    val newText = "rtgupserttoken " + other.text
+    val repl = other.copy(text = newText,
+      html = s"<html><head><title>t</title></head><body>$newText</body></html>"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    IndexBuilder.append(spark, spark.createDataset(Seq(repl)), dir, conf)
+    engine.invalidateCache()
+    val got = engine.realtimeGet(other.url).collect()
+    assert(got.length == 1 && got.head.getLong(0) == n)
+  }
+
   test("append with overlapping urls overwrites (upsert-by-url)") {
     val dir = SparkTestSession.tempDir("graft-upsert")
     val n = 100L

@@ -61,6 +61,8 @@ class EngineSpec extends AnyFunSuite {
     "url:host3. w00017", "url:host3. the", "url:host1. AND w00002",
     // positional phrases over the stopword head (adjacency-sensitive)
     "\"the of\"", "\"of the\" w00017",
+    // phrase slop (round 4): in-order within a stretched window
+    "\"the of\"~1", "\"of the\"~2 w00017", "\"the the\"~3",
     // stored-field ranges (inclusive, ISO instants / lexicographic)
     "warc_ts:[2024-01-01T00:00:00Z TO 2024-01-01T02:00:00Z] the",
     "warc_ts:[2024-01-01T01:00:00Z TO *] w00017",
@@ -180,6 +182,18 @@ class EngineSpec extends AnyFunSuite {
     // exhaustive path agrees
     assert(eng.searchExhaustive("\"alpha beta\"", 10).collect()
       .map(_.getLong(0)).toSeq == phraseHits.toSeq)
+
+    // slop widens the window but keeps term ORDER: ~1 additionally admits
+    // "alpha filler beta" (span 2); "beta alpha ..." still requires order
+    val slop1 = eng.search("\"alpha beta\"~1", 10).collect().map(_.getLong(0))
+    assert(slop1.length == 3 && !slop1.contains(
+      eng.docs.filter($"url".endsWith("/2")).head().getLong(0)))
+    assert(slop1.toSeq == orc.topK("\"alpha beta\"~1", 10).map(_._1))
+    assert(eng.searchExhaustive("\"alpha beta\"~1", 10).collect()
+      .map(_.getLong(0)).toSeq == slop1.toSeq)
+    // slop=0 is exactly the consecutive phrase
+    assert(eng.search("\"alpha beta\"~0", 10).collect().map(_.getLong(0))
+      .toSeq == phraseHits.toSeq)
   }
 
   test("facet counts over all matches equal oracle") {
@@ -258,5 +272,38 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](QueryParser.parse("-\"the of\""))
     intercept[IllegalArgumentException](
       QueryParser.parse("warc_ts:[not-a-date TO *] w00017"))
+  }
+
+  test("parser fails loudly on unimplemented Lucene syntax (round 4)") {
+    import graft.query.QueryParser
+    // each marker used to tokenize away into a silently-different query
+    intercept[IllegalArgumentException](QueryParser.parse("roam~"))   // fuzzy
+    intercept[IllegalArgumentException](QueryParser.parse("roam~2"))  // fuzzy
+    intercept[IllegalArgumentException](QueryParser.parse("title:roam~1"))
+    intercept[IllegalArgumentException](QueryParser.parse("jakarta^4")) // boost
+    intercept[IllegalArgumentException](QueryParser.parse("te?t"))    // ? wc
+    intercept[IllegalArgumentException](QueryParser.parse("*ing"))    // leading
+    intercept[IllegalArgumentException](QueryParser.parse("te*t"))    // infix
+    intercept[IllegalArgumentException](QueryParser.parse("a*b*"))    // multi
+    intercept[IllegalArgumentException](QueryParser.parse("\"a b\"~x")) // bad slop
+    // url filter values keep raw characters (a '?' in a url is legitimate)
+    assert(QueryParser.parse("url:h/p?q=1 w00017").urlFilter
+      .contains("h/p?q=1"))
+  }
+
+  test("`+` is honored on ANY operand of an AND chain (ADVICE r3)") {
+    import graft.query.{QueryParser, ExactLit}
+    // `x a AND +b`: the (a AND b) group is a MUST, x a pure should →
+    // the only clause is {a, b}; x contributes scoring only
+    val ast = QueryParser.parse("x a AND +b")
+    assert(ast.clauses.length == 1)
+    assert(ast.clauses.head.pos.toSet ==
+      Set(ExactLit("a"), ExactLit("b")))
+    assert(ast.scoringLits.contains(ExactLit("x")))
+    // filter-first chain keeps the later operand's plus too
+    val ast2 = QueryParser.parse("x lang:no AND +a")
+    assert(ast2.clauses.length == 1)
+    assert(ast2.clauses.head.pos == Seq(ExactLit("a")))
+    assert(ast2.langFilter.contains("no"))
   }
 }

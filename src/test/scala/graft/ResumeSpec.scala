@@ -148,6 +148,45 @@ class ResumeSpec extends AnyFunSuite {
       "half-merged orphan must be discarded")
   }
 
+  test("resume drops a descriptor-less orphan WITHOUT touching the published index (ADVICE r3)") {
+    // crash window: fs.create(job.txt) succeeded but the write/close didn't
+    // (or the dir exists with nothing in it). Round-3 resume assumed "fresh
+    // full build" and replaced the whole published index with the batch docs.
+    val dir = SparkTestSession.tempDir("graft-resume-orphan")
+    val c = IndexConf(numBuckets = 4)
+    val docs = CorpusGen.generate(spark, 100)
+    IndexBuilder.build(spark, docs, dir, c)
+    val published = IndexLayout.current(spark, dir).get
+    val before = logicalPostings(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // orphan 1: empty (torn) job.txt
+    val orphan = s"$dir/${IndexLayout.nextSegDir(spark, dir)}"
+    fs.mkdirs(new Path(orphan))
+    fs.create(new Path(orphan, "job.txt"), true).close()
+    val batch = CorpusGen.generate(spark, 10, seed = 404L)
+    val r = IndexBuilder.resume(spark, batch, dir, c)
+    assert(r.docs == 0, "resume must not build anything from an orphan")
+    assert(IndexLayout.current(spark, dir).get == published,
+      "published pointer must be untouched")
+    assert(logicalPostings(dir) == before,
+      "published index data must be untouched")
+    assert(!fs.exists(new Path(orphan)), "orphan must be dropped")
+    // orphan 2: dir with no job.txt at all — same outcome
+    val orphan2 = s"$dir/${IndexLayout.nextSegDir(spark, dir)}"
+    fs.mkdirs(new Path(orphan2))
+    IndexBuilder.resume(spark, batch, dir, c)
+    assert(IndexLayout.current(spark, dir).get == published)
+    assert(logicalPostings(dir) == before)
+    // with NOTHING published, a descriptor-less orphan still falls through
+    // to a fresh build (first-ever job crashed at dir creation)
+    val dir2 = SparkTestSession.tempDir("graft-resume-orphan2")
+    val o2 = s"$dir2/${IndexLayout.segDirName(0)}"
+    fs.mkdirs(new Path(o2))
+    IndexBuilder.resume(spark, docs, dir2, c)
+    assert(IndexLayout.current(spark, dir2).nonEmpty)
+    assert(logicalPostings(dir2) == before)
+  }
+
   test("resume publishes a build killed before the pointer flip") {
     val ref = SparkTestSession.tempDir("graft-resume-ref2")
     val dir = SparkTestSession.tempDir("graft-resume-unpub")

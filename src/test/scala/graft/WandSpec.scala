@@ -75,7 +75,10 @@ class WandSpec extends AnyFunSuite {
     "w1 AND w2 OR w3", "w1 AND (w2 OR w3)", "(w1 w2) AND w3",
     "w1 OR w2 AND w3", "+w1 w2 w3", "-w1 w2", "w1 AND w2 AND w3 OR stop0",
     "w1*", "w3* AND stop0", "w2 NOT w3*", "(w1 AND w2) OR (w3 AND w4)",
-    "\"w1 w2\" OR w3", "stop0 AND (w1 OR w2 OR w3)")
+    "\"w1 w2\" OR w3", "stop0 AND (w1 OR w2 OR w3)",
+    // round-4 surface: phrase slop
+    "\"w1 w2\"~1", "\"stop0 w1\"~2", "\"w1 w2 w3\"~1 OR w4",
+    "\"stop0 stop1\"~3 AND w1")
 
   private def resolved(q: String,
       segs: Map[String, Seq[PostingSegment]]): ResolvedQuery =
@@ -180,6 +183,49 @@ class WandSpec extends AnyFunSuite {
     // empty list → no match; empty phrase → vacuous true
     assert(!Wand.phraseMatch(Seq(Array(1), Array.empty[Int])))
     assert(Wand.phraseMatch(Seq.empty))
+  }
+
+  test("phraseMatch slop: in-order within a (len-1)+slop window") {
+    // gap of one filler: span 2 → needs slop ≥ 1
+    assert(!Wand.phraseMatch(Seq(Array(3), Array(5)), 0))
+    assert(Wand.phraseMatch(Seq(Array(3), Array(5)), 1))
+    // order is still required at any slop (documented divergence vs Lucene)
+    assert(!Wand.phraseMatch(Seq(Array(4), Array(3)), 5))
+    // three terms, one gap after the first: span 3 → slop ≥ 1
+    assert(!Wand.phraseMatch(Seq(Array(0), Array(2), Array(3)), 0))
+    assert(Wand.phraseMatch(Seq(Array(0), Array(2), Array(3)), 1))
+    // greedy start choice: first=Array(0,10) — start 0 fails (b at 12),
+    // start 10 succeeds within slop 2
+    assert(Wand.phraseMatch(Seq(Array(0, 10), Array(12)), 2))
+    // repeated term with stretch: "a a"~1 over positions {2,4}
+    assert(Wand.phraseMatch(Seq(Array(2, 4), Array(2, 4)), 1))
+    assert(!Wand.phraseMatch(Seq(Array(2, 4), Array(2, 4)), 0))
+  }
+
+  test("phraseMatch slop == brute force over position tuples (property)") {
+    // brute force: any strictly-increasing in-order assignment with span
+    // ≤ (m-1)+slop
+    def brute(lists: Seq[Array[Int]], slop: Int): Boolean = {
+      def rec(t: Int, prev: Int, start: Int): Boolean =
+        if (t == lists.length) true
+        else lists(t).exists(p => p > prev &&
+          p - start <= (lists.length - 1) + slop && rec(t + 1, p, start))
+      lists.head.exists(p0 => rec(1, p0, p0))
+    }
+    val rng = new Random(42)
+    for (_ <- 1 to 500) {
+      val m = 2 + rng.nextInt(3)
+      val lists = Seq.fill(m)(
+        Array.fill(1 + rng.nextInt(5))(rng.nextInt(15)).distinct.sorted)
+      val slop = rng.nextInt(4)
+      assert(Wand.phraseMatch(lists, slop) == brute(lists, slop),
+        s"lists=${lists.map(_.toSeq)} slop=$slop")
+      // slop=0 ≡ the exact consecutive-position semantics
+      val exact = lists.head.exists(p0 => (1 until m).forall(t =>
+        java.util.Arrays.binarySearch(lists(t), p0 + t) >= 0))
+      assert(Wand.phraseMatch(lists, 0) == exact,
+        s"slop0 lists=${lists.map(_.toSeq)}")
+    }
   }
 
   private def assertRankIdentical(got: Seq[Wand.Scored],
