@@ -101,17 +101,21 @@ object BuildIndex {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--delete] [--exhaustive]")
+    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--delete] [--exhaustive] [--distributed]")
     val indexDir = args(0)
     val query = args(1)
     val (opts, flags) = MainCommon.parseArgs(args.drop(2).toSeq,
       valued = Set("--k", "--buckets", "--df"),
-      flagNames = Set("--delete", "--exhaustive"))
+      flagNames = Set("--delete", "--exhaustive", "--distributed"))
     val k = opts.getOrElse("--k", "10").toInt
     val df = opts.getOrElse("--df", "text") // Solr's df= default field
     val spark = MainCommon.session("graft-search")
     val engine = new QueryEngine(spark, indexDir,
-      opts.getOrElse("--buckets", "32").toInt)
+      opts.getOrElse("--buckets", "32").toInt,
+      // --distributed forces the windowed plan (driver fast path off) —
+      // the 100×-relevant physical strategy, for plan/latency inspection
+      driverWandMaxSegments =
+        if (flags.contains("--distributed")) 0 else 256)
     val t0 = System.nanoTime()
     val res =
       (if (flags.contains("--exhaustive")) engine.searchExhaustive(query, k, df)

@@ -173,6 +173,17 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * pruning does not apply). Ordering + cap must mirror
     * [[QueryResolve.dictExpand]] exactly: the sequential oracle uses that
     * rule, and rank-identity depends on both sides expanding alike.
+    *
+    * Documented divergence window (ADVICE r3): the scan walks the RAW
+    * dictionary, which retains terms whose only postings are tombstoned /
+    * superseded docs. A fully-dead term expands but matches nothing — no
+    * rank effect — EXCEPT when the prefix matches more than
+    * [[QueryResolve.MaxPrefixExpansion]] terms: a dead term inside the
+    * lexicographically-first cap then displaces a live term beyond it,
+    * while an oracle over the live corpus would not (Lucene diverges the
+    * same way: deleted docs stay in the terms dict until merge). Compaction
+    * drops dead terms and restores exact agreement — covered by the
+    * EngineSpec "over-cap prefix + deletes" fixture.
     */
   /** Plan-audit hook (ExplainCheck): the physical plan of the prefix
     * dictionary scan, for verifying the range predicate reaches the parquet
@@ -327,11 +338,20 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val avgdlsB = avgdls
     val kB = k
 
+    // per-window BLOCK slices, not whole segments: a segment spanning many
+    // windows ships each window only the bytes of its overlapping blocks
+    // (VERDICT r3 #1 — a cold term's full-span segment used to be copied
+    // span/rangeLen times through this shuffle). Single-window segments
+    // (hot df-split terms, the bulk) pass through untouched.
     val segWin: Dataset[(Long, PostingSegment)] = segs
       .flatMap { s =>
         val first = s.firstDocId / rangeLen
         val last = s.lastDocId / rangeLen
-        (first to last).map(r => (r, s))
+        if (first == last) Iterator.single((first, s))
+        else (first to last).iterator.flatMap { r =>
+          PostingCodec.sliceForWindow(s, r * rangeLen, (r + 1) * rangeLen)
+            .map(slice => (r, slice))
+        }
       }
 
     val hasPred = pred.isDefined

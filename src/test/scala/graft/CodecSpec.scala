@@ -154,6 +154,87 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("sliceForWindow: slices decode to exactly the original postings; bytes scale with blocks, not span") {
+    val rng = new Random(11)
+    for (trial <- 1 to 40) {
+      val n = 1 + rng.nextInt(1500)
+      val ids = sortedIds(rng, n).distinct.sorted
+      val tfs = ids.map(i => (i % 5) + 1)
+      val dls = ids.map(i => (i % 300) + 10)
+      val poss = ids.indices.map(i => mkPositions(rng, tfs(i).toInt)).toArray
+      val seg = PostingCodec.encode("t", 0, 0, ids, tfs, dls, poss)
+      val span = seg.lastDocId - seg.firstDocId + 1
+      val rangeLen = math.max(1L, span / (1 + rng.nextInt(12)))
+      val windows = (seg.firstDocId / rangeLen) to (seg.lastDocId / rangeLen)
+
+      def bytes(s: graft.index.PostingSegment): Long =
+        s.docIdsVb.length.toLong + s.tfsVb.length + s.dlsVb.length +
+          s.posVb.length
+      var sliceBytes = 0L
+      val got = windows.flatMap { r =>
+        val lo = r * rangeLen
+        val hi = lo + rangeLen
+        PostingCodec.sliceForWindow(seg, lo, hi).toSeq.flatMap { sl =>
+          sliceBytes += bytes(sl)
+          val (i2, t2, d2) = PostingCodec.decodeAll(sl)
+          val p2 = PostingCodec.decodePositions(sl)
+          // cursor semantics: only postings inside the window count
+          i2.indices.filter(j => i2(j) >= lo && i2(j) < hi)
+            .map(j => (i2(j), t2(j), d2(j), p2(j).toSeq))
+        }
+      }
+      val expect = {
+        val (i1, t1, d1) = PostingCodec.decodeAll(seg)
+        val p1 = PostingCodec.decodePositions(seg)
+        i1.indices.map(j => (i1(j), t1(j), d1(j), p1(j).toSeq))
+      }
+      assert(got == expect, s"trial=$trial rangeLen=$rangeLen")
+
+      // interval-crossing bound: (block, window) incidences ≤ nBlocks +
+      // nWindows, so total sliced bytes ≤ original + nWindows × maxBlock
+      // (+9 bytes VByte rebase per slice) — NOT original × nWindows,
+      // which is what the pre-r4 full-segment replication shipped
+      val nBlocks = seg.blockLastDocId.length
+      val maxBlockBytes = (0 until nBlocks).map { b =>
+        def w(off: Array[Int], len: Int) =
+          (if (b + 1 < nBlocks) off(b + 1) else len) - off(b)
+        w(seg.blockDocOff, seg.docIdsVb.length).toLong +
+          w(seg.blockTfOff, seg.tfsVb.length) +
+          w(seg.blockDlOff, seg.dlsVb.length) +
+          w(seg.blockPosOff, seg.posVb.length)
+      }.max
+      // ×2: the conservative blockFirst lower bound may include one extra
+      // boundary block per window edge
+      assert(sliceBytes <= bytes(seg) + windows.size * (2 * maxBlockBytes + 9),
+        s"trial=$trial sliced=$sliceBytes orig=${bytes(seg)} " +
+          s"windows=${windows.size}")
+    }
+  }
+
+  test("sliceForWindow: non-overlap returns None, full overlap returns the original") {
+    val ids = Array(100L, 200L, 300L)
+    val seg = PostingCodec.encode("t", 0, 0, ids,
+      Array(1L, 1L, 1L), Array(10L, 10L, 10L))
+    assert(PostingCodec.sliceForWindow(seg, 0L, 100L).isEmpty)
+    assert(PostingCodec.sliceForWindow(seg, 301L, 500L).isEmpty)
+    assert(PostingCodec.sliceForWindow(seg, 0L, 1000L).exists(_ eq seg))
+    // a TermCursor over a slice scores identically to one over the original
+    val rng = new Random(12)
+    val bigIds = sortedIds(rng, 700).distinct.sorted
+    val big = PostingCodec.encode("t", 0, 0, bigIds,
+      bigIds.map(i => (i % 4) + 1), bigIds.map(_ => 120L))
+    val lo = bigIds(bigIds.length / 3)
+    val hi = bigIds(2 * bigIds.length / 3)
+    val slice = PostingCodec.sliceForWindow(big, lo, hi).get
+    def collect(s: graft.index.PostingSegment): Seq[(Long, Double)] = {
+      val c = new TermCursor("t", Seq(s), 1.7, 120.0, lo, hi, false)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (!c.exhausted) { out += ((c.curDoc, c.curScore)); c.next() }
+      out.toSeq
+    }
+    assert(collect(slice) == collect(big))
+  }
+
   test("TermCursor respects [lo, hi) window") {
     val rng = new Random(6)
     for (_ <- 1 to 100) {

@@ -265,6 +265,49 @@ class EngineSpec extends AnyFunSuite {
     assert(tPrefix == oracle.topK("t*", 10).map(_._1))
   }
 
+  test("over-cap prefix + deletes: bounded divergence window, compaction restores exact agreement (ADVICE r3)") {
+    import graft.query.QueryResolve
+    val cap = QueryResolve.MaxPrefixExpansion // 512
+    val nDocs = cap + 60
+    def mk(i: Int): WebDoc = {
+      val text = f"px$i%04d filler common words"
+      WebDoc(f"https://x.example.org/$i%04d",
+        new java.sql.Timestamp(1704067200000L),
+        s"<html><head><title>t</title></head><body>$text</body></html>"
+          .getBytes(UTF_8), text, "en")
+    }
+    val corpus = (0 until nDocs).map(mk)
+    val dir = SparkTestSession.tempDir("graft-prefix-del")
+    val c = IndexConf(numBuckets = 4)
+    IndexBuilder.build(spark, spark.createDataset(corpus), dir, c)
+    val eng = new QueryEngine(spark, dir, 4)
+    // delete the doc holding px0000 — the lexicographically FIRST term of
+    // the over-cap px* expansion; urls sort like doc numbers, so docId 0
+    Deletes.delete(spark, dir, Seq(0L))
+    eng.invalidateCache()
+
+    // pre-compaction: the dead term px0000 still occupies an expansion slot
+    // (raw dictionary), so the capped set is px0000..px0511 and the doc of
+    // px0512 — which a live-corpus view would include — is not reachable
+    val pre = eng.search("px*", nDocs).collect().map(_.getLong(0)).toSet
+    assert(pre == (1 until cap).map(_.toLong).toSet,
+      s"pre-compaction window: expected docs 1..${cap - 1}")
+
+    // compaction drops dead terms from the dictionary → exact agreement
+    // with the oracle over the live corpus
+    Compaction.run(spark, dir, c)
+    eng.invalidateCache()
+    val liveOracle = new SeqOracle(corpus.zipWithIndex.collect {
+      case (d, i) if i != 0 =>
+        OracleDoc(i.toLong, d.text, d.lang, d.url, d.warc_ts.getTime)
+    })
+    val post = eng.search("px*", nDocs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expect = liveOracle.topK("px*", nDocs)
+    assertRankIdentical(post, expect, "post-compaction px*")
+    assert(post.map(_._1).toSet == (1 to cap).map(_.toLong).toSet)
+  }
+
   test("parser rejects malformed round-3 surface") {
     import graft.query.QueryParser
     intercept[IllegalArgumentException](QueryParser.parse("NOT w00017"))
