@@ -74,9 +74,10 @@ private final class PosAcc {
   *  - block-max metadata is avgdl- and idf-free ((maxTf, minDl) per block),
   *    so the encoder runs without global stats of any kind — which is also
   *    what makes incremental append (new docs at ids N..) sound.
-  *  - the hot-term sample is keyed by xxhash64(term, docId) — deterministic
-  *    per ROW, so segmentation (and thus the index) is identical at any
-  *    parallelism/partitioning.
+  *  - the hot-term sample is a 1-in-K DOC sample keyed by xxhash64(docId) —
+  *    deterministic per ROW, so segmentation (and thus the index) is
+  *    identical at any parallelism/partitioning, and only sampled docs are
+  *    tokenized (the pass costs ~1/K of a full tokenize).
   *  - skew: sampled-hot terms (stopwords) are split into docId-range
   *    segments, so shuffle 3 never concentrates a stopword's postings into
   *    one task.
@@ -163,30 +164,16 @@ object IndexBuilder {
     (idDocs, () => { sorted.unpersist(); () }, stats) // unpersist frees blocks
   }
 
-  /** Row-pure sampling hash over (term, docId) — bit-identical to the SQL
-    * expression `xxhash64(term, docId)` (seed 42, columns folded in order),
-    * so Scala-side and DataFrame-side sampling pick the SAME rows. Purity
-    * per row is what makes segmentation independent of partitioning.
-    */
-  def sampleHash(term: String, docId: Long): Long =
-    XXH64.hashLong(docId, XXH64.hashUTF8String(UTF8String.fromString(term), 42L))
-
   /** Per-document tf rows with positions, produced NARROWLY: a document's
     * tokens all live in its own row, so the (docId, term) aggregation is
     * complete inside one pass over the partition — no groupBy, no shuffle.
     * (Round 1 ran tokenize-explode → corpus-scale hash-agg shuffle here;
     * eliminating it turned the build from 3 corpus-scale shuffles into 2.)
     * Emission order within a doc is arbitrary; everything downstream sorts
-    * by (term, segment, docId) or samples by sampleHash, so the physical
-    * index is unaffected (DeterminismSpec).
-    *
-    * @param sampleMod keep only rows with sampleHash ≡ 0 (mod sampleMod) —
-    *   the hot-term detection pass samples INSIDE this narrow pass instead
-    *   of materializing all tf rows (a 1.2M-doc corpus produced a ~20 GB
-    *   checkpoint that thrashed the block store; tokenizing twice is far
-    *   cheaper than spilling the full tf stream).
+    * by (term, segment, docId), so the physical index is unaffected
+    * (DeterminismSpec).
     */
-  def tfRowsOf(idDocs: Dataset[IdDoc], sampleMod: Int = 1): Dataset[PreTfRow] = {
+  def tfRowsOf(idDocs: Dataset[IdDoc]): Dataset[PreTfRow] = {
     import idDocs.sparkSession.implicits._
     idDocs.mapPartitions { it =>
       it.flatMap { d =>
@@ -208,12 +195,8 @@ object IndexBuilder {
           val eit = m.entrySet().iterator()
           while (eit.hasNext) {
             val e = eit.next()
-            if (sampleMod <= 1 ||
-                math.floorMod(sampleHash(e.getKey, d.docId), sampleMod.toLong) == 0L) {
-              val acc = e.getValue
-              out += PreTfRow(e.getKey, d.docId, acc.count.toLong, dl,
-                acc.bytes)
-            }
+            val acc = e.getValue
+            out += PreTfRow(e.getKey, d.docId, acc.count.toLong, dl, acc.bytes)
           }
           out.iterator
         }
@@ -390,14 +373,37 @@ object IndexBuilder {
     * docs, 1-in-200 row sampling above (df estimates only steer segment
     * sizing, never correctness).
     */
-  private[index] def sampleModFor(nDocs: Long): Int =
+  private[graft] def sampleModFor(nDocs: Long): Int =
     if (nDocs <= 50000) 1 else 200
 
-  /** Deterministic hot-term detection over PRE-SAMPLED tf rows: estimate df
-    * (count × sampleMod; exact when sampleMod == 1) and return term →
-    * segment length for terms whose estimated df exceeds the segment cap.
-    * The sample key is sampleHash(term, docId) — a pure row function, so the
-    * result (and hence the physical index) is independent of partitioning.
+  /** Hot-term detection over a 1-in-sampleMod DOC sample (r4): only the
+    * sampled docs are tokenized, so the pass costs ~1/sampleMod of a full
+    * tokenize (the r2–r3 version sampled (term,docId) ROWS, which still
+    * tokenized every document). Nothing corpus-scale is materialized (a
+    * full tf checkpoint measured ~20 GB at 1.2M docs and thrashed the
+    * block store). The doc-hash sample key is row-pure → the estimate,
+    * and hence the physical index, is independent of partitioning. For a
+    * truly hot term (df ≫ segmentMaxDocs) the 1-in-200 doc sample sees
+    * ≥ df/200 occurrences — relative error ~sqrt(200/df) ≈ 5% at the cap.
+    */
+  private[graft] def hotTerms(idDocs: Dataset[IdDoc], nDocs: Long,
+      conf: IndexConf): Map[String, Long] = {
+    val sampleMod = sampleModFor(nDocs)
+    val hotSource =
+      if (sampleMod <= 1) idDocs
+      else idDocs.filter(d => math.floorMod(
+        XXH64.hashLong(d.docId, 42L), sampleMod.toLong) == 0L)
+    hotTermSegLens(tfRowsOf(hotSource).toDF(), sampleMod, nDocs, conf)
+  }
+
+  /** Deterministic hot-term detection over tf rows of a DOC-sampled subset:
+    * estimate df (count × sampleMod; exact when sampleMod == 1) and return
+    * term → segment length for terms whose estimated df exceeds the segment
+    * cap. The sample key is a pure function of docId, so the result (and
+    * hence the physical index) is independent of partitioning. A term whose
+    * true df sits near the cap may be estimated on either side — both
+    * outcomes are safe (the cap only bounds encode-run memory; a ~25%-over
+    * run or an extra split changes layout, never results).
     */
   private[index] def hotTermSegLens(sampledTfRows: DataFrame, sampleMod: Int,
       nDocs: Long, conf: IndexConf): Map[String, Long] = {
@@ -539,13 +545,7 @@ object IndexBuilder {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
     }
 
-    // hot-term detection: sampled INSIDE the narrow tf pass — nothing
-    // corpus-scale is materialized (a full tf checkpoint measured ~20 GB at
-    // 1.2M docs and thrashed the block store; re-tokenizing for the encode
-    // pass is far cheaper)
-    val sampleMod = sampleModFor(nDocs)
-    val hot = hotTermSegLens(tfRowsOf(idDocs, sampleMod).toDF(), sampleMod,
-      nDocs, conf)
+    val hot = hotTerms(idDocs, nDocs, conf)
     phase(s"hot terms sampled (${hot.size})")
 
     // tf rows: one row per (docId, term) with its position list, produced

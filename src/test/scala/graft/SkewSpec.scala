@@ -48,4 +48,38 @@ class SkewSpec extends AnyFunSuite {
         assert(math.abs(gs - es) < 1e-9) }
     }
   }
+
+  test("doc-sampled hot detection (corpus > 50k): stopwords found hot, estimates near truth") {
+    // 60k docs crosses the sampleMod=200 threshold — the only test driving
+    // the SAMPLED path (benches run it at 800k; small suites run exact).
+    // Only the hot map is computed here, not a full build.
+    val n = 60000L
+    val conf = IndexConf(numBuckets = 4) // segmentMaxDocs = 65536
+    assert(IndexBuilder.sampleModFor(n) == 200)
+    val (idDocs, unpersist, stats) =
+      IndexBuilder.assignDocIds(spark, CorpusGen.generate(spark, n))
+    val hot = IndexBuilder.hotTerms(idDocs, stats.n, conf)
+    unpersist()
+    // every Zipf-head stopword has df ≈ n ≈ 60k < 65536... docs contain
+    // ~200 tokens so "the" (rank 1) appears in nearly every doc; with
+    // segmentMaxDocs 65536 and df ≤ 60000 nothing is hot — assert empty,
+    // then re-run with a small cap where truth is known
+    assert(hot.isEmpty, s"no term has df > 65536 at 60k docs: $hot")
+    val confSmall = IndexConf(numBuckets = 4, segmentMaxDocs = 4096)
+    val (idDocs2, unpersist2, stats2) =
+      IndexBuilder.assignDocIds(spark, CorpusGen.generate(spark, n))
+    val hot2 = IndexBuilder.hotTerms(idDocs2, stats2.n, confSmall)
+    unpersist2()
+    // the full stopword head must be detected despite 1-in-200 sampling
+    CorpusGen.Stopwords.take(10).foreach { w =>
+      assert(hot2.contains(w), s"stopword '$w' not detected hot: ${hot2.size}")
+    }
+    // estimated segLen within 2x of the truth-derived one for 'the'
+    // (df('the') ≈ n: appears in essentially every ~200-token doc)
+    val segLenThe = hot2("the")
+    val nSegTrue = (n + confSmall.segmentMaxDocs - 1) / confSmall.segmentMaxDocs
+    val segLenTrue = (n + nSegTrue - 1) / nSegTrue
+    assert(segLenThe >= segLenTrue / 2 && segLenThe <= segLenTrue * 2,
+      s"segLen('the')=$segLenThe vs truth≈$segLenTrue")
+  }
 }
