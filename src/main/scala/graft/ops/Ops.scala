@@ -62,7 +62,12 @@ object Ops {
     val tf = tokenizeTf(spark, dir).localCheckpoint()
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("doclen"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg("doclen").as("avgdl"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df only of the QUERY terms (r4): the full-vocabulary df agg was a
+    // corpus-scale shuffle whose output immediately broadcast-joined a
+    // filtered tf — filter-before-agg computes identical df values for the
+    // only terms the join keeps
+    val df = tf.filter(col("term").isin(queryTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
     tf.filter(col("term").isin(queryTerms: _*))
       .join(broadcast(df), "term")
       .join(dl, "doc_id")
@@ -115,6 +120,17 @@ object Ops {
   def phraseMatch(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .filter(lower(col("text")).rlike("data[^a-z0-9]+group"))
+      .select("doc_id")
+
+  /** Q3 phrase slop (r4): `"data group"~2` as a bounded-gap in-order
+    * predicate — ≤ 2 intervening tokens under the engine tokenizer, the
+    * exact bigram reading of the engine's slop semantics (span ≤ 1+slop,
+    * order required). Superset of [[phraseMatch]].
+    */
+  def phraseSlop(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(lower(col("text"))
+        .rlike("data([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+group"))
       .select("doc_id")
 
   /** A8/Q5: top-k with deterministic tiebreak (TakeOrderedAndProject). */
@@ -320,7 +336,12 @@ object Ops {
     val sh0 = shingles(spark, dir).localCheckpoint()
     val hot = sh0.groupBy("s").agg(count(lit(1)).as("sdf"))
       .filter(col("sdf") > HotShingleDf).select("s")
-    val sh = sh0.join(hot, Seq("s"), "left_anti").localCheckpoint()
+    // broadcast anti-join against the tiny hot set instead of a second
+    // checkpoint (r4): the capped stream is then a NARROW re-read of the
+    // sh0 checkpoint wherever it appears — one materialization barrier
+    // fewer, no shuffle re-run (hot has ≤ totalShingles/HotShingleDf rows
+    // by construction)
+    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("id_a"), col("s"))
     val b = sh.select(col("doc_id").as("id_b"), col("s"))
