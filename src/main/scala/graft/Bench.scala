@@ -233,12 +233,21 @@ object Bench {
     def contended: Boolean = large.wallSec >= small.wallSec
     def utilSmall: Double = small.cpuSec / (small.wallSec * smallCores)
     def utilLarge: Double = large.cpuSec / (large.wallSec * largeCores)
-    /** A pair is quiet-window healthy when the large arm sustained its cores
-      * AND both arms' single-thread canaries ran at nominal speed (canaries
-      * measure host steal directly; ≤1.5× the best canary seen = quiet).
+    /** A pair is quiet-window healthy when the large arm sustained its
+      * cores, both arms' single-thread canaries ran at nominal speed
+      * (≤ 1.5× the best canary seen — canaries measure host steal
+      * directly), AND neither arm's process-CPU seconds are inflated
+      * (≤ 1.25× that arm's run-minimum). The CPU check catches what
+      * canaries can miss: lock-holder preemption DURING the build inflates
+      * CPU 40–90% (measured: quiet-floor cpu8 ≈ 610–670 s vs 920–1240 s
+      * in hostile windows) while the before/after canaries sample only the
+      * window edges.
       */
-    def healthy(bestCanary: Double): Boolean =
+    def healthy(bestCanary: Double, minCpuSmall: Double,
+        minCpuLarge: Double): Boolean =
       !contended && utilLarge >= 0.85 &&
+        small.cpuSec <= minCpuSmall * 1.25 &&
+        large.cpuSec <= minCpuLarge * 1.25 &&
         Seq(small.canary0, small.canary1, large.canary0, large.canary1)
           .forall(_ <= bestCanary * 1.5)
   }
@@ -287,8 +296,12 @@ object Bench {
         def bestCanary: Double = acc.iterator.flatMap(p =>
           Seq(p.small.canary0, p.small.canary1, p.large.canary0,
             p.large.canary1)).minOption.getOrElse(Double.MaxValue)
-        def targetMet: Boolean =
-          acc.exists(p => p.healthy(bestCanary) && p.eff >= effTarget)
+        def minCpuS: Double =
+          acc.iterator.map(_.small.cpuSec).minOption.getOrElse(Double.MaxValue)
+        def minCpuL: Double =
+          acc.iterator.map(_.large.cpuSec).minOption.getOrElse(Double.MaxValue)
+        def targetMet: Boolean = acc.exists(p =>
+          p.healthy(bestCanary, minCpuS, minCpuL) && p.eff >= effTarget)
         while (acc.length < minPairs ||
             (acc.length < maxPairs && !targetMet)) {
           val s = runArm(smallCores, benchDocs)
@@ -303,14 +316,21 @@ object Bench {
         val bestCan = pairs.iterator.flatMap(p =>
           Seq(p.small.canary0, p.small.canary1, p.large.canary0,
             p.large.canary1)).min
-        val healthy = pairs.filter(_.healthy(bestCan))
+        val minCpuS = pairs.iterator.map(_.small.cpuSec).min
+        val minCpuL = pairs.iterator.map(_.large.cpuSec).min
+        val healthy = pairs.filter(_.healthy(bestCan, minCpuS, minCpuL))
         val valid = if (healthy.nonEmpty) healthy
                     else pairs.filterNot(_.contended)
         val best = (if (valid.nonEmpty) valid else pairs).maxBy(_.eff)
+        // cross-pair least-steal estimate (steal only ever ADDS wall time,
+        // so each arm's run-minimum is its closest-to-quiet measurement):
+        // a supplementary diagnostic, never the headline
+        val minWallEff = pairs.map(_.small.wallSec).min /
+          (best.scale * pairs.map(_.large.wallSec).min)
         val pairsJson = pairs.map { p =>
-          f"""{"t$smallCores%d":${p.small.wallSec}%.2f,"t$largeCores%d":${p.large.wallSec}%.2f,"eff":${p.eff}%.3f,"util$smallCores%d":${p.utilSmall}%.2f,"util$largeCores%d":${p.utilLarge}%.2f,"canary$smallCores%d":[${p.small.canary0}%.2f,${p.small.canary1}%.2f],"canary$largeCores%d":[${p.large.canary0}%.2f,${p.large.canary1}%.2f],"contended":${p.contended},"healthy":${p.healthy(bestCan)}}"""
+          f"""{"t$smallCores%d":${p.small.wallSec}%.2f,"t$largeCores%d":${p.large.wallSec}%.2f,"eff":${p.eff}%.3f,"util$smallCores%d":${p.utilSmall}%.2f,"util$largeCores%d":${p.utilLarge}%.2f,"cpu$smallCores%d":${p.small.cpuSec}%.0f,"cpu$largeCores%d":${p.large.cpuSec}%.0f,"canary$smallCores%d":[${p.small.canary0}%.2f,${p.small.canary1}%.2f],"canary$largeCores%d":[${p.large.canary0}%.2f,${p.large.canary1}%.2f],"contended":${p.contended},"healthy":${p.healthy(bestCan, minCpuS, minCpuL)}}"""
         }.mkString("[", ",", "]")
-        f""""index_build":{"docs":$benchDocs,"arms":[$smallCores,$largeCores],"docs_per_sec_local$smallCores":${benchDocs / best.small.wallSec}%.1f,"docs_per_sec_local$largeCores":${benchDocs / best.large.wallSec}%.1f,"build_sec_local$smallCores":${best.small.wallSec}%.2f,"build_sec_local$largeCores":${best.large.wallSec}%.2f,"scaling_efficiency":${best.eff}%.3f,"scaling_efficiency_${smallCores}_to_$largeCores":${best.eff}%.3f,"pairs":$pairsJson}"""
+        f""""index_build":{"docs":$benchDocs,"arms":[$smallCores,$largeCores],"docs_per_sec_local$smallCores":${benchDocs / best.small.wallSec}%.1f,"docs_per_sec_local$largeCores":${benchDocs / best.large.wallSec}%.1f,"build_sec_local$smallCores":${best.small.wallSec}%.2f,"build_sec_local$largeCores":${best.large.wallSec}%.2f,"scaling_efficiency":${best.eff}%.3f,"scaling_efficiency_${smallCores}_to_$largeCores":${best.eff}%.3f,"scaling_efficiency_min_walls":$minWallEff%.3f,"pairs":$pairsJson}"""
       }
 
     if (mode == "scaling") {
