@@ -287,8 +287,10 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_EFF_TARGET", "0.8").toDouble
     val minPairs = math.min(reps,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_PAIRS", "2").toInt)
-    val maxPairs = math.max(reps,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PAIRS", "8").toInt)
+    // an explicit MAX_PAIRS wins outright (smoke tests set 1); the default
+    // allows the retry loop to outlast a noisy regime
+    val maxPairs = sys.env.get("SPARK_GRAFT_BENCH_MAX_PAIRS").map(_.toInt)
+      .getOrElse(math.max(reps, 8))
     val pairs: Seq[Pair] =
       if (skipScaling) Seq.empty
       else {

@@ -102,12 +102,19 @@ class WandSpec extends AnyFunSuite {
           n, _ => avgdl, k, 0L, Long.MaxValue)
         assertRankIdentical(got.toSeq, expect, s"q='$q' trial=$trial single")
 
-        // windowed: 4 disjoint windows, local top-k each, merged globally —
-        // exactly what the distributed plan does
+        // windowed: 4 disjoint windows, each given only the BLOCK SLICES of
+        // segments overlapping it (PostingCodec.sliceForWindow — exactly
+        // what the distributed plan ships since r4), local top-k each,
+        // merged globally
         val w = math.max(1L, (n + 3) / 4)
         val merged = (0 until 4).flatMap { r =>
-          Wand.topK(segs, dfByTerm, rq.scoringTerms, rq.clauses,
-            n, _ => avgdl, k, r * w, (r + 1) * w)
+          val lo = r * w
+          val hi = lo + w
+          val sliced = segs.map { case (t, ss) =>
+            t -> ss.flatMap(PostingCodec.sliceForWindow(_, lo, hi))
+          }.filter(_._2.nonEmpty)
+          Wand.topK(sliced, dfByTerm, rq.scoringTerms, rq.clauses,
+            n, _ => avgdl, k, lo, hi)
         }.sortBy(s => (-s.score, s.docId)).take(k)
         assertRankIdentical(merged, expect, s"q='$q' trial=$trial windowed")
       }
