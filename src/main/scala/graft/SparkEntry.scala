@@ -57,6 +57,7 @@ object SparkEntry {
     "q_range_filter" -> ((s, d) => Ops.rangeFilterTopk(s, d)),
     "q_phrase_match" -> ((s, d) => Ops.phraseMatch(s, d)),
     "q_phrase_slop" -> ((s, d) => Ops.phraseSlop(s, d)),
+    "q_event_window" -> ((s, d) => Ops.eventWindow(s, d)),
     // rows-only (hash fns / cluster assignment not portable to DuckDB)
     "q_minhash_lsh" -> ((s, d) => Ops.minhashLsh(s, d)),
     "q_simhash" -> ((s, d) => Ops.simhash(s, d)),
@@ -221,6 +222,10 @@ object SparkEntry {
     "q_phrase_slop" ->
       ("SELECT doc_id FROM documents WHERE regexp_matches(lower(text), " +
         "'data([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+group')"),
+    "q_event_window" ->
+      ("SELECT date_trunc('hour', ts) AS ws, event_type, " +
+        "count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value " +
+        "FROM events GROUP BY 1, 2"),
     "q_embed_cosine" ->
       ("SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], " +
         "q.embedding::DOUBLE[]), 4) AS c FROM embeddings e, " +

@@ -212,6 +212,19 @@ object Ops {
           lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
       .select("o_orderkey")
 
+  /** §2.10 (r4): batch twin of the streaming tumbling-window event rollup
+    * ([[graft.streaming.StreamIngest.windowedEventAgg]]) — identical
+    * aggregation over the static events table, DuckDB-oracled. Streaming
+    * and batch share one aggregation definition (unified-engine contract);
+    * StreamingSpec asserts the stream output equals this on the same rows.
+    */
+  def eventWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
   /** §2.11: dense-rank window (docId assignment analog) — top-N-then-rank:
     * TakeOrderedAndProject bounds the global sort at 50 rows, and the
     * row_number window then runs over those 50 rows only. The naive
