@@ -243,9 +243,18 @@ object Bench {
       * in hostile windows) while the before/after canaries sample only the
       * window edges.
       */
+    /** The same job burns near-identical CPU at any width when the host is
+      * quiet (measured quiet pairs: cpu8/cpu2 = 0.99–1.21); lock-holder
+      * preemption inflates ONLY the wide arm (stolen pairs: 1.5–2.4×).
+      * The within-pair ratio is the one steal signal that needs no
+      * run-relative floor — it stays valid even when every window of a run
+      * is hostile.
+      */
+    def cpuRatioOk: Boolean = large.cpuSec <= small.cpuSec * 1.35
+
     def healthy(bestCanary: Double, minCpuSmall: Double,
         minCpuLarge: Double): Boolean =
-      !contended && utilLarge >= 0.85 &&
+      !contended && utilLarge >= 0.85 && cpuRatioOk &&
         small.cpuSec <= minCpuSmall * 1.25 &&
         large.cpuSec <= minCpuLarge * 1.25 &&
         Seq(small.canary0, small.canary1, large.canary0, large.canary1)
