@@ -300,6 +300,12 @@ object Bench {
     // allows the retry loop to outlast a noisy regime
     val maxPairs = sys.env.get("SPARK_GRAFT_BENCH_MAX_PAIRS").map(_.toInt)
       .getOrElse(math.max(reps, 8))
+    // wall-clock budget for the scaling section (~9 min/pair at 800k docs):
+    // a bench killed by an outer timeout leaves NO record at all, which is
+    // strictly worse than a sub-target record full of diagnostics — stop
+    // adding pairs past the budget even if no healthy pair met the target
+    val scalingBudgetSec = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_MAX_SCALING_SEC", "2700").toInt
     val pairs: Seq[Pair] =
       if (skipScaling) Seq.empty
       else {
@@ -313,8 +319,11 @@ object Bench {
           acc.iterator.map(_.large.cpuSec).minOption.getOrElse(Double.MaxValue)
         def targetMet: Boolean = acc.exists(p =>
           p.healthy(bestCanary, minCpuS, minCpuL) && p.eff >= effTarget)
+        val t0 = System.nanoTime()
+        def withinBudget: Boolean =
+          (System.nanoTime() - t0) / 1e9 < scalingBudgetSec
         while (acc.length < minPairs ||
-            (acc.length < maxPairs && !targetMet)) {
+            (acc.length < maxPairs && withinBudget && !targetMet)) {
           val s = runArm(smallCores, benchDocs)
           val l = runArm(largeCores, benchDocs)
           acc += Pair(s, l, smallCores, largeCores)
