@@ -63,6 +63,8 @@ class EngineSpec extends AnyFunSuite {
     "\"the of\"", "\"of the\" w00017",
     // phrase slop (round 4): in-order within a stretched window
     "\"the of\"~1", "\"of the\"~2 w00017", "\"the the\"~3",
+    // field-qualified phrases (title positions are field-local) ± slop
+    "title:\"doc 1\"", "title:\"doc 9\"~1 w00017",
     // stored-field ranges (inclusive, ISO instants / lexicographic)
     "warc_ts:[2024-01-01T00:00:00Z TO 2024-01-01T02:00:00Z] the",
     "warc_ts:[2024-01-01T01:00:00Z TO *] w00017",
