@@ -148,7 +148,9 @@ object Bench {
     "\"the of\"",
     // round-3 surface: boolean precedence, parens, prefix, title field
     "w00017 AND w00342 OR w00343", "w00017 AND (w00342 OR w00343)",
-    "w0099*", "title:9999 w00017")
+    "w0099*", "title:9999 w00017",
+    // round-4 surface: phrase slop
+    "\"the of\"~2", "\"w00017 w00342\"~3")
 
   /** Stopword-heavy queries whose posting sets exceed the driver threshold —
     * timed against a driverWandMaxSegments=0 engine so the 100×-relevant
