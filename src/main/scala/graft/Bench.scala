@@ -122,6 +122,17 @@ object BenchArm {
   * before it carries a `GRAFT_BENCH_JSON ` prefix for marker-scanning
   * parsers; `bench.json` in the working directory is the file copy.
   *
+  * Kill-robustness (r5 — VERDICT r4 #1: the official r4 record was rc 124
+  * with `parsed: null` because one emit() ran only at the very end): the
+  * record is now emitted INCREMENTALLY — once at startup, after EVERY
+  * scaling pair, after the headline-ops section, and after the latency
+  * section — always as a complete well-formed JSON object with the sections
+  * measured so far. An outer kill at any instant leaves the newest marker
+  * line + bench.json as the best partial record instead of nothing. The
+  * total run is additionally budgeted (`SPARK_GRAFT_BENCH_MAX_TOTAL_SEC`,
+  * default 2000 s) with per-section reserves, so a driver wall clock near
+  * 45 min is met with margin rather than raced.
+  *
   * Scaling methodology (the r2 record was noise — 9× spread between
   * identical arms): each rep runs the two arms BACK-TO-BACK in separately
   * `taskset`-confined child JVMs, a pair whose large arm is slower than its
@@ -264,12 +275,35 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // sized so the large arm runs ~40-60 s: below ~0.5M docs fixed costs
     // dominate the ratio (see BASELINE.md measurement notes)
     val benchDocs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "800000").toLong
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "full")
+    // hard ceiling on the WHOLE bench: sections that would overrun are
+    // skipped (the record of the finished sections stands). Sized for a
+    // ~45-min driver wall clock with margin.
+    val totalBudgetSec = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_MAX_TOTAL_SEC", "2000").toInt
+
+    // ---- incremental record state: every section updates its slot and
+    //      re-emits the full (well-formed) JSON + bench.json ----
+    var buildJson = """"index_build":null"""
+    var qsJson = "{}"
+    var totalVal = 0.0
+    var opsDiagJson = ""
+    var latencyJson = ""
+    def emitRecord(): Unit = {
+      val parts = Seq(s""""queries":$qsJson""", s""""sf":"$sfDir"""",
+        buildJson) ++
+        Option(opsDiagJson).filter(_.nonEmpty) ++
+        Option(latencyJson).filter(_.nonEmpty)
+      emit(f"""{"metric":"total","value":$totalVal%.3f,"unit":"sec",${parts.mkString(",")}}""")
+    }
+    emitRecord() // a parseable record exists from second zero
     // default arms 2,8 (N vs 4N per BASELINE.json's own example wording):
     // the widest pair whose LARGE arm sustains ≥0.85 CPU utilization on
     // this host — 16- and 32-wide arms burn 2-4× their idle-window CPU
@@ -302,69 +336,72 @@ object Bench {
     // allows the retry loop to outlast a noisy regime
     val maxPairs = sys.env.get("SPARK_GRAFT_BENCH_MAX_PAIRS").map(_.toInt)
       .getOrElse(math.max(reps, 8))
-    // wall-clock budget for the scaling section (~9 min/pair at 800k docs):
-    // a bench killed by an outer timeout leaves NO record at all, which is
-    // strictly worse than a sub-target record full of diagnostics — stop
-    // adding pairs past the budget even if no healthy pair met the target
+    // wall-clock budget for the scaling section (~7-9 min/pair at 800k
+    // docs; r5 default 1200 s ≈ 2 pairs — three healthy ≥0.8 pairs are
+    // already on record from r4, so the retry loop rarely needs more, and
+    // a record MUST land inside the driver's total wall clock)
     val scalingBudgetSec = sys.env
-      .getOrElse("SPARK_GRAFT_BENCH_MAX_SCALING_SEC", "2700").toInt
-    val pairs: Seq[Pair] =
-      if (skipScaling) Seq.empty
-      else {
-        val acc = scala.collection.mutable.ArrayBuffer.empty[Pair]
-        def bestCanary: Double = acc.iterator.flatMap(p =>
-          Seq(p.small.canary0, p.small.canary1, p.large.canary0,
-            p.large.canary1)).minOption.getOrElse(Double.MaxValue)
-        def minCpuS: Double =
-          acc.iterator.map(_.small.cpuSec).minOption.getOrElse(Double.MaxValue)
-        def minCpuL: Double =
-          acc.iterator.map(_.large.cpuSec).minOption.getOrElse(Double.MaxValue)
-        def targetMet: Boolean = acc.exists(p =>
-          p.healthy(bestCanary, minCpuS, minCpuL) && p.eff >= effTarget)
-        val t0 = System.nanoTime()
-        def withinBudget: Boolean =
-          (System.nanoTime() - t0) / 1e9 < scalingBudgetSec
-        while (acc.length < minPairs ||
-            (acc.length < maxPairs && withinBudget && !targetMet)) {
-          val s = runArm(smallCores, benchDocs)
-          val l = runArm(largeCores, benchDocs)
-          acc += Pair(s, l, smallCores, largeCores)
-        }
-        acc.toSeq
-      }
-    val buildJson =
-      if (skipScaling) """"index_build":null"""
-      else {
-        val bestCan = pairs.iterator.flatMap(p =>
-          Seq(p.small.canary0, p.small.canary1, p.large.canary0,
-            p.large.canary1)).min
-        val minCpuS = pairs.iterator.map(_.small.cpuSec).min
-        val minCpuL = pairs.iterator.map(_.large.cpuSec).min
-        val healthy = pairs.filter(_.healthy(bestCan, minCpuS, minCpuL))
-        val valid = if (healthy.nonEmpty) healthy
-                    else pairs.filterNot(_.contended)
-        val best = (if (valid.nonEmpty) valid else pairs).maxBy(_.eff)
-        // cross-pair least-steal estimate (steal only ever ADDS wall time,
-        // so each arm's run-minimum is its closest-to-quiet measurement):
-        // a supplementary diagnostic, never the headline
-        val minWallEff = pairs.map(_.small.wallSec).min /
-          (best.scale * pairs.map(_.large.wallSec).min)
-        val pairsJson = pairs.map { p =>
-          f"""{"t$smallCores%d":${p.small.wallSec}%.2f,"t$largeCores%d":${p.large.wallSec}%.2f,"eff":${p.eff}%.3f,"util$smallCores%d":${p.utilSmall}%.2f,"util$largeCores%d":${p.utilLarge}%.2f,"cpu$smallCores%d":${p.small.cpuSec}%.0f,"cpu$largeCores%d":${p.large.cpuSec}%.0f,"canary$smallCores%d":[${p.small.canary0}%.2f,${p.small.canary1}%.2f],"canary$largeCores%d":[${p.large.canary0}%.2f,${p.large.canary1}%.2f],"contended":${p.contended},"healthy":${p.healthy(bestCan, minCpuS, minCpuL)}}"""
-        }.mkString("[", ",", "]")
-        f""""index_build":{"docs":$benchDocs,"arms":[$smallCores,$largeCores],"docs_per_sec_local$smallCores":${benchDocs / best.small.wallSec}%.1f,"docs_per_sec_local$largeCores":${benchDocs / best.large.wallSec}%.1f,"build_sec_local$smallCores":${best.small.wallSec}%.2f,"build_sec_local$largeCores":${best.large.wallSec}%.2f,"scaling_efficiency":${best.eff}%.3f,"scaling_efficiency_${smallCores}_to_$largeCores":${best.eff}%.3f,"scaling_efficiency_min_walls":$minWallEff%.3f,"pairs":$pairsJson}"""
-      }
+      .getOrElse("SPARK_GRAFT_BENCH_MAX_SCALING_SEC", "1200").toInt
+    // reserve for the post-scaling sections in full mode (ops ~180 s +
+    // latency index build/measure ~300 s): the scaling loop must not eat
+    // the whole total budget when more sections still have to run
+    val scalingReserveSec = if (mode == "scaling") 0 else 480
 
-    if (mode == "scaling") {
-      emit(s"""{"metric":"total","value":0,"unit":"sec","queries":{},"sf":"$sfDir",$buildJson}""")
-      return
+    def buildJsonOf(pairs: Seq[Pair]): String = {
+      val bestCan = pairs.iterator.flatMap(p =>
+        Seq(p.small.canary0, p.small.canary1, p.large.canary0,
+          p.large.canary1)).min
+      val minCpuS = pairs.iterator.map(_.small.cpuSec).min
+      val minCpuL = pairs.iterator.map(_.large.cpuSec).min
+      val healthy = pairs.filter(_.healthy(bestCan, minCpuS, minCpuL))
+      val valid = if (healthy.nonEmpty) healthy
+                  else pairs.filterNot(_.contended)
+      val best = (if (valid.nonEmpty) valid else pairs).maxBy(_.eff)
+      // cross-pair least-steal estimate (steal only ever ADDS wall time,
+      // so each arm's run-minimum is its closest-to-quiet measurement):
+      // a supplementary diagnostic, never the headline
+      val minWallEff = pairs.map(_.small.wallSec).min /
+        (best.scale * pairs.map(_.large.wallSec).min)
+      val pairsJson = pairs.map { p =>
+        f"""{"t$smallCores%d":${p.small.wallSec}%.2f,"t$largeCores%d":${p.large.wallSec}%.2f,"eff":${p.eff}%.3f,"util$smallCores%d":${p.utilSmall}%.2f,"util$largeCores%d":${p.utilLarge}%.2f,"cpu$smallCores%d":${p.small.cpuSec}%.0f,"cpu$largeCores%d":${p.large.cpuSec}%.0f,"canary$smallCores%d":[${p.small.canary0}%.2f,${p.small.canary1}%.2f],"canary$largeCores%d":[${p.large.canary0}%.2f,${p.large.canary1}%.2f],"contended":${p.contended},"healthy":${p.healthy(bestCan, minCpuS, minCpuL)}}"""
+      }.mkString("[", ",", "]")
+      f""""index_build":{"docs":$benchDocs,"arms":[$smallCores,$largeCores],"docs_per_sec_local$smallCores":${benchDocs / best.small.wallSec}%.1f,"docs_per_sec_local$largeCores":${benchDocs / best.large.wallSec}%.1f,"build_sec_local$smallCores":${best.small.wallSec}%.2f,"build_sec_local$largeCores":${best.large.wallSec}%.2f,"scaling_efficiency":${best.eff}%.3f,"scaling_efficiency_${smallCores}_to_$largeCores":${best.eff}%.3f,"scaling_efficiency_min_walls":$minWallEff%.3f,"pairs":$pairsJson}"""
     }
+
+    if (!skipScaling) {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Pair]
+      def bestCanary: Double = acc.iterator.flatMap(p =>
+        Seq(p.small.canary0, p.small.canary1, p.large.canary0,
+          p.large.canary1)).minOption.getOrElse(Double.MaxValue)
+      def minCpuS: Double =
+        acc.iterator.map(_.small.cpuSec).minOption.getOrElse(Double.MaxValue)
+      def minCpuL: Double =
+        acc.iterator.map(_.large.cpuSec).minOption.getOrElse(Double.MaxValue)
+      def targetMet: Boolean = acc.exists(p =>
+        p.healthy(bestCanary, minCpuS, minCpuL) && p.eff >= effTarget)
+      val t0 = System.nanoTime()
+      def withinBudget: Boolean =
+        (System.nanoTime() - t0) / 1e9 < scalingBudgetSec &&
+          elapsedSec < totalBudgetSec - scalingReserveSec
+      while ((acc.length < minPairs && withinBudget) ||
+          (acc.length < maxPairs && withinBudget && !targetMet)) {
+        val s = runArm(smallCores, benchDocs)
+        val l = runArm(largeCores, benchDocs)
+        acc += Pair(s, l, smallCores, largeCores)
+        // re-emit after EVERY pair: a kill mid-loop keeps all finished pairs
+        buildJson = buildJsonOf(acc.toSeq)
+        emitRecord()
+      }
+    }
+
+    if (mode == "scaling") return // per-pair emission already recorded it
 
     // ---- headline operator timings (fresh local[32], warm each plan on
     //      sf0.001 first so we time the operator, not Janino). Every rep is
     //      bracketed by a fixed CPU canary and every op records its process-
     //      CPU seconds (VERDICT r3 item 1a/3: a slow wall time with flat CPU
     //      and a slow canary is the BOX; rising CPU is the ENGINE) ----
+    if (elapsedSec > totalBudgetSec - 300) return // scaling record stands
     val s32 = session(32)
     val osb = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -413,18 +450,19 @@ object Bench {
       s""""ops_diag":{"reps":$opsReps,"canary_sec":$canaries,"cpu_sec":$cpus,"rep_wall":$allReps,"cores":32}"""
     }
 
-    if (mode == "ops") { // fast headline-only probe with its own diagnostics
-      val qs0 = queryTimes.map { case (k, t) => "\"" + k + f"""\":${t.wall}%.3f""" }
-        .mkString("{", ",", "}")
-      s32.stop()
-      emit(s"""{"metric":"total","value":${queryTimes.map(_._2.wall).sum},"unit":"sec","queries":$qs0,"sf":"$sfDir","index_build":null,$opsDiag}""")
-      return
-    }
+    // section done: fold the ops numbers into the record and emit
+    qsJson = queryTimes.map { case (k, t) => "\"" + k + f"""\":${t.wall}%.3f""" }
+      .mkString("{", ",", "}")
+    totalVal = queryTimes.map(_._2.wall).sum
+    opsDiagJson = opsDiag
+    emitRecord()
     s32.stop()
+    if (mode == "ops") return
 
     // ---- BM25 top-k latency over a built index (fresh session):
     //      p50 of the driver fast path over the golden set, plus p50 of the
     //      distributed windowed path (driverWandMaxSegments=0) ----
+    if (elapsedSec > totalBudgetSec - 240) return // ops record stands
     val sq = session(32)
     val osbQ = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -456,10 +494,8 @@ object Bench {
     val canD1 = BenchArm.canarySec()
     sq.stop()
 
-    val qs = queryTimes.map { case (k, t) => "\"" + k + f"""\":${t.wall}%.3f""" }
-      .mkString("{", ",", "}")
-    val total = queryTimes.map(_._2.wall).sum
-    emit(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$buildJson,$opsDiag,"query_latency":{"p50_sec":$p50%.4f,"p50_distributed_sec":$p50D%.4f,"k":10,"queries":${goldenQueries.length},"distributed_queries":${distributedQueries.length},"reps":3,"driver_cpu_sec":$cpuDriver%.2f,"distributed_cpu_sec":$cpuDist%.2f,"canary_sec":[$canD0%.3f,$canD1%.3f]}}""")
+    latencyJson =
+      f""""query_latency":{"p50_sec":$p50%.4f,"p50_distributed_sec":$p50D%.4f,"k":10,"queries":${goldenQueries.length},"distributed_queries":${distributedQueries.length},"reps":3,"driver_cpu_sec":$cpuDriver%.2f,"distributed_cpu_sec":$cpuDist%.2f,"canary_sec":[$canD0%.3f,$canD1%.3f]}"""
+    emitRecord()
   }
 }

@@ -110,12 +110,15 @@ object Search {
     val k = opts.getOrElse("--k", "10").toInt
     val df = opts.getOrElse("--df", "text") // Solr's df= default field
     val spark = MainCommon.session("graft-search")
-    val engine = new QueryEngine(spark, indexDir,
-      opts.getOrElse("--buckets", "32").toInt,
-      // --distributed forces the windowed plan (driver fast path off) —
-      // the 100×-relevant physical strategy, for plan/latency inspection
-      driverWandMaxSegments =
-        if (flags.contains("--distributed")) 0 else 256)
+    val buckets = opts.getOrElse("--buckets", "32").toInt
+    // --distributed forces the windowed plan (driver fast path off) — the
+    // 100×-relevant physical strategy, for plan/latency inspection. Without
+    // it, the engine's own constructor default applies (ADVICE r4: a
+    // duplicated literal here silently diverged from library behavior).
+    val engine =
+      if (flags.contains("--distributed"))
+        new QueryEngine(spark, indexDir, buckets, driverWandMaxSegments = 0)
+      else new QueryEngine(spark, indexDir, buckets)
     val t0 = System.nanoTime()
     val res =
       (if (flags.contains("--exhaustive")) engine.searchExhaustive(query, k, df)
