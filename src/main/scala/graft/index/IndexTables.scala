@@ -115,10 +115,23 @@ object IndexConf {
   *                      (query-time pruning unit; scale with vocabulary)
   * @param segmentMaxDocs df threshold above which a term is split into
   *                      docId-range segments (skew control)
+  * @param autoCompactGenerations merge policy threshold G (0 disables): when
+  *                      an append leaves MORE than G live generations
+  *                      published, [[Compaction]] runs immediately after the
+  *                      pointer flip and folds them to one — the Solr/Lucene
+  *                      background-merge analog (SURVEY.md §4.2). Bounds
+  *                      query planning (readPostings unions one relation per
+  *                      generation) under continuous streaming ingest, which
+  *                      otherwise creates a generation per micro-batch
+  *                      without bound. Each compaction is a full merge, so
+  *                      write amplification is amortized O(N/G) per batch —
+  *                      acceptable for G≈8; a tiered policy would reduce it
+  *                      further if appends outpace merges at scale.
   */
 final case class IndexConf(
     numBuckets: Int = 32,
     segmentMaxDocs: Int = 1 << 16,
-    buildPartitions: Int = 0) { // 0 = spark default parallelism
-  require(numBuckets > 0 && segmentMaxDocs > 0)
+    buildPartitions: Int = 0, // 0 = spark default parallelism
+    autoCompactGenerations: Int = 8) {
+  require(numBuckets > 0 && segmentMaxDocs > 0 && autoCompactGenerations >= 0)
 }

@@ -431,10 +431,12 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   /** All matching (docId, score) as a DataFrame — the pure-Catalyst match
     * set behind searchExhaustive and facet. One pruned scan of every query
     * term (scoring + negative), a per-doc fold in term-sorted order
-    * (bit-identical scores at any parallelism), and a clause-evaluation
-    * predicate over the doc's collected (term, positions) list. The clause
-    * UDF runs on small per-doc lists — this is the slow regression-anchor
-    * path, not the WAND hot loop.
+    * (bit-identical scores at any parallelism), and clause evaluation that
+    * splits on phrase presence (VERDICT r4 #4): phrase-FREE queries — the
+    * shape facet() sends to production — run entirely in codegen
+    * (collect_set + arrays_overlap, no positions decoded or shipped);
+    * only queries that actually contain a phrase take the positions-
+    * collecting UDF path, the slow regression anchor.
     */
   private def scoredCandidates(ast: QueryAst): DataFrame = {
     val rq = QueryResolve.resolve(ast, expandPrefix)
@@ -456,47 +458,84 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val nB = n
     val scoringSet = scoring.toSet
     val phraseTermsB = phraseTerms
-    // one row per (doc, term) with the term's BM25 contribution (0 for
-    // negative-only terms) and its positions when a phrase needs them
-    val rows = postingsFor(allTerms).flatMap { s =>
-      val idfv = BM25.idf(nB, bDf.value(s.term))
-      val avg = avgdls(s.term)
-      val isScoring = scoringSet.contains(s.term)
-      val needPos = phraseTermsB.contains(s.term)
-      val (ids, tfs, dls) = PostingCodec.decodeAll(s)
-      val poss = if (needPos) PostingCodec.decodePositions(s) else null
-      Iterator.tabulate(s.count) { i =>
-        (ids(i), s.term,
-          if (isScoring) BM25.score(tfs(i), dls(i), avg, idfv) else 0.0,
-          if (needPos) poss(i).toSeq else Seq.empty[Int])
-      }
-    }.toDF("docId", "term", "score", "positions")
+    val hasPhrases = clauses.exists(_.phrases.nonEmpty)
 
-    // deterministic per-doc score: fold term contributions in term-sorted
-    // order via sort_array + aggregate (bit-identical at any parallelism)
-    val perDoc = rows.groupBy($"docId").agg(
-      aggregate(
-        sort_array(collect_list(struct($"term", $"score"))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("score")).as("score"),
-      collect_list(struct($"term", $"positions")).as("tps"))
+    var scored: DataFrame = if (!hasPhrases) {
+      // phrase-free (the facet/production shape, VERDICT r4 #4): positions
+      // are never decoded, never shipped, never collected, and clause
+      // evaluation is a pure Catalyst predicate over the per-doc term set
+      // (arrays_overlap, codegen'd) — no UDF anywhere in the plan
+      val rows = postingsFor(allTerms).flatMap { s =>
+        val idfv = BM25.idf(nB, bDf.value(s.term))
+        val avg = avgdls(s.term)
+        val isScoring = scoringSet.contains(s.term)
+        val (ids, tfs, dls) = PostingCodec.decodeAll(s)
+        Iterator.tabulate(s.count) { i =>
+          (ids(i), s.term,
+            if (isScoring) BM25.score(tfs(i), dls(i), avg, idfv) else 0.0)
+        }
+      }.toDF("docId", "term", "score")
+      // deterministic per-doc score: fold term contributions in term-sorted
+      // order via sort_array + aggregate (bit-identical at any parallelism)
+      val perDoc = rows.groupBy($"docId").agg(
+        aggregate(
+          sort_array(collect_list(struct($"term", $"score"))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("score")).as("score"),
+        collect_set($"term").as("present"))
+      val clausePred: Column = clauses.map { c =>
+        val musts = c.mustGroups.map(g =>
+            arrays_overlap($"present", array(g.map(lit): _*)))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val notsOk =
+          if (c.notTerms.isEmpty) lit(true)
+          else !arrays_overlap($"present", array(c.notTerms.map(lit): _*))
+        musts && notsOk
+      }.reduce(_ || _)
+      perDoc.filter(clausePred).select($"docId", $"score")
+    } else {
+      // phrase clauses need per-term positions: decode them only for the
+      // phrase terms and evaluate clauses with the shared matcher over the
+      // doc's collected (term, positions) list — the slow regression-anchor
+      // shape, reached only when the query actually contains a phrase
+      val rows = postingsFor(allTerms).flatMap { s =>
+        val idfv = BM25.idf(nB, bDf.value(s.term))
+        val avg = avgdls(s.term)
+        val isScoring = scoringSet.contains(s.term)
+        val needPos = phraseTermsB.contains(s.term)
+        val (ids, tfs, dls) = PostingCodec.decodeAll(s)
+        val poss = if (needPos) PostingCodec.decodePositions(s) else null
+        Iterator.tabulate(s.count) { i =>
+          (ids(i), s.term,
+            if (isScoring) BM25.score(tfs(i), dls(i), avg, idfv) else 0.0,
+            if (needPos) poss(i).toSeq else Seq.empty[Int])
+        }
+      }.toDF("docId", "term", "score", "positions")
 
-    val clausesLocal: Array[(Array[Array[String]], Array[String], Array[(Array[String], Int)])] =
-      clauses.map(c => (c.mustGroups.map(_.toArray).toArray,
-        c.notTerms.toArray,
-        c.phrases.map(p => (p.terms.toArray, p.slop)).toArray)).toArray
-    val clauseOk = udf { (tps: Seq[org.apache.spark.sql.Row]) =>
-      val present = tps.map(_.getString(0)).toSet
-      lazy val posByTerm: Map[String, Array[Int]] = tps.map(r =>
-        r.getString(0) -> r.getSeq[Int](1).toArray).toMap
-      clausesLocal.exists { case (groups, nots, phrases) =>
-        groups.forall(_.exists(present.contains)) &&
-        !nots.exists(present.contains) &&
-        phrases.forall { case (ph, slop) => Wand.phraseMatch(
-          ph.toSeq.map(t => posByTerm.getOrElse(t, Array.empty[Int])), slop) }
+      val perDoc = rows.groupBy($"docId").agg(
+        aggregate(
+          sort_array(collect_list(struct($"term", $"score"))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("score")).as("score"),
+        collect_list(struct($"term", $"positions")).as("tps"))
+
+      val clausesLocal: Array[(Array[Array[String]], Array[String], Array[(Array[String], Int)])] =
+        clauses.map(c => (c.mustGroups.map(_.toArray).toArray,
+          c.notTerms.toArray,
+          c.phrases.map(p => (p.terms.toArray, p.slop)).toArray)).toArray
+      val clauseOk = udf { (tps: Seq[org.apache.spark.sql.Row]) =>
+        val present = tps.map(_.getString(0)).toSet
+        lazy val posByTerm: Map[String, Array[Int]] = tps.map(r =>
+          r.getString(0) -> r.getSeq[Int](1).toArray).toMap
+        clausesLocal.exists { case (groups, nots, phrases) =>
+          groups.forall(_.exists(present.contains)) &&
+          !nots.exists(present.contains) &&
+          phrases.forall { case (ph, slop) => Wand.phraseMatch(
+            ph.toSeq.map(t => posByTerm.getOrElse(t, Array.empty[Int])), slop) }
+        }
       }
+      perDoc.filter(clauseOk($"tps")).select($"docId", $"score")
     }
-    var scored = perDoc.filter(clauseOk($"tps")).select($"docId", $"score")
 
     filterPredicate(ast).foreach { p =>
       scored = scored.join(

@@ -23,9 +23,13 @@ import graft.index.{IndexBuilder, IndexConf, IndexLayout}
   *    converges to exactly-once visibility PER URL, the same same-id
   *    overwrite contract the reference gets from Solr (indexdata.py:1306).
   *
-  * Scale shape: one generation per micro-batch → generation count grows with
-  * trigger rate; [[graft.index.Compaction]] folds them back (the Lucene
-  * near-real-time pattern: small flushed segments + background merges).
+  * Scale shape: one generation per micro-batch → generation count would grow
+  * with trigger rate, but the append path's merge policy
+  * (IndexConf.autoCompactGenerations, r5) runs [[graft.index.Compaction]]
+  * whenever a batch leaves more than G live generations, folding them back
+  * to one (the Lucene near-real-time pattern: small flushed segments +
+  * background merges) — live generations, and hence query planning cost,
+  * stay bounded at any trigger rate.
   */
 object StreamIngest {
 

@@ -207,6 +207,22 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase-free facet plan has no UDF and no positions column") {
+    // VERDICT r4 #4: facet routes production queries through the exhaustive
+    // match set; without a phrase in the query, that plan must stay fully
+    // codegen'd — no positions materialization, no clause UDF, no
+    // collect_list of (term, positions) structs
+    val plan = engine.facet("w00017 AND w00342", "lang")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("positions"), "positions column leaked into plan")
+    assert(!plan.contains("tps"), "UDF-path tps collection leaked into plan")
+    assert(!plan.toLowerCase.contains("batchevalpython"))
+    // the phrase form still matches the same docs via the UDF path
+    val phrasePlan = engine.facet("\"the of\"", "lang")
+      .queryExecution.executedPlan.toString
+    assert(phrasePlan.contains("tps"), "phrase facet should use the UDF path")
+  }
+
   test("k larger than hit count returns all hits") {
     val q = "w49998"
     val expect = oracle.topK(q, 10000)

