@@ -62,6 +62,7 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, d) => Ops.minhashLsh(s, d)),
     "q_simhash" -> ((s, d) => Ops.simhash(s, d)),
     "q_ann_ivf" -> ((s, d) => Ops.annIvf(s, d)),
+    // verify stages oracled via dynamic fixture SQL (oracleSqlDynamic, r5)
     "q_dedup_lsh_verified" -> ((s, d) => Ops.dedupLshVerified(s, d)),
     // driver embeddings are isotropic noise (no true near-dups), so the
     // driver entry runs the candidate+verify pipeline at a low threshold to
@@ -235,4 +236,63 @@ object SparkEntry {
       ("SELECT doc_id, strlen(text)::INT AS n_bytes, " +
         "hex(encode(substr(text, 1, 8))) AS header_hex FROM documents"),
   )
+
+  /** Ceiling on fixture pairs a dynamic oracle embeds as a VALUES list (the
+    * driver gate runs at sf0.01 ≈ tens of pairs; the cap only guards
+    * against an unexpectedly degenerate corpus blowing up the SQL string).
+    */
+  private val MaxFixturePairs = 20000
+
+  private def pairsOf(df: DataFrame): Option[String] = {
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    if (pairs.isEmpty || pairs.length > MaxFixturePairs) None
+    else Some(pairs.map { case (a, b) => s"($a,$b)" }.mkString(","))
+  }
+
+  /** Oracles whose SQL depends on the data (r5 — VERDICT r4 #3): the LSH
+    * candidate-GENERATION stages hash with functions DuckDB doesn't have,
+    * but their verification stages are exact math over a known pair list.
+    * Verify computes the candidate pairs (deterministic — same code path
+    * the query entry runs), embeds them as a VALUES fixture, and the oracle
+    * recomputes exact Jaccard / cosine + threshold in plain SQL. The hash
+    * stages (q_minhash_lsh, q_simhash, q_ann_ivf) stay rows-only with
+    * OpsSpec recall tests; the verify stages become hash-checked.
+    */
+  def oracleSqlDynamic: Map[String, (SparkSession, String) => Option[String]] =
+    Map(
+      "q_dedup_lsh_verified" -> ((spark, dir) =>
+        pairsOf(Ops.minhashLsh(spark, dir)).map { values =>
+          // shingle CTE mirrors Ops.shingles exactly (tokens ≥ 3, DISTINCT
+          // per-doc word triples, no hot cap — dedupLshVerified uses the
+          // uncapped sets); threshold 0.5 matches dedupLshVerified
+          "WITH cand(id_a, id_b) AS (VALUES " + values + "), " +
+            "tok AS (SELECT doc_id, list_filter(" + Tok +
+            ", x -> x <> '') AS t FROM documents), " +
+            "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(" +
+            "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]" +
+            ")) AS s FROM tok WHERE len(t) >= 3), " +
+            "sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id), " +
+            "i AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS inter FROM cand c " +
+            "JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b " +
+            "AND b.s = a.s GROUP BY 1, 2) " +
+            "SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, " +
+            "round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard " +
+            "FROM i JOIN sz sa ON sa.doc_id = id_a " +
+            "JOIN sz sb ON sb.doc_id = id_b " +
+            "WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5"
+        }),
+      "q_emb_neardup" -> ((spark, dir) =>
+        pairsOf(Ops.embNearDupCandidates(spark, dir)).map { values =>
+          // threshold 0.2 matches the driver entry in `queries` (isotropic
+          // noise embeddings have no 0.9-cosine near-dups to exercise)
+          "WITH cand(id_a, id_b) AS (VALUES " + values + ") " +
+            "SELECT c.id_a::BIGINT AS id_a, c.id_b::BIGINT AS id_b, " +
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], " +
+            "b.embedding::DOUBLE[]), 4) AS cos FROM cand c " +
+            "JOIN embeddings a ON a.vec_id = c.id_a " +
+            "JOIN embeddings b ON b.vec_id = c.id_b " +
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], " +
+            "b.embedding::DOUBLE[]) >= 0.2"
+        }),
+    )
 }

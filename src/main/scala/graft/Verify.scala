@@ -34,7 +34,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // dynamic oracles (r5): SQL generated against THIS sfDir — the LSH
+    // verify stages embed their (deterministic) candidate pair list as a
+    // VALUES fixture. A generator failure degrades that query to rows-only
+    // (its absence from oracle_sql.json), never fails the dump.
+    val dynamic = SparkEntry.oracleSqlDynamic.flatMap { case (name, gen) =>
+      try gen(spark, sfDir).map(name -> _)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle $name failed: ${e.getMessage}")
+        None
+      }
+    }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

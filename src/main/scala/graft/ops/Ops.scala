@@ -372,8 +372,11 @@ object Ops {
     * (no shingle self-join at all), then exact Jaccard verification of ONLY
     * the candidate pairs — shingle sets join against the candidate list
     * first, so the verify stage is O(candidates x shingles), never O(N^2).
-    * Rows-only (the MinHash permutation isn't portable to DuckDB); OpsSpec
-    * checks recall against exact dedupNgram.
+    * The candidate stage is rows-only (the MinHash permutation isn't
+    * portable to DuckDB; OpsSpec checks recall against exact dedupNgram);
+    * the VERIFY stage is hash-oracled via a dynamic fixture SQL that embeds
+    * the candidate pair list and recomputes exact Jaccard + threshold
+    * (SparkEntry.oracleSqlDynamic, r5).
     */
   def dedupLshVerified(spark: SparkSession, dir: String): DataFrame = {
     val cand = minhashLsh(spark, dir) // (id_a, id_b), distinct
@@ -596,8 +599,14 @@ object Ops {
     * embeddings": signatures are one narrow pass, candidate generation is a
     * shuffle join on the bucket key, verification is O(candidates).
     */
-  def embNearDup(spark: SparkSession, dir: String, bits: Int = 32,
-      bands: Int = 4, threshold: Double = 0.9): DataFrame = {
+  /** The LSH band-bucket candidate stage of [[embNearDup]], exposed on its
+    * own (r5): given these pairs as a fixture, the verify stage — exact
+    * cosine + threshold — is plain SQL, which is how the driver oracle
+    * checks it (SparkEntry.oracleSqlDynamic embeds this pair list as a
+    * VALUES fixture).
+    */
+  def embNearDupCandidates(spark: SparkSession, dir: String, bits: Int = 32,
+      bands: Int = 4): DataFrame = {
     // 8-bit bands (256 buckets each) keep within-bucket pair generation
     // sub-quadratic at scale while true near-dups (cosine ~1) still collide
     // in >=1 band with probability ~1
@@ -631,10 +640,18 @@ object Ops {
         expr(s"(sig >> (band * $perBand)) & ${(1L << perBand) - 1}").as("h"))
       .localCheckpoint()
     val capped = cappedBuckets(banded, Seq("band", "h"))
-    val cand = capped.as("x").join(capped.as("y"), Seq("band", "h"))
+    capped.as("x").join(capped.as("y"), Seq("band", "h"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+  }
+
+  def embNearDup(spark: SparkSession, dir: String, bits: Int = 32,
+      bands: Int = 4, threshold: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val cand = embNearDupCandidates(spark, dir, bits, bands)
+    val e = t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
     // exact verification of candidates only
     val ea = e.toDF("id_a", "va")
     val eb = e.toDF("id_b", "vb")
