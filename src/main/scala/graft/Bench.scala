@@ -124,14 +124,16 @@ object BenchArm {
   *
   * Kill-robustness (r5 — VERDICT r4 #1: the official r4 record was rc 124
   * with `parsed: null` because one emit() ran only at the very end): the
-  * record is now emitted INCREMENTALLY — once at startup, after EVERY
-  * scaling pair, after the headline-ops section, and after the latency
-  * section — always as a complete well-formed JSON object with the sections
-  * measured so far. An outer kill at any instant leaves the newest marker
-  * line + bench.json as the best partial record instead of nothing. The
-  * total run is additionally budgeted (`SPARK_GRAFT_BENCH_MAX_TOTAL_SEC`,
-  * default 2000 s) with per-section reserves, so a driver wall clock near
-  * 45 min is met with margin rather than raced.
+  * record is now emitted INCREMENTALLY — once at startup, after the
+  * headline-ops section, after the latency section, and after EVERY
+  * scaling pair — always as a complete well-formed JSON object with the
+  * sections measured so far. An outer kill at any instant leaves the
+  * newest marker line + bench.json as the best partial record instead of
+  * nothing. Sections run CHEAP-FIRST (ops → latency → scaling): the
+  * scaling loop's wall time is unbounded-variance (hostile pairs measured
+  * ~10 min each), so it consumes whatever remains of the total budget
+  * (`SPARK_GRAFT_BENCH_MAX_TOTAL_SEC`, default 2000 s) instead of starving
+  * the sections that finish in minutes.
   *
   * Scaling methodology (the r2 record was noise — 9× spread between
   * identical arms): each rep runs the two arms BACK-TO-BACK in separately
@@ -319,7 +321,6 @@ object Bench {
     // quiet window (the per-pair util fields expose which ones did)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
     val conf = IndexConf(numBuckets = 32)
-    val skipScaling = mode == "query" || mode == "ops"
 
     // ---- index-build scaling: paired, confined, child-JVM arms, with
     //      retry-until-quiet (VERDICT r3 item 1b): the hypervisor's steal
@@ -327,7 +328,12 @@ object Bench {
     //      pairs, keep adding pairs (bounded by maxPairs) until one healthy
     //      pair clears the target — the record carries EVERY pair plus
     //      per-arm utilization and single-thread canary times, so a reader
-    //      can audit which windows were quiet ----
+    //      can audit which windows were quiet.
+    //      Section ORDER (r5): scaling runs LAST in full mode — its wall
+    //      time is unbounded-variance (hostile pairs measured ~10 min each),
+    //      so it gets whatever budget remains AFTER the cheap ops+latency
+    //      sections instead of starving them; every pair still re-emits the
+    //      record, so a kill mid-loop costs nothing already measured. ----
     val effTarget =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_EFF_TARGET", "0.8").toDouble
     val minPairs = math.min(reps,
@@ -336,16 +342,11 @@ object Bench {
     // allows the retry loop to outlast a noisy regime
     val maxPairs = sys.env.get("SPARK_GRAFT_BENCH_MAX_PAIRS").map(_.toInt)
       .getOrElse(math.max(reps, 8))
-    // wall-clock budget for the scaling section (~7-9 min/pair at 800k
-    // docs; r5 default 1200 s ≈ 2 pairs — three healthy ≥0.8 pairs are
-    // already on record from r4, so the retry loop rarely needs more, and
-    // a record MUST land inside the driver's total wall clock)
+    // wall-clock budget for the scaling section itself (~7 min/pair quiet,
+    // ~10 min/pair hostile at 800k docs; also capped by what remains of
+    // the total budget)
     val scalingBudgetSec = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_MAX_SCALING_SEC", "1200").toInt
-    // reserve for the post-scaling sections in full mode (ops ~180 s +
-    // latency index build/measure ~300 s): the scaling loop must not eat
-    // the whole total budget when more sections still have to run
-    val scalingReserveSec = if (mode == "scaling") 0 else 480
 
     def buildJsonOf(pairs: Seq[Pair]): String = {
       val bestCan = pairs.iterator.flatMap(p =>
@@ -368,7 +369,7 @@ object Bench {
       f""""index_build":{"docs":$benchDocs,"arms":[$smallCores,$largeCores],"docs_per_sec_local$smallCores":${benchDocs / best.small.wallSec}%.1f,"docs_per_sec_local$largeCores":${benchDocs / best.large.wallSec}%.1f,"build_sec_local$smallCores":${best.small.wallSec}%.2f,"build_sec_local$largeCores":${best.large.wallSec}%.2f,"scaling_efficiency":${best.eff}%.3f,"scaling_efficiency_${smallCores}_to_$largeCores":${best.eff}%.3f,"scaling_efficiency_min_walls":$minWallEff%.3f,"pairs":$pairsJson}"""
     }
 
-    if (!skipScaling) {
+    def runScaling(): Unit = {
       val acc = scala.collection.mutable.ArrayBuffer.empty[Pair]
       def bestCanary: Double = acc.iterator.flatMap(p =>
         Seq(p.small.canary0, p.small.canary1, p.large.canary0,
@@ -380,9 +381,10 @@ object Bench {
       def targetMet: Boolean = acc.exists(p =>
         p.healthy(bestCanary, minCpuS, minCpuL) && p.eff >= effTarget)
       val t0 = System.nanoTime()
+      // 60 s margin so the final emit always lands inside the total budget
       def withinBudget: Boolean =
         (System.nanoTime() - t0) / 1e9 < scalingBudgetSec &&
-          elapsedSec < totalBudgetSec - scalingReserveSec
+          elapsedSec < totalBudgetSec - 60
       while ((acc.length < minPairs && withinBudget) ||
           (acc.length < maxPairs && withinBudget && !targetMet)) {
         val s = runArm(smallCores, benchDocs)
@@ -394,14 +396,13 @@ object Bench {
       }
     }
 
-    if (mode == "scaling") return // per-pair emission already recorded it
+    if (mode == "scaling") { runScaling(); return }
 
     // ---- headline operator timings (fresh local[32], warm each plan on
     //      sf0.001 first so we time the operator, not Janino). Every rep is
     //      bracketed by a fixed CPU canary and every op records its process-
     //      CPU seconds (VERDICT r3 item 1a/3: a slow wall time with flat CPU
     //      and a slow canary is the BOX; rising CPU is the ENGINE) ----
-    if (elapsedSec > totalBudgetSec - 300) return // scaling record stands
     val s32 = session(32)
     val osb = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -462,7 +463,7 @@ object Bench {
     // ---- BM25 top-k latency over a built index (fresh session):
     //      p50 of the driver fast path over the golden set, plus p50 of the
     //      distributed windowed path (driverWandMaxSegments=0) ----
-    if (elapsedSec > totalBudgetSec - 240) return // ops record stands
+    if (elapsedSec > totalBudgetSec - 360) return // ops record stands
     val sq = session(32)
     val osbQ = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -497,5 +498,10 @@ object Bench {
     latencyJson =
       f""""query_latency":{"p50_sec":$p50%.4f,"p50_distributed_sec":$p50D%.4f,"k":10,"queries":${goldenQueries.length},"distributed_queries":${distributedQueries.length},"reps":3,"driver_cpu_sec":$cpuDriver%.2f,"distributed_cpu_sec":$cpuDist%.2f,"canary_sec":[$canD0%.3f,$canD1%.3f]}"""
     emitRecord()
+
+    // ---- scaling LAST (unbounded-variance section): consumes whatever
+    //      remains of the total budget, re-emitting after every pair ----
+    runScaling()
+    emitRecord() // final line = the complete record (driver contract)
   }
 }

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Segment compaction — the analog of Solr/Lucene background merges
   * (SURVEY.md §4.2 "segment merge policy" / "deletes as tombstones until
-  * merge"). Physically drops tombstoned postings, merges every live segment
-  * dir (append batches) into one, and recomputes df/cf and corpus stats from
-  * the survivors (Lucene likewise only corrects df/norms at merge time), so
+  * merge"). Physically drops tombstoned postings, merges live segment dirs
+  * (append batches) — all of them ([[run]]) or a tiered subset ([[merge]],
+  * r5) — into one, and recomputes df/cf and corpus stats from the survivors
+  * (Lucene likewise only corrects df/norms at merge time), so
   * post-compaction BM25 scores equal a fresh build over the surviving corpus
   * with the original docIds.
   *
@@ -25,22 +26,55 @@ object Compaction {
 
   def run(spark: SparkSession, indexDir: String,
       conf: IndexConf = IndexConf()): Unit =
-    runInternal(spark, indexDir, conf, failBeforePublish = false)
+    runInternal(spark, indexDir, conf, failBeforePublish = false, None)
+
+  /** Tiered (partial) merge: fold ONLY `gens` — a subset of the published
+    * set — into one new segment dir, leaving the other generations' files
+    * untouched (published = remaining :+ merged, one pointer flip). The
+    * Lucene tiered-merge analog: continuous ingest folds its small append
+    * tail at O(tail) cost instead of rewriting the whole index every G
+    * batches; a periodic FULL [[run]] (the auto policy escalates when the
+    * tail rivals the base) gives the classic logarithmic amortization.
+    *
+    * Correctness deltas vs a full merge:
+    *  - the drop set is still the FULL tombstone view (global dir + every
+    *    live generation's supersedes), so merged content sheds everything
+    *    dead, including docs superseded by UNMERGED newer generations;
+    *  - the merged gens' own `supersedes/` entries are FORWARDED into the
+    *    new segment (they may target docIds in unmerged generations —
+    *    dropping them would resurrect old upsert victims); entries whose
+    *    targets were physically dropped are harmless no-ops;
+    *  - the global `tombstones/` dir is KEPT (its entries may target
+    *    unmerged generations); only a full merge folds and clears it.
+    */
+  def merge(spark: SparkSession, indexDir: String, conf: IndexConf,
+      gens: Seq[String]): Unit =
+    runInternal(spark, indexDir, conf, failBeforePublish = false, Some(gens))
 
   /** @param failBeforePublish test hook: throw after all data of the new
     *   generation is on disk but before the pointer flip — simulates the
     *   worst-placed crash.
+    * @param subsetOpt Some(gens) = partial merge of exactly those published
+    *   generations ([[merge]]); None = full merge of the live set.
     */
   private[graft] def runInternal(spark: SparkSession, indexDir: String,
-      conf: IndexConf, failBeforePublish: Boolean): Unit = {
+      conf: IndexConf, failBeforePublish: Boolean,
+      subsetOpt: Option[Seq[String]] = None): Unit = {
     import spark.implicits._
     val published = IndexLayout.current(spark, indexDir).getOrElse(return)
+    val gens = subsetOpt.getOrElse(published)
+    require(gens.nonEmpty && gens.forall(published.contains),
+      s"merge subset $gens not within published $published")
+    val remaining = published.filterNot(gens.contains)
+    val partial = remaining.nonEmpty
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    // delete-by-id tombstones PLUS each live segment's upsert supersedes
+    // delete-by-id tombstones PLUS every live segment's upsert supersedes —
+    // the FULL view even for a partial merge (an unmerged newer generation
+    // may supersede docs inside the merged set)
     val tombSources = IndexLayout.tombstonePaths(spark, indexDir, published)
-    if (tombSources.isEmpty && published.size == 1)
+    if (tombSources.isEmpty && gens.size == 1)
       return // nothing to fold or merge
     val tombs =
       if (tombSources.nonEmpty)
@@ -55,12 +89,29 @@ object Compaction {
     // (VERDICT r4 #6 / CLAUDE.md rule 1: prefer recomputing a narrow pass);
     // both passes read identical on-disk inputs, so they agree exactly.
     def docs = spark.read.parquet(
-        published.map(sd => s"$indexDir/$sd/docs"): _*)
+        gens.map(sd => s"$indexDir/$sd/docs"): _*)
       .join(tombs, Seq("docId"), "left_anti")
     val statsRow = docs.agg(count(lit(1)).as("n"), avg($"doclen").as("avgdl"),
       sum($"doclen").as("totalTerms"), sum($"titleLen").as("titleTerms"))
       .head()
     val nDocs = statsRow.getLong(0)
+    if (nDocs == 0 && partial) {
+      // every doc of the merged subset is dead (e.g. each batch fully
+      // upserted by a later one): no new segment to write — but the dropped
+      // generations' supersedes entries may target docs in REMAINING
+      // generations, so fold them into the global tombstones dir (the same
+      // hide-by-docId mechanism) BEFORE dropping the dirs. Then publish the
+      // remaining set alone.
+      val superPaths0 = gens.map(sd => s"$indexDir/$sd/supersedes")
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      if (superPaths0.nonEmpty)
+        spark.read.schema("docId LONG").parquet(superPaths0: _*)
+          .select($"docId").distinct()
+          .write.mode(SaveMode.Append).parquet(s"$indexDir/tombstones")
+      IndexLayout.publish(spark, indexDir, remaining)
+      IndexLayout.gcUnreferenced(spark, indexDir)
+      return
+    }
     require(nDocs > 0, "compaction would empty the index")
     val avgdl = statsRow.getDouble(1)
     val totalTerms = statsRow.getLong(2)
@@ -76,7 +127,7 @@ object Compaction {
     // SIZING, and pre-delete df is the safe over-estimate (more segments ×
     // smaller, never an unbounded one).
     val segMax = conf.segmentMaxDocs
-    val hot: Map[String, Long] = published
+    val hot: Map[String, Long] = gens
       .map(sd => spark.read.parquet(s"$indexDir/$sd/postings"))
       .reduce(_.unionByName(_))
       .select($"term", $"count")
@@ -91,7 +142,7 @@ object Compaction {
     // decode (including positions) → drop tombstoned postings: consumed
     // EXACTLY ONCE by the encode shuffle, so nothing corpus-scale is ever
     // cached or checkpointed
-    val rows = published
+    val rows = gens
       .map(sd => spark.read.parquet(s"$indexDir/$sd/postings"))
       .reduce(_.unionByName(_))
       .as[PostingSegment]
@@ -107,17 +158,33 @@ object Compaction {
 
     val seg = IndexLayout.nextSegDir(spark, indexDir)
     val segPath = s"$indexDir/$seg"
+    val publishSet = remaining :+ seg
     // intent record first: resume either finishes this merge (all buckets
-    // complete → publish ONLY the merged seg) or discards the orphan — the
-    // round-2 inference would have published it beside its own inputs
+    // complete → publish exactly the descriptor's set) or discards the
+    // orphan — the round-2 inference would have published it beside its own
+    // inputs. Partial merges carry their own kind so resume knows the
+    // global tombstones dir must SURVIVE the flip.
     IndexLayout.writeJobDescriptor(spark, segPath,
-      JobDescriptor("compaction", 0L, Seq(seg)))
+      JobDescriptor(if (partial) "compaction-partial" else "compaction",
+        0L, publishSet))
     IndexBuilder.encodePostings(spark, rows, hot, totalTerms, conf, segPath,
       append = false, onlyBuckets = None)
     docs.write.mode(SaveMode.Overwrite).parquet(s"$segPath/docs")
     Seq(CorpusStats(nDocs, avgdl, totalTerms,
       if (nDocs == 0) 0.0 else titleTerms.toDouble / nDocs, titleTerms)).toDS()
       .write.mode(SaveMode.Overwrite).parquet(s"$segPath/stats")
+    if (partial) {
+      // forward the merged generations' upsert victims: their entries may
+      // target docIds in UNMERGED generations and must keep acting after
+      // the source segments are GC'd. Written before the manifest (the
+      // completeness barrier resume checks), like every other data file.
+      val superPaths = gens.map(sd => s"$indexDir/$sd/supersedes")
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      if (superPaths.nonEmpty)
+        spark.read.schema("docId LONG").parquet(superPaths: _*)
+          .select($"docId").distinct()
+          .write.mode(SaveMode.Overwrite).parquet(s"$segPath/supersedes")
+    }
 
     // manifest for the new generation (same shape as a fresh build's)
     val manifest = IndexBuilder.manifestStats(spark, segPath)
@@ -133,8 +200,8 @@ object Compaction {
       throw new RuntimeException("injected crash before compaction publish")
 
     // PUBLISH — the only step that changes what readers see
-    IndexLayout.publish(spark, indexDir, Seq(seg))
-    fs.delete(tombPath, true) // folded in
+    IndexLayout.publish(spark, indexDir, publishSet)
+    if (!partial) fs.delete(tombPath, true) // folded in (full merge only)
     IndexLayout.gcUnreferenced(spark, indexDir)
   }
 }

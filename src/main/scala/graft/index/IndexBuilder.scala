@@ -267,21 +267,41 @@ object IndexBuilder {
     r
   }
 
-  /** Merge policy (IndexConf.autoCompactGenerations): fold the index back to
-    * one generation when an append leaves more than G live. Sits on append —
-    * the single seam both the CLI `--append` and the streaming sink's
-    * per-micro-batch ingest flow through — so continuous ingest can never
-    * degrade query planning without bound. Runs AFTER the batch's pointer
-    * flip: the batch is already durable and visible; a crash inside the
-    * compaction leaves the multi-generation index fully serving (compaction
-    * is itself atomic at its own flip).
+  /** Merge policy (IndexConf.autoCompactGenerations): fold generations when
+    * an append leaves more than G live. Sits on append — the single seam
+    * both the CLI `--append` and the streaming sink's per-micro-batch ingest
+    * flow through — so continuous ingest can never degrade query planning
+    * without bound. Runs AFTER the batch's pointer flip: the batch is
+    * already durable and visible; a crash inside the compaction leaves the
+    * multi-generation index fully serving (compaction is itself atomic at
+    * its own flip).
+    *
+    * Tiered selection (the Lucene merge-policy shape): when the largest
+    * generation holds at least half the live docs, only the OTHER
+    * generations are folded ([[Compaction.merge]]) — a streaming tail fold
+    * costs O(tail), not O(index), so the G-th micro-batch never stalls on a
+    * full rewrite. Once the tail rivals the base (or no generation
+    * dominates), a FULL merge runs and also folds the tombstones — full
+    * rewrites happen only every O(N) ingested docs, the classic logarithmic
+    * amortization.
     */
   private def maybeAutoCompact(spark: SparkSession, indexDir: String,
-      conf: IndexConf): Unit =
-    if (conf.autoCompactGenerations > 0 &&
-        IndexLayout.current(spark, indexDir)
-          .exists(_.size > conf.autoCompactGenerations))
+      conf: IndexConf): Unit = {
+    import spark.implicits._
+    if (conf.autoCompactGenerations <= 0) return
+    val gens = IndexLayout.current(spark, indexDir).getOrElse(return)
+    if (gens.size <= conf.autoCompactGenerations) return
+    // per-generation doc counts from the single-row stats tables
+    val counts: Seq[(String, Long)] = gens.map(g =>
+      g -> spark.read.parquet(s"$indexDir/$g/stats").as[CorpusStats]
+        .head().n)
+    val total = counts.map(_._2).sum
+    val (big, bigN) = counts.maxBy(_._2)
+    if (bigN * 2 >= total && gens.size >= 3)
+      Compaction.merge(spark, indexDir, conf, gens.filterNot(_ == big))
+    else
       Compaction.run(spark, indexDir, conf)
+  }
 
   /** Derive and write $seg/supersedes: docIds of prior-generation versions
     * of urls re-added by `seg`. Depends only on on-disk tables, so resume
@@ -346,18 +366,22 @@ object IndexBuilder {
         val missing = (0 until conf.numBuckets).filterNot(done).toSet
 
         desc.kind match {
-          case "compaction" =>
+          case "compaction" | "compaction-partial" =>
             if (published == desc.publish) // flip already happened
               return BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
             if (missing.isEmpty) {
-              // fully materialized, crash was before the flip: finish it
+              // fully materialized, crash was before the flip: finish it.
+              // Only a FULL merge folds the global tombstones dir — a
+              // partial (tiered) merge's tombstones may target unmerged
+              // generations and must survive the flip.
               IndexLayout.publish(spark, indexDir, desc.publish)
-              fs.delete(
-                new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+              if (desc.kind == "compaction")
+                fs.delete(
+                  new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
               IndexLayout.gcUnreferenced(spark, indexDir)
             } else {
-              // partial merge: its inputs are still fully published —
-              // discard the orphan; the next Compaction.run redoes it
+              // half-written merge: its inputs are still fully published —
+              // discard the orphan; the next Compaction run redoes it
               fs.delete(new org.apache.hadoop.fs.Path(segPath), true)
             }
             BuildReport(0, 0, 0, 0, conf.numBuckets, 0)

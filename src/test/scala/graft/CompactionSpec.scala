@@ -15,6 +15,7 @@ import graft.query.{Deletes, QueryEngine}
   */
 class CompactionSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
 
   test("compacted index == oracle over surviving corpus") {
     val dir = SparkTestSession.tempDir("graft-compact")
@@ -54,6 +55,143 @@ class CompactionSpec extends AnyFunSuite {
           assert(!got.exists(g => victims.contains(g._1)))
         }
       }
+  }
+
+  // ---- tiered (partial) merge: Compaction.merge folds a generation
+  //      subset, leaving the base untouched (r5) ----
+
+  private def mkReplacement(seed: Long, i: Long, n: Long,
+      marker: String): graft.corpus.WebDoc = {
+    val victim = CorpusGen.doc(seed, i, n)
+    val newText = s"$marker " + victim.text
+    victim.copy(text = newText,
+      html = s"<html><head><title>t</title></head><body>$newText</body></html>"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  test("tail merge: base untouched, upsert victims stay hidden, rank-identical") {
+    val dir = SparkTestSession.tempDir("graft-tiered")
+    val conf = IndexConf(numBuckets = 4, segmentMaxDocs = 32)
+    val (nA, nB) = (120L, 30L)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, nA), dir, conf)
+    IndexBuilder.append(spark,
+      CorpusGen.generate(spark, nB, seed = 311L), dir, conf)
+    // batch C: one upsert of a B url, one upsert of a BASE url (its
+    // supersedes entry targets the UNMERGED base — the forwarding case),
+    // plus 10 fresh docs
+    val replB = mkReplacement(311L, 3L, nB, "upserttailtoken")
+    val replBase = mkReplacement(CorpusGen.DefaultSeed, 10L, nA, "upsertbasetoken")
+    val cBatch = replB +: replBase +: CorpusGen.generateLocal(10, seed = 312L)
+    IndexBuilder.append(spark, spark.createDataset(cBatch), dir, conf)
+    Deletes.delete(spark, dir, Seq(5L)) // delete targeting the BASE
+
+    val before = IndexLayout.current(spark, dir).get
+    assert(before.size == 3)
+    Compaction.merge(spark, dir, conf, before.drop(1)) // fold the tail only
+
+    val after = IndexLayout.current(spark, dir).get
+    assert(after.size == 2 && after.head == before.head,
+      s"base generation must survive untouched: $after")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the base-targeting tombstone must SURVIVE a partial merge
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+
+    // oracle: base docs ALL stay (the tombstoned and base-superseded ones
+    // still count in the unmerged base's stats/postings — filtered from
+    // expected results, like any pre-compaction delete), B's superseded
+    // victim is GONE (physically dropped by the merge, out of stats), C's
+    // docs present
+    val aDocs = CorpusGen.generateLocal(nA).sortBy(_.url).zipWithIndex
+      .map { case (d, i) => (i.toLong, d.text, d.lang) }
+    val baseVictimId = aDocs
+      .find(_._2 == CorpusGen.doc(CorpusGen.DefaultSeed, 10L, nA).text).get._1
+    val bDocs = CorpusGen.generateLocal(nB, seed = 311L).sortBy(_.url)
+      .zipWithIndex.map { case (d, i) => (nA + i, d.text, d.lang) }
+      .filterNot { case (_, text, _) =>
+        text == CorpusGen.doc(311L, 3L, nB).text } // victim dropped
+    val cDocs = cBatch.sortBy(_.url).zipWithIndex
+      .map { case (d, i) => (nA + nB + i, d.text, d.lang) }
+    val oracle = new SeqOracle(aDocs ++ bDocs ++ cDocs)
+    val hidden = Set(5L, baseVictimId)
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    assert(engine.stats.n == nA + (nB - 1) + 12)
+    Seq("the", "w00001 w00002", "w00003 AND the", "upserttailtoken",
+        "upsertbasetoken")
+      .foreach { q =>
+        val expect = oracle.topK(q, 20).filterNot(r => hidden(r._1)).take(10)
+        val got = engine.search(q, 10).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got.map(_._1) == expect.map(_._1),
+          s"q='$q'\n got=$got\n exp=$expect")
+        got.zip(expect).foreach { case ((_, gs), (_, es)) =>
+          assert(math.abs(gs - es) < 1e-9, s"q='$q' score $gs != $es") }
+      }
+    // a later FULL merge folds tombstone + forwarded supersedes, clears both
+    Compaction.run(spark, dir, conf)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    val full = new QueryEngine(spark, dir, conf.numBuckets)
+    assert(full.stats.n == (nA - 2) + (nB - 1) + 12)
+    val fullIds = full.search("the", 500).collect().map(_.getLong(0)).toSet
+    assert(!fullIds.contains(5L) && !fullIds.contains(baseVictimId))
+  }
+
+  test("partial-merge crash before publish: old set serves; resume finishes, tombstones survive") {
+    val dir = SparkTestSession.tempDir("graft-tiered-crash")
+    val conf = IndexConf(numBuckets = 4)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 100L), dir, conf)
+    IndexBuilder.append(spark,
+      CorpusGen.generate(spark, 20L, seed = 321L), dir, conf)
+    IndexBuilder.append(spark,
+      CorpusGen.generate(spark, 20L, seed = 322L), dir, conf)
+    Deletes.delete(spark, dir, Seq(7L)) // base-targeting delete
+    val before = IndexLayout.current(spark, dir).get
+
+    intercept[RuntimeException] {
+      Compaction.runInternal(spark, dir, conf, failBeforePublish = true,
+        subsetOpt = Some(before.drop(1)))
+    }
+    assert(IndexLayout.current(spark, dir).get == before) // old set serves
+    assert(new QueryEngine(spark, dir, conf.numBuckets).stats.n == 140)
+
+    // resume replays the compaction-partial descriptor: all buckets are
+    // complete, so it publishes the descriptor's set and KEEPS tombstones
+    IndexBuilder.resume(spark,
+      spark.emptyDataset[graft.corpus.WebDoc], dir, conf)
+    val after = IndexLayout.current(spark, dir).get
+    assert(after.size == 2 && after.head == before.head, s"after=$after")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    assert(engine.stats.n == 140)
+    assert(!engine.search("the", 500).collect().map(_.getLong(0))
+      .contains(7L), "base delete must keep masking after the partial merge")
+  }
+
+  test("auto policy: tail fold when the base dominates, full merge when it doesn't") {
+    // base-dominant: 300-doc base + 3×20 appends at G=2 → the policy folds
+    // only the tail; the base dir survives by name
+    val dir = SparkTestSession.tempDir("graft-tiered-auto")
+    val conf = IndexConf(numBuckets = 4, autoCompactGenerations = 2)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 300L), dir, conf)
+    val base = IndexLayout.current(spark, dir).get.head
+    IndexBuilder.append(spark, CorpusGen.generate(spark, 20L, seed = 331L), dir, conf)
+    IndexBuilder.append(spark, CorpusGen.generate(spark, 20L, seed = 332L), dir, conf)
+    // 3rd gen exceeds G=2 → tail fold inside this append
+    val gens = IndexLayout.current(spark, dir).get
+    assert(gens.size == 2 && gens.head == base,
+      s"expected [base, mergedTail], got $gens")
+    assert(new QueryEngine(spark, dir, conf.numBuckets).stats.n == 340)
+
+    // no dominant generation: similar-sized gens escalate to a FULL merge
+    val dir2 = SparkTestSession.tempDir("graft-tiered-auto-full")
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 30L), dir2, conf)
+    IndexBuilder.append(spark, CorpusGen.generate(spark, 40L, seed = 341L), dir2, conf)
+    IndexBuilder.append(spark, CorpusGen.generate(spark, 40L, seed = 342L), dir2, conf)
+    assert(IndexLayout.current(spark, dir2).get.size == 1,
+      "similar-sized generations should full-merge")
+    assert(new QueryEngine(spark, dir2, conf.numBuckets).stats.n == 110)
   }
 
   test("crash before publish leaves the old generation serving") {
