@@ -95,17 +95,76 @@ object BuildIndex {
   }
 }
 
-/** Query an index: top-k BM25 search, optional delete of the hits
-  * (the reference's searchindex.py -d flag, searchindex.py:141–150).
+/** Maintenance main: fold tombstones/upsert victims and merge generations
+  * (the background-merge work Solr does internally; here an explicit
+  * spark-submit job an operator schedules).
+  *   runMain graft.Compact <indexDir> [--buckets B] [--tail]
+  * `--tail` = tiered merge of every generation except the largest (cheap,
+  * keeps the base untouched); default = full merge (also folds the global
+  * tombstones dir).
+  */
+object Compact {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Compact <indexDir> [--buckets B] [--tail]")
+    val indexDir = args(0)
+    val (opts, flags) = MainCommon.parseArgs(args.drop(1).toSeq,
+      valued = Set("--buckets"), flagNames = Set("--tail"))
+    val spark = MainCommon.session("graft-compact")
+    import spark.implicits._
+    val conf = IndexConf(numBuckets = opts.getOrElse("--buckets", "32").toInt)
+    val before = graft.index.IndexLayout.current(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(s"no index at $indexDir"))
+    if (flags.contains("--tail") && before.size >= 3) {
+      val counts = before.map(g => g ->
+        spark.read.parquet(s"$indexDir/$g/stats")
+          .select("n").as[Long].head())
+      val big = counts.maxBy(_._2)._1
+      graft.index.Compaction.merge(spark, indexDir, conf,
+        before.filterNot(_ == big))
+    } else graft.index.Compaction.run(spark, indexDir, conf)
+    val after = graft.index.IndexLayout.current(spark, indexDir).get
+    println(s"[graft] compaction complete: generations ${before.size} -> ${after.size}")
+    spark.stop()
+  }
+}
+
+/** Real-time get by url — the Solr `/get?id=` analog (reference:
+  * indexdata.py:1529–1533) as a CLI surface.
+  *   runMain graft.Get <indexDir> <url> [--buckets B]
+  */
+object Get {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Get <indexDir> <url> [--buckets B]")
+    val (opts, _) = MainCommon.parseArgs(args.drop(2).toSeq,
+      valued = Set("--buckets"), flagNames = Set.empty)
+    val spark = MainCommon.session("graft-get")
+    val engine = new QueryEngine(spark, args(0),
+      opts.getOrElse("--buckets", "32").toInt)
+    val rows = engine.realtimeGet(args(1)).collect()
+    if (rows.isEmpty) println(s"[graft] get url='${args(1)}' -> NOT FOUND")
+    else {
+      val r = rows.head
+      println(s"[graft] get url='${args(1)}' -> docId=${r.getAs[Long]("docId")} " +
+        s"lang=${r.getAs[String]("lang")} doclen=${r.getAs[Long]("doclen")} " +
+        s"warc_ts=${r.getAs[java.sql.Timestamp]("warc_ts")}")
+    }
+    spark.stop()
+  }
+}
+
+/** Query an index: top-k BM25 search, optional facet counts over ALL
+  * matches, optional delete of the hits (the reference's searchindex.py -d
+  * flag, searchindex.py:141–150).
   *   runMain graft.Search <indexDir> <query> [--k K] [--buckets B] [--delete]
+  *     [--facet FIELD]
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--delete] [--exhaustive] [--distributed]")
+    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--facet field] [--delete] [--exhaustive] [--distributed]")
     val indexDir = args(0)
     val query = args(1)
     val (opts, flags) = MainCommon.parseArgs(args.drop(2).toSeq,
-      valued = Set("--k", "--buckets", "--df"),
+      valued = Set("--k", "--buckets", "--df", "--facet"),
       flagNames = Set("--delete", "--exhaustive", "--distributed"))
     val k = opts.getOrElse("--k", "10").toInt
     val df = opts.getOrElse("--df", "text") // Solr's df= default field
@@ -127,6 +186,12 @@ object Search {
     println(f"[graft] query='$query' hits=${res.length} latencyMs=$ms%.1f")
     res.zipWithIndex.foreach { case (r, i) =>
       println(f"  ${i + 1}%2d. docId=${r.getLong(0)}%8d score=${r.getDouble(1)}%.6f")
+    }
+    opts.get("--facet").foreach { field =>
+      println(s"[graft] facet field='$field' (over ALL matches)")
+      engine.facet(query, field).collect().foreach { r =>
+        println(f"  ${r.get(0)}%-12s ${r.getLong(1)}%8d")
+      }
     }
     if (flags.contains("--delete") && res.nonEmpty) {
       graft.query.Deletes.delete(spark, indexDir, res.map(_.getLong(0)).toSeq)
