@@ -38,7 +38,8 @@ import graft.index._
   * rows at query time (exact — segments are docId-disjoint).
   */
 final class QueryEngine(spark: SparkSession, indexDir: String,
-    numBuckets: Int = 32, driverWandMaxSegments: Int = 256) {
+    numBuckets: Int = 32, driverWandMaxSegments: Int = 256,
+    autoRefresh: Boolean = true) {
   import spark.implicits._
 
   // ------------------------------------------------- index state (swappable)
@@ -81,6 +82,22 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     else Some(spark.read.schema("docId LONG").parquet(paths: _*)
       .select($"docId"))
   }
+
+  /** Pointer-staleness guard, run at the top of every query when
+    * `autoRefresh` is on (default): re-resolve the generation pointer and
+    * drop the caches if it moved. Matters because compaction is now
+    * AUTOMATIC under appends (IndexConf.autoCompactGenerations) — without
+    * this, a long-lived engine over a streaming index either crashes on
+    * GC'd segment files or, worse, silently serves upsert victims out of
+    * its segment cache after the folded supersedes disappear. Cost is two
+    * local fs metadata ops per query (~50 µs here); on an object store an
+    * operator can pass autoRefresh=false and call [[invalidateCache]] on an
+    * external signal instead (the Solr NRT openSearcher pattern).
+    */
+  private def refreshIfStale(): Unit =
+    if (autoRefresh &&
+        !IndexLayout.current(spark, indexDir).contains(segdirs))
+      invalidateCache()
 
   /** Re-resolve the generation pointer and drop every cache — call after a
     * compaction or append performed while this engine instance is live.
@@ -267,6 +284,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   // ---------------------------------------------------------------- WAND
 
   def searchWand(q: String, k: Int, df: String = "text"): DataFrame = {
+    refreshIfStale()
     val ast = QueryParser.parse(q, df)
     val rq = QueryResolve.resolve(ast, expandPrefix)
     val scoring = rq.scoringTerms // distinct + sorted by resolve
@@ -439,6 +457,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * collecting UDF path, the slow regression anchor.
     */
   private def scoredCandidates(ast: QueryAst): DataFrame = {
+    refreshIfStale()
     val rq = QueryResolve.resolve(ast, expandPrefix)
     val scoring = rq.scoringTerms
     val clauses = rq.clauses

@@ -140,6 +140,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("live engine survives auto-compaction: stale caches refresh, no resurrection") {
+    // compaction is AUTOMATIC under streaming appends (r5): an engine
+    // constructed before a merge holds cached postings + a stale pointer.
+    // Without the per-query staleness guard it would serve upsert victims
+    // out of segCache once the folded supersedes disappear (measured
+    // failure mode), or crash on GC'd files.
+    val dir = SparkTestSession.tempDir("graft-stream-stale")
+    val cConf = IndexConf(numBuckets = 4, autoCompactGenerations = 2)
+    val b1 = CorpusGen.generateLocal(30, seed = 881L)
+    StreamIngest.ingestBatch(spark.createDataset(b1), dir, cConf) // build
+    val engine = new QueryEngine(spark, dir, cConf.numBuckets)
+    engine.search("the", 100).collect() // warm segCache on the OLD view
+    StreamIngest.ingestBatch(
+      spark.createDataset(CorpusGen.generateLocal(20, seed = 882L)), dir, cConf)
+    // re-ingest b1: upserts all 30 urls → 3 gens > G → auto merge + GC
+    StreamIngest.ingestBatch(spark.createDataset(b1), dir, cConf)
+    assert(IndexLayout.current(spark, dir).get.size <= 2)
+
+    val fresh = new QueryEngine(spark, dir, cConf.numBuckets)
+    val expect = fresh.search("the", 200).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = engine.search("the", 200).collect() // STALE engine, no manual invalidate
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect, s"stale engine diverged:\n got=$got\n exp=$expect")
+    // b1's original docIds (0..29) were all superseded — none may resurface
+    assert(!got.exists(_._1 < 30L), "upsert victims resurrected from stale cache")
+    assert(got.nonEmpty)
+  }
+
   test("watermarked windowed agg: streaming output equals the batch twin (q_event_window)") {
     def ev(minOff: Int, tpe: String, v: Double): Ev =
       Ev(new java.sql.Timestamp(1704067200000L + minOff * 60000L), tpe, v)
