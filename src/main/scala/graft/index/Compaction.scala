@@ -92,7 +92,8 @@ object Compaction {
         gens.map(sd => s"$indexDir/$sd/docs"): _*)
       .join(tombs, Seq("docId"), "left_anti")
     val statsRow = docs.agg(count(lit(1)).as("n"), avg($"doclen").as("avgdl"),
-      sum($"doclen").as("totalTerms"), sum($"titleLen").as("titleTerms"))
+      sum($"doclen").as("totalTerms"), sum($"titleLen").as("titleTerms"),
+      max($"docId").as("maxId"))
       .head()
     val nDocs = statsRow.getLong(0)
     if (nDocs == 0 && partial) {
@@ -171,7 +172,8 @@ object Compaction {
       append = false, onlyBuckets = None)
     docs.write.mode(SaveMode.Overwrite).parquet(s"$segPath/docs")
     Seq(CorpusStats(nDocs, avgdl, totalTerms,
-      if (nDocs == 0) 0.0 else titleTerms.toDouble / nDocs, titleTerms)).toDS()
+      if (nDocs == 0) 0.0 else titleTerms.toDouble / nDocs, titleTerms,
+      maxDocId = statsRow.getLong(4))).toDS()
       .write.mode(SaveMode.Overwrite).parquet(s"$segPath/stats")
     if (partial) {
       // forward the merged generations' upsert victims: their entries may

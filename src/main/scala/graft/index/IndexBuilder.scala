@@ -146,7 +146,8 @@ object IndexBuilder {
     val titleTerms = perPid.map(_.getLong(3)).sum
     val stats = CorpusStats(nDocs,
       if (nDocs == 0) 0.0 else totalTerms.toDouble / nDocs, totalTerms,
-      if (nDocs == 0) 0.0 else titleTerms.toDouble / nDocs, titleTerms)
+      if (nDocs == 0) 0.0 else titleTerms.toDouble / nDocs, titleTerms,
+      maxDocId = idOffset + nDocs - 1) // dense assignment: known in O(1)
     val offsets = new Array[Long](p + 1)
     offsets(0) = idOffset
     var i = 0
@@ -248,9 +249,16 @@ object IndexBuilder {
     val published = IndexLayout.current(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"append requires a published index at $indexDir"))
-    val prevDocs = spark.read.parquet(
-      published.map(sd => s"$indexDir/$sd/docs"): _*)
-    val offset = prevDocs.agg(max($"docId")).head().getLong(0) + 1L
+    // id offset from the single-row stats tables (r5): O(G) metadata reads
+    // per batch instead of a max(docId) column scan over every generation —
+    // the difference between O(1) and O(corpus) per streaming micro-batch.
+    // Stats written before r5 lack the high-water mark → fall back to the
+    // scan once (the next compaction/append rewrites stats with it).
+    val statsMax = IndexLayout.combinedStats(spark, indexDir).maxDocId
+    val offset =
+      if (statsMax >= 0) statsMax + 1L
+      else spark.read.parquet(published.map(sd => s"$indexDir/$sd/docs"): _*)
+        .agg(max($"docId")).head().getLong(0) + 1L
     val seg = IndexLayout.nextSegDir(spark, indexDir)
     IndexLayout.writeJobDescriptor(spark, s"$indexDir/$seg",
       JobDescriptor("append", offset, published :+ seg))

@@ -182,16 +182,27 @@ object IndexLayout {
       s"no published index at $indexDir (no current-*.txt pointer)"))
 
   /** Combined corpus stats across the live segment dirs: counts and token
-    * totals add; avgdl is re-derived from the sums (NOT averaged).
+    * totals add; avgdl is re-derived from the sums (NOT averaged); the
+    * docId high-water mark is the max over generations (-1 when any
+    * generation predates the column — callers needing it must fall back).
     */
   def combinedStats(spark: SparkSession, indexDir: String): CorpusStats = {
     import spark.implicits._
-    val parts = statsPaths(spark, indexDir)
-      .flatMap(p => spark.read.parquet(p).as[CorpusStats].collect())
+    import org.apache.spark.sql.functions.lit
+    val parts = statsPaths(spark, indexDir).flatMap { p =>
+      val df = spark.read.parquet(p)
+      val withMax = // pre-r5 stats files lack maxDocId
+        if (df.columns.contains("maxDocId")) df
+        else df.withColumn("maxDocId", lit(-1L))
+      withMax.as[CorpusStats].collect()
+    }
     val n = parts.map(_.n).sum
     val tt = parts.map(_.totalTerms).sum
     val ttl = parts.map(_.titleTerms).sum
+    val maxId =
+      if (parts.isEmpty || parts.exists(_.maxDocId < 0)) -1L
+      else parts.map(_.maxDocId).max
     CorpusStats(n, if (n == 0) 0.0 else tt.toDouble / n, tt,
-      if (n == 0) 0.0 else ttl.toDouble / n, ttl)
+      if (n == 0) 0.0 else ttl.toDouble / n, ttl, maxId)
   }
 }

@@ -75,9 +75,16 @@ final case class PostingSegment(
   * cover the default `text` field, `titleAvgdl`/`titleTerms` the indexed
   * title field (reference: fielded search on `mmd_title` with df=text_en,
   * /root/reference/src/indexdata.py:1516–1523).
+  *
+  * `maxDocId` (r5) is the generation's docId high-water mark: appends read
+  * it from the single-row stats tables instead of scanning `max(docId)`
+  * over every generation's docs column — a streaming micro-batch pays O(G)
+  * metadata reads, not an O(corpus) column scan, to pick its id offset.
+  * -1 = empty/unknown (pre-r5 stats files lack the column; the append path
+  * falls back to the scan).
   */
 final case class CorpusStats(n: Long, avgdl: Double, totalTerms: Long,
-    titleAvgdl: Double = 0.0, titleTerms: Long = 0L)
+    titleAvgdl: Double = 0.0, titleTerms: Long = 0L, maxDocId: Long = -1L)
 
 /** Per-bucket build lineage + metrics — the checkpoint manifest
   * (north_rule: "resumable from checkpoint with per-partition lineage +
