@@ -346,10 +346,15 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val bDf = spark.sparkContext.broadcast(dfByTerm)
 
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
-    // cap the window length so window-local filter bitmaps stay ≤ 8 MiB
-    // regardless of corpus size (also kills any 2^31-docId assumption)
+    // window length from the docId-SPACE extent, not the live-doc count:
+    // after delete/compaction cycles maxDocId can exceed n, and sizing by n
+    // would fragment the space into more windows than intended (r5 — the
+    // high-water mark now rides in stats; -1 = pre-r5 stats, fall back to
+    // n). Cap so window-local filter bitmaps stay ≤ 8 MiB regardless of
+    // corpus size (also kills any 2^31-docId assumption).
+    val idSpace = math.max(n, stats.maxDocId + 1)
     val rangeLen = math.min(
-      math.max(1L, (n + parallelism - 1) / parallelism), 1L << 26)
+      math.max(1L, (idSpace + parallelism - 1) / parallelism), 1L << 26)
 
     val clausesB = clauses
     val scoringB = scoring
