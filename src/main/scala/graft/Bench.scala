@@ -81,6 +81,40 @@ object BenchArm {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Single-threaded memory-bandwidth canary (GB/s, best of 3 sequential
+    * sums over a 256 MiB long array). The ALU canary above cannot see
+    * memory-bandwidth contention (measured 2026-08-17 13:04: both arms'
+    * process-CPU at 2.2–2.8× quiet floor while every ALU canary read
+    * 0.70–0.78 ≈ nominal — stall cycles count as occupied CPU but don't
+    * slow a register-only loop); a streaming read measures the contended
+    * resource directly. Recorded as evidence per arm, not yet a health
+    * gate — thresholds need calibration across quiet/hostile windows.
+    */
+  private lazy val bwArr: Array[Long] = {
+    val a = new Array[Long](1 << 25) // 256 MiB; first touch pays page zeroing
+    var i = 0
+    while (i < a.length) { a(i) = i; i += 1 }
+    a
+  }
+  def bwGBs(): Double = {
+    var best = 0.0
+    var sink = 0L
+    var r = 0
+    while (r < 3) {
+      val t0 = System.nanoTime()
+      var s = 0L
+      var i = 0
+      while (i < bwArr.length) { s += bwArr(i); i += 1 }
+      sink ^= s
+      val gbs = (bwArr.length * 8.0 / (1L << 30)) /
+        ((System.nanoTime() - t0) / 1e9)
+      if (gbs > best) best = gbs
+      r += 1
+    }
+    if (sink == 42L) println("") // defeat DCE
+    best
+  }
+
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val docs = args(1).toLong
@@ -91,9 +125,11 @@ object BenchArm {
     // build plan on a tiny corpus first so the timed run measures the build
     IndexBuilder.build(s, CorpusGen.generate(s, 2000), s"$dir-warm", conf)
     canarySec() // JIT the canary loop itself
+    bwGBs() // allocate + page-touch the bandwidth array outside the timing
     val osb = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val can0 = canarySec()
+    val bw0 = bwGBs()
     val cpu0 = osb.getProcessCpuTime
     // 2 range-partitions per core by default: one-wave stages leave cores
     // idle behind the slowest task (hypervisor steal makes stragglers
@@ -105,7 +141,8 @@ object BenchArm {
     }
     val cpu = (osb.getProcessCpuTime - cpu0) / 1e9
     val can1 = canarySec()
-    println(f"""GRAFT_ARM_JSON {"cores":$cores,"docs":$docs,"buildSec":$wall%.2f,"cpuSec":$cpu%.1f,"canary0":$can0%.2f,"canary1":$can1%.2f}""")
+    val bw1 = bwGBs()
+    println(f"""GRAFT_ARM_JSON {"cores":$cores,"docs":$docs,"buildSec":$wall%.2f,"cpuSec":$cpu%.1f,"canary0":$can0%.2f,"canary1":$can1%.2f,"bw0":$bw0%.1f,"bw1":$bw1%.1f}""")
     s.stop()
   }
 }
@@ -191,10 +228,10 @@ object Bench {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   private final case class ArmResult(wallSec: Double, cpuSec: Double,
-      canary0: Double, canary1: Double)
+      canary0: Double, canary1: Double, bw0: Double, bw1: Double)
 
   private val ArmRe =
-    """GRAFT_ARM_JSON \{"cores":\d+,"docs":\d+,"buildSec":([0-9.]+),"cpuSec":([0-9.]+),"canary0":([0-9.]+),"canary1":([0-9.]+)\}""".r
+    """GRAFT_ARM_JSON \{"cores":\d+,"docs":\d+,"buildSec":([0-9.]+),"cpuSec":([0-9.]+),"canary0":([0-9.]+),"canary1":([0-9.]+),"bw0":([0-9.]+),"bw1":([0-9.]+)\}""".r
 
   /** Fork one confined arm JVM and parse its marker line. Heap is sized per
     * core (0.75 GiB/core — 24g at 32 cores, the measured optimum on this VM;
@@ -232,14 +269,34 @@ object Bench {
     require(rc == 0, s"arm$cores exited $rc")
     ArmRe.findFirstMatchIn(out) match {
       case Some(m) => ArmResult(m.group(1).toDouble, m.group(2).toDouble,
-        m.group(3).toDouble, m.group(4).toDouble)
+        m.group(3).toDouble, m.group(4).toDouble, m.group(5).toDouble,
+        m.group(6).toDouble)
       case None => throw new IllegalStateException(
         s"arm$cores produced no GRAFT_ARM_JSON line")
     }
   }
 
+  /** Quiet-floor process-CPU per document (ms/doc, either arm — quiet
+    * pairs measure 0.69–0.86 across r4/r5 at 400k–800k docs) and the
+    * tolerance factor above it at which a pair is classified slow-box.
+    * This is the one ABSOLUTE reference in the health rule: uniform
+    * memory-bandwidth contention inflates BOTH arms' CPU-seconds alike
+    * (2026-08-17 13:04: cpu2 1436 s / cpu8 1901 s vs same-day quiet
+    * floors 650/688 s for identical work), so every within-run check —
+    * util, ALU canaries, within-pair cpu-ratio, run-relative floors —
+    * passes while the box is 2× slow. CPU/doc is deterministic for a
+    * fixed binary + corpus generator, which makes a committed floor
+    * legitimate where a wall-time floor would not be. Floor 0 disables;
+    * the check only applies at ≥200k docs (below that, fixed JVM+codegen
+    * cost dominates per-doc CPU).
+    */
+  private val cpuFloorMsPerDoc = sys.env
+    .getOrElse("SPARK_GRAFT_BENCH_CPU_FLOOR_MS_PER_DOC", "0.70").toDouble
+  private val cpuFloorFactor = sys.env
+    .getOrElse("SPARK_GRAFT_BENCH_CPU_FLOOR_FACTOR", "1.5").toDouble
+
   private final case class Pair(small: ArmResult, large: ArmResult,
-      smallCores: Int, largeCores: Int) {
+      smallCores: Int, largeCores: Int, docs: Long) {
     val scale: Double = largeCores.toDouble / smallCores
     def eff: Double = small.wallSec / (scale * large.wallSec)
     /** The large arm strictly dominates the small one when both are actually
@@ -278,9 +335,22 @@ object Bench {
       */
     def effPossible: Boolean = eff <= 1.0
 
+    /** True when either arm's process-CPU per doc exceeds the committed
+      * quiet floor by more than the tolerance factor — the box was slow
+      * for BOTH arms at once, and the pair's eff measures the contended
+      * host, not the engine (see [[cpuFloorMsPerDoc]]).
+      */
+    def slowBox: Boolean =
+      cpuFloorMsPerDoc > 0 && docs >= 200000L && {
+        val lim = cpuFloorMsPerDoc * cpuFloorFactor
+        small.cpuSec * 1000.0 / docs > lim ||
+          large.cpuSec * 1000.0 / docs > lim
+      }
+
     def healthy(bestCanary: Double, minCpuSmall: Double,
         minCpuLarge: Double): Boolean =
       !contended && effPossible && utilLarge >= 0.85 && cpuRatioOk &&
+        !slowBox &&
         small.cpuSec <= minCpuSmall * 1.25 &&
         large.cpuSec <= minCpuLarge * 1.25 &&
         Seq(small.canary0, small.canary1, large.canary0, large.canary1)
@@ -383,7 +453,7 @@ object Bench {
       val minWallEff = pairs.map(_.small.wallSec).min /
         (best.scale * pairs.map(_.large.wallSec).min)
       val pairsJson = pairs.map { p =>
-        f"""{"t$smallCores%d":${p.small.wallSec}%.2f,"t$largeCores%d":${p.large.wallSec}%.2f,"eff":${p.eff}%.3f,"util$smallCores%d":${p.utilSmall}%.2f,"util$largeCores%d":${p.utilLarge}%.2f,"cpu$smallCores%d":${p.small.cpuSec}%.0f,"cpu$largeCores%d":${p.large.cpuSec}%.0f,"canary$smallCores%d":[${p.small.canary0}%.2f,${p.small.canary1}%.2f],"canary$largeCores%d":[${p.large.canary0}%.2f,${p.large.canary1}%.2f],"contended":${p.contended},"healthy":${p.healthy(bestCan, minCpuS, minCpuL)}}"""
+        f"""{"t$smallCores%d":${p.small.wallSec}%.2f,"t$largeCores%d":${p.large.wallSec}%.2f,"eff":${p.eff}%.3f,"util$smallCores%d":${p.utilSmall}%.2f,"util$largeCores%d":${p.utilLarge}%.2f,"cpu$smallCores%d":${p.small.cpuSec}%.0f,"cpu$largeCores%d":${p.large.cpuSec}%.0f,"canary$smallCores%d":[${p.small.canary0}%.2f,${p.small.canary1}%.2f],"canary$largeCores%d":[${p.large.canary0}%.2f,${p.large.canary1}%.2f],"bw$smallCores%d":[${p.small.bw0}%.1f,${p.small.bw1}%.1f],"bw$largeCores%d":[${p.large.bw0}%.1f,${p.large.bw1}%.1f],"contended":${p.contended},"slowbox":${p.slowBox},"healthy":${p.healthy(bestCan, minCpuS, minCpuL)}}"""
       }.mkString("[", ",", "]")
       f""""index_build":{"docs":$benchDocs,"arms":[$smallCores,$largeCores],"docs_per_sec_local$smallCores":${benchDocs / best.small.wallSec}%.1f,"docs_per_sec_local$largeCores":${benchDocs / best.large.wallSec}%.1f,"build_sec_local$smallCores":${best.small.wallSec}%.2f,"build_sec_local$largeCores":${best.large.wallSec}%.2f,"scaling_efficiency":${best.eff}%.3f,"scaling_efficiency_${smallCores}_to_$largeCores":${best.eff}%.3f,"scaling_efficiency_min_walls":$minWallEff%.3f,"pairs":$pairsJson}"""
     }
@@ -408,7 +478,7 @@ object Bench {
           (acc.length < maxPairs && withinBudget && !targetMet)) {
         val s = runArm(smallCores, benchDocs)
         val l = runArm(largeCores, benchDocs)
-        acc += Pair(s, l, smallCores, largeCores)
+        acc += Pair(s, l, smallCores, largeCores, benchDocs)
         // re-emit after EVERY pair: a kill mid-loop keeps all finished pairs
         buildJson = buildJsonOf(acc.toSeq)
         emitRecord()
