@@ -38,10 +38,27 @@ object ExplainCheck {
       // at 10^12 docs a /get must touch O(row groups containing url), not
       // decode every file it plans over
       println("=== realtimeGet docs scan (url=...) ===")
-      e.realtimeGet("https://host0.example.org/p/000000000000")
+      import org.apache.spark.sql.functions.{col, lit}
+      // audit a REAL mid-corpus url: a miss legitimately plans over zero
+      // files now (docsmap rules every file out), which demonstrates
+      // nothing about the scan shape of a hit
+      val u = e.docs.select(col("url")).orderBy(col("url"))
+        .limit((e.stats.n / 2 + 1).toInt).orderBy(col("url").desc)
+        .limit(1).collect().head.getString(0)
+      e.realtimeGet(u)
         .queryExecution.executedPlan.toString.split("\n")
-        .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema") ||
+          l.contains("Location"))
         .foreach(l => println("[plan] " + l.trim.take(1200)))
+      // docsmap pruning audit: the /get plans over only the files whose url
+      // range can contain the key, per generation
+      graft.index.IndexLayout.current(spark, args(0)).getOrElse(Seq.empty)
+        .foreach { sd =>
+          val m = spark.read.parquet(s"${args(0)}/$sd/docsmap")
+          val hit = m.filter(col("urlMin") <= lit(u) &&
+            col("urlMax") >= lit(u)).count()
+          println(s"[plan] docsmap $sd: candidate files $hit of ${m.count()}")
+        }
     }
     spark.stop()
   }

@@ -171,6 +171,7 @@ object Compaction {
     IndexBuilder.encodePostings(spark, rows, hot, totalTerms, conf, segPath,
       append = false, onlyBuckets = None)
     docs.write.mode(SaveMode.Overwrite).parquet(s"$segPath/docs")
+    IndexBuilder.writeDocsMap(spark, segPath)
     Seq(CorpusStats(nDocs, avgdl, totalTerms,
       if (nDocs == 0) 0.0 else titleTerms.toDouble / nDocs, titleTerms,
       maxDocId = statsRow.getLong(4))).toDS()

@@ -564,6 +564,30 @@ object IndexBuilder {
         coalesce(element_at(bytesMap, $"partitionId"), lit(0L)))
   }
 
+  /** Per-file url min/max of a segment's just-written docs table →
+    * `$segPath/docsmap` (one tiny file). [[graft.query.QueryEngine.realtimeGet]]
+    * consults it to plan a point lookup over O(files containing url) instead
+    * of scheduling a footer-check task per docs file — at 10^12 docs that is
+    * the difference between one task and 10^5+ per /get. The docs files are
+    * url-sorted within range partitions (build) or near-sorted (compaction
+    * preserves source-file runs), so ranges are tight; the map is EXACT
+    * either way because it is computed from the actual file contents — a
+    * one-narrow-column (url) distributed pass over files still hot in the
+    * page cache. Readers treat a missing docsmap as "scan every file", so
+    * pre-docsmap segments keep serving.
+    */
+  private[graft] def writeDocsMap(spark: SparkSession, segPath: String): Unit = {
+    import spark.implicits._
+    spark.read.parquet(s"$segPath/docs")
+      .select(input_file_name().as("f"), $"url")
+      .groupBy($"f")
+      .agg(min($"url").as("urlMin"), max($"url").as("urlMax"))
+      .select(regexp_extract($"f", "[^/]+$", 0).as("file"),
+        $"urlMin", $"urlMax")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$segPath/docsmap")
+  }
+
   private def buildInternal(spark: SparkSession, docs: Dataset[WebDoc],
       outDir: String, conf: IndexConf,
       onlyBuckets: Option[Set[Int]], idOffset: Long = 0L): BuildReport = {
@@ -592,6 +616,7 @@ object IndexBuilder {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
       Seq(stats).toDS()
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
+      writeDocsMap(spark, outDir)
     }
 
     val hot = hotTerms(idDocs, nDocs, conf)

@@ -188,6 +188,32 @@ class AppendSpec extends AnyFunSuite {
     assert(engine.realtimeGet("https://nosuch.example/x").collect().isEmpty)
   }
 
+  test("docsmap prunes realtimeGet planning to the files that can hold the url") {
+    val dir = SparkTestSession.tempDir("graft-docsmap")
+    val n = 80L
+    IndexBuilder.build(spark, CorpusGen.generate(spark, n), dir,
+      conf.copy(buildPartitions = 4))
+    val seg = IndexLayout.current(spark, dir).get.head
+    // exact cover: one docsmap entry per docs part-file
+    val m = spark.read.parquet(s"$dir/$seg/docsmap")
+      .select($"file", $"urlMin", $"urlMax")
+      .as[(String, String, String)].collect()
+    val files = new java.io.File(s"$dir/$seg/docs").listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    assert(m.map(_._1).toSet == files && files.size >= 2)
+    // a point url's candidate set is a strict subset (url-sorted range
+    // partitions → disjoint-ish per-file ranges)
+    val target = CorpusGen.doc(CorpusGen.DefaultSeed, 7L, n)
+    val cand = m.count(e => e._2 <= target.url && target.url <= e._3)
+    assert(cand >= 1 && cand < files.size,
+      s"expected docsmap pruning, got $cand of ${files.size} files")
+    // and the pruned lookup still resolves (plus misses stay empty)
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    val got = engine.realtimeGet(target.url).collect()
+    assert(got.length == 1 && got.head.getAs[String]("url") == target.url)
+    assert(engine.realtimeGet("https://zzz.nosuch.example/x").collect().isEmpty)
+  }
+
   test("real-time get does not resurrect deleted docs (ADVICE r3)") {
     val dir = SparkTestSession.tempDir("graft-rtg-del")
     val n = 50L
