@@ -227,7 +227,7 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  private final case class ArmResult(wallSec: Double, cpuSec: Double,
+  private[graft] final case class ArmResult(wallSec: Double, cpuSec: Double,
       canary0: Double, canary1: Double, bw0: Double, bw1: Double)
 
   private val ArmRe =
@@ -290,12 +290,12 @@ object Bench {
     * the check only applies at ≥200k docs (below that, fixed JVM+codegen
     * cost dominates per-doc CPU).
     */
-  private val cpuFloorMsPerDoc = sys.env
+  private[graft] val cpuFloorMsPerDoc = sys.env
     .getOrElse("SPARK_GRAFT_BENCH_CPU_FLOOR_MS_PER_DOC", "0.70").toDouble
-  private val cpuFloorFactor = sys.env
+  private[graft] val cpuFloorFactor = sys.env
     .getOrElse("SPARK_GRAFT_BENCH_CPU_FLOOR_FACTOR", "1.5").toDouble
 
-  private final case class Pair(small: ArmResult, large: ArmResult,
+  private[graft] final case class Pair(small: ArmResult, large: ArmResult,
       smallCores: Int, largeCores: Int, docs: Long) {
     val scale: Double = largeCores.toDouble / smallCores
     def eff: Double = small.wallSec / (scale * large.wallSec)
