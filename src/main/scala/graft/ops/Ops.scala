@@ -395,12 +395,15 @@ object Ops {
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
   }
 
-  /** MinHash + LSH candidate pairs (rows-only: hash fn not portable to the
-    * DuckDB oracle). 16 permutations × 4 bands of 4; band-bucket join finds
-    * candidates without the quadratic shingle self-join — the scale path for
-    * dedupNgram.
+  /** MinHash band-bucket rows (doc_id, band, h) — the signature stage of
+    * [[minhashLsh]], exposed on its own (r5): the MinHash permutations
+    * themselves aren't portable to DuckDB (wrapping 64-bit mixing), but
+    * given these rows as a fixture the entire downstream candidate logic —
+    * bucket cap, band equi-join, pair distinct — is plain SQL, which is how
+    * the driver oracle checks it (SparkEntry.oracleSqlDynamic embeds this
+    * table as a VALUES fixture). 16 permutations × 4 bands of 4.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashBanded(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nPerm = 16
     val bandSize = 4
@@ -430,10 +433,17 @@ object Ops {
     }
     // checkpoint: both self-join sides and the bucket-size cap read this —
     // otherwise the minhash signature computation runs 3×
-    val banded = sigs.toDF("doc_id", "bands")
+    sigs.toDF("doc_id", "bands")
       .select(col("doc_id"), explode(col("bands")).as("band"))
       .select(col("doc_id"), col("band._1").as("band"), col("band._2").as("h"))
       .localCheckpoint()
+  }
+
+  /** MinHash + LSH candidate pairs. The signature stage is rows-only; the
+    * band-join/cap/pair logic is oracled via the [[minhashBanded]] fixture.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val banded = minhashBanded(spark, dir)
     // candidate pairs = docs colliding in any band bucket (equi-join on the
     // bucket key — no quadratic blowup outside a bucket), with DEGENERATE
     // buckets capped: a boilerplate/identical-text cluster of m docs would
@@ -466,15 +476,35 @@ object Ops {
     banded.join(ok, key, "left_semi")
   }
 
-  /** SimHash document signature (rows-only). */
+  /** The per-token 64-bit hash SimHash votes on. The hash itself is the
+    * one non-SQL-portable piece of [[simhash]]: given the corpus's
+    * (token, hash) map as a fixture, the tf-weighted voting and bit
+    * packing are plain SQL (SparkEntry.oracleSqlDynamic).
+    */
+  def simhashTokenHash(tok: String): Long =
+    graft.corpus.CorpusGen.mix(99L,
+      scala.util.hashing.MurmurHash3.stringHash(tok).toLong)
+
+  /** Distinct (tok, h) over the corpus vocabulary — the fixture table for
+    * the dynamic simhash oracle.
+    */
+  def simhashTokenHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tokens(spark, dir).select("term").distinct().as[String]
+      .map(tok => (tok, simhashTokenHash(tok)))
+      .toDF("tok", "h")
+  }
+
+  /** SimHash document signature. The token hash is rows-only; the voting /
+    * bit-pack logic is oracled via the [[simhashTokenHashes]] fixture.
+    */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "documents").select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val votes = new Array[Long](64)
         graft.index.Analysis.tokenize(text).foreach { tok =>
-          val h = graft.corpus.CorpusGen.mix(99L,
-            scala.util.hashing.MurmurHash3.stringHash(tok).toLong)
+          val h = simhashTokenHash(tok)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -533,7 +563,8 @@ object Ops {
     best
   }
 
-  /** IVF ANN (rows-only): k-means centroids (deterministic seeds = lowest
+  /** IVF ANN probe-set stage (rows-only — iterative k-means isn't
+    * SQL-expressible): centroids (deterministic seeds = lowest
     * vec_ids, then Lloyd iterations as distributed per-dimension means),
     * cluster assignment via broadcast argmax, then the query probes its
     * `nprobe` nearest clusters only. The scale shape: centroids are O(k·dim)
@@ -543,9 +574,8 @@ object Ops {
     * (round 1 ran `.head()` on the assigned table, forcing the whole
     * assignment job just to fetch one row).
     */
-  def annIvf(spark: SparkSession, dir: String, kClusters: Int = 8,
-      iters: Int = 3, nprobe: Int = 2, queryId: Long = 42L,
-      k: Int = 10): DataFrame = {
+  def annIvfCandidates(spark: SparkSession, dir: String, kClusters: Int = 8,
+      iters: Int = 3, nprobe: Int = 2, queryId: Long = 42L): DataFrame = {
     import spark.implicits._
     val e = t(spark, dir, "embeddings")
       .select("vec_id", "embedding").as[(Long, Array[Float])]
@@ -579,14 +609,27 @@ object Ops {
       .map { case (cid, cv) => (cid, cosFD(qv, cv)) }
       .sortBy { case (cid, c) => (-c, cid) }
       .take(nprobe).map(_._1).toSeq
-    val bq = spark.sparkContext.broadcast(qv.map(_.toDouble))
     assigned
       .filter(col("cluster").isin(qClusters: _*) && col("vec_id") =!= queryId)
-      .select("vec_id", "embedding").as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        (id, math.rint(cosFD(v, bq.value) * 10000) / 10000)
-      }
-      .toDF("vec_id", "c")
+      .select("vec_id", "embedding")
+  }
+
+  /** IVF ANN top-k: score the probed candidate set ([[annIvfCandidates]])
+    * against the query vector with the same codegen cosine + rounding the
+    * exact baseline ([[embedCosine]]) uses. The Lloyd/assignment stage is
+    * rows-only; given the candidate ids as a fixture, this scoring stage
+    * is plain SQL (SparkEntry.oracleSqlDynamic).
+    */
+  def annIvf(spark: SparkSession, dir: String, kClusters: Int = 8,
+      iters: Int = 3, nprobe: Int = 2, queryId: Long = 42L,
+      k: Int = 10): DataFrame = {
+    val cand = annIvfCandidates(spark, dir, kClusters, iters, nprobe, queryId)
+    val q = t(spark, dir, "embeddings")
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    cand.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineCol(col("embedding"), col("qv")), 4).as("c"))
       .orderBy(desc("c"), asc("vec_id"))
       .limit(k)
   }
