@@ -42,6 +42,28 @@ private[graft] object BenchCommon {
     d.getAbsolutePath
   }
 
+  /** Recursive delete of a bench scratch dir. Scratch lives on tmpfs, and
+    * tmpfs pages ARE RAM: one full-bench day once accumulated 108 GiB of
+    * arm index dirs under /dev/shm/graft-bench (deleteOnExit only covers
+    * the empty tempdir root, and OOM-killed JVMs run no exit hooks), which
+    * drove the box to 15 GiB free — the OOM killer then SIGKILLed an arm
+    * mid-run, and the accumulating reclaim pressure inflated every later
+    * run's CPU-seconds "uniformly across both arms" exactly like host
+    * steal. Every consumer must delete its scratch as soon as the
+    * measurement is parsed.
+    */
+  def deleteScratch(path: String): Unit = {
+    import java.nio.file.{Files, Paths, Path}
+    import java.util.Comparator
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   def timeS[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -124,6 +146,7 @@ object BenchArm {
     // warmup: each fresh JVM has a cold Janino/JIT cache — compile every
     // build plan on a tiny corpus first so the timed run measures the build
     IndexBuilder.build(s, CorpusGen.generate(s, 2000), s"$dir-warm", conf)
+    BenchCommon.deleteScratch(s"$dir-warm") // tmpfs scratch is RAM
     canarySec() // JIT the canary loop itself
     bwGBs() // allocate + page-touch the bandwidth array outside the timing
     val osb = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -261,18 +284,25 @@ object Bench {
     pb.environment().put("SPARK_LOCAL_DIRS",
       sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val rc = proc.waitFor()
-    // relay the child's build-phase log to stderr (diagnostics, not contract)
-    out.linesIterator.foreach(l => System.err.println(s"[arm$cores] $l"))
-    require(rc == 0, s"arm$cores exited $rc")
-    ArmRe.findFirstMatchIn(out) match {
-      case Some(m) => ArmResult(m.group(1).toDouble, m.group(2).toDouble,
-        m.group(3).toDouble, m.group(4).toDouble, m.group(5).toDouble,
-        m.group(6).toDouble)
-      case None => throw new IllegalStateException(
-        s"arm$cores produced no GRAFT_ARM_JSON line")
+    try {
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rc = proc.waitFor()
+      // relay the child's build-phase log to stderr (diagnostics, not contract)
+      out.linesIterator.foreach(l => System.err.println(s"[arm$cores] $l"))
+      require(rc == 0, s"arm$cores exited $rc")
+      ArmRe.findFirstMatchIn(out) match {
+        case Some(m) => ArmResult(m.group(1).toDouble, m.group(2).toDouble,
+          m.group(3).toDouble, m.group(4).toDouble, m.group(5).toDouble,
+          m.group(6).toDouble)
+        case None => throw new IllegalStateException(
+          s"arm$cores produced no GRAFT_ARM_JSON line")
+      }
+    } finally {
+      // tmpfs scratch is RAM — never accumulate. The -warm sibling is the
+      // child's; delete here too in case the child was killed mid-warmup.
+      deleteScratch(dir)
+      deleteScratch(s"$dir-warm")
     }
   }
 
@@ -474,14 +504,29 @@ object Bench {
       def withinBudget: Boolean =
         (System.nanoTime() - t0) / 1e9 < scalingBudgetSec &&
           elapsedSec < totalBudgetSec - 60
-      while ((acc.length < minPairs && withinBudget) ||
-          (acc.length < maxPairs && withinBudget && !targetMet)) {
-        val s = runArm(smallCores, benchDocs)
-        val l = runArm(largeCores, benchDocs)
-        acc += Pair(s, l, smallCores, largeCores, benchDocs)
-        // re-emit after EVERY pair: a kill mid-loop keeps all finished pairs
-        buildJson = buildJsonOf(acc.toSeq)
-        emitRecord()
+      // A SIGKILLed/crashed arm (OOM killer, sandbox teardown) must not
+      // void the sections already measured: treat it like a hostile pair —
+      // log, keep the record emitted so far, and retry within budget.
+      // Two consecutive failures mean the box (not a transient) — stop.
+      var consecFails = 0
+      while (consecFails < 2 &&
+          ((acc.length < minPairs && withinBudget) ||
+            (acc.length < maxPairs && withinBudget && !targetMet))) {
+        try {
+          val s = runArm(smallCores, benchDocs)
+          val l = runArm(largeCores, benchDocs)
+          acc += Pair(s, l, smallCores, largeCores, benchDocs)
+          consecFails = 0
+          // re-emit after EVERY pair: a kill mid-loop keeps finished pairs
+          buildJson = buildJsonOf(acc.toSeq)
+          emitRecord()
+        } catch {
+          case e: Exception =>
+            consecFails += 1
+            System.err.println(
+              s"[graft-bench] scaling pair failed (${e.getMessage}); " +
+                s"consecutive failures: $consecFails")
+        }
       }
     }
 
@@ -583,6 +628,7 @@ object Bench {
     val p50D = latD(latD.length / 2)
     val canD1 = BenchArm.canarySec()
     sq.stop()
+    deleteScratch(ixDir) // tmpfs scratch is RAM — never accumulate
 
     latencyJson =
       f""""query_latency":{"p50_sec":$p50%.4f,"p50_distributed_sec":$p50D%.4f,"k":10,"queries":${goldenQueries.length},"distributed_queries":${distributedQueries.length},"reps":3,"driver_cpu_sec":$cpuDriver%.2f,"distributed_cpu_sec":$cpuDist%.2f,"canary_sec":[$canD0%.3f,$canD1%.3f]}"""
