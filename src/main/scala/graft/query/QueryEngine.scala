@@ -335,7 +335,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
     // small-query fast path: k·segments fits on the driver → skip the
     // shuffle + global-sort stages entirely (one scan job, cached)
-    val cacheKey = (scoring ++ not).mkString(" ")
+    val cacheKey = (scoring ++ not).mkString("\u0000")
     val sample = segCache.synchronized(Option(segCache.get(cacheKey))) match {
       case Some(hit) => hit
       case None =>
