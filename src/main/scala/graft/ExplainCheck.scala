@@ -42,8 +42,10 @@ object ExplainCheck {
       // audit a REAL mid-corpus url: a miss legitimately plans over zero
       // files now (docsmap rules every file out), which demonstrates
       // nothing about the scan shape of a hit
+      // clamp: limit() takes an Int; past 2^31 docs any mid-corpus url does
+      val mid = math.min(e.stats.n / 2 + 1, Int.MaxValue.toLong).toInt
       val u = e.docs.select(col("url")).orderBy(col("url"))
-        .limit((e.stats.n / 2 + 1).toInt).orderBy(col("url").desc)
+        .limit(mid).orderBy(col("url").desc)
         .limit(1).collect().head.getString(0)
       e.realtimeGet(u)
         .queryExecution.executedPlan.toString.split("\n")
@@ -52,12 +54,20 @@ object ExplainCheck {
         .foreach(l => println("[plan] " + l.trim.take(1200)))
       // docsmap pruning audit: the /get plans over only the files whose url
       // range can contain the key, per generation
+      val fs = new org.apache.hadoop.fs.Path(args(0))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       graft.index.IndexLayout.current(spark, args(0)).getOrElse(Seq.empty)
         .foreach { sd =>
-          val m = spark.read.parquet(s"${args(0)}/$sd/docsmap")
-          val hit = m.filter(col("urlMin") <= lit(u) &&
-            col("urlMax") >= lit(u)).count()
-          println(s"[plan] docsmap $sd: candidate files $hit of ${m.count()}")
+          val mp = s"${args(0)}/$sd/docsmap"
+          // pre-docsmap generations fall back to a full-dir scan in
+          // realtimeGet — report that instead of crashing the audit
+          if (fs.exists(new org.apache.hadoop.fs.Path(mp))) {
+            val m = spark.read.parquet(mp)
+            val hit = m.filter(col("urlMin") <= lit(u) &&
+              col("urlMax") >= lit(u)).count()
+            println(s"[plan] docsmap $sd: candidate files $hit of ${m.count()}")
+          } else
+            println(s"[plan] docsmap $sd: absent (full-dir fallback)")
         }
     }
     spark.stop()

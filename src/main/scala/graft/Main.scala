@@ -189,7 +189,7 @@ object Search {
     }
     opts.get("--facet").foreach { field =>
       println(s"[graft] facet field='$field' (over ALL matches)")
-      engine.facet(query, field).collect().foreach { r =>
+      engine.facet(query, field, df = df).collect().foreach { r =>
         println(f"  ${r.get(0)}%-12s ${r.getLong(1)}%8d")
       }
     }

@@ -245,10 +245,20 @@ object SparkEntry {
     */
   private val MaxFixturePairs = 20000
 
+  private def guarded(n: Int): Option[Unit] =
+    // a None silently downgrades the query to rows-only in the driver gate —
+    // make the drop LOUD so "all queries oracled" can't regress unnoticed
+    if (n == 0) { System.err.println(
+      "[graft-oracle] fixture empty — dynamic oracle dropped"); None }
+    else if (n > MaxFixturePairs) { System.err.println(
+      s"[graft-oracle] fixture $n rows > cap $MaxFixturePairs — " +
+        "dynamic oracle dropped"); None }
+    else Some(())
+
   private def pairsOf(df: DataFrame): Option[String] = {
     val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    if (pairs.isEmpty || pairs.length > MaxFixturePairs) None
-    else Some(pairs.map { case (a, b) => s"($a,$b)" }.mkString(","))
+    guarded(pairs.length).map(_ =>
+      pairs.map { case (a, b) => s"($a,$b)" }.mkString(","))
   }
 
   /** VALUES list from each row's columns rendered by `render` — same
@@ -257,8 +267,7 @@ object SparkEntry {
   private def valuesOf(df: DataFrame)(
       render: org.apache.spark.sql.Row => String): Option[String] = {
     val rows = df.collect().map(render).sorted
-    if (rows.isEmpty || rows.length > MaxFixturePairs) None
-    else Some(rows.mkString(","))
+    guarded(rows.length).map(_ => rows.mkString(","))
   }
 
   /** Oracles whose SQL depends on the data (r5 — VERDICT r4 #3): some

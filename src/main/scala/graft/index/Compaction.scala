@@ -92,9 +92,15 @@ object Compaction {
         gens.map(sd => s"$indexDir/$sd/docs"): _*)
       .join(tombs, Seq("docId"), "left_anti")
     val statsRow = docs.agg(count(lit(1)).as("n"), avg($"doclen").as("avgdl"),
-      sum($"doclen").as("totalTerms"), sum($"titleLen").as("titleTerms"),
-      max($"docId").as("maxId"))
+      sum($"doclen").as("totalTerms"), sum($"titleLen").as("titleTerms"))
       .head()
+    // high-water mark from the INPUT generations (pre-anti-join): a partial
+    // merge keeps the global tombstones dir alive, so an id that is
+    // tombstoned above the SURVIVORS' max must never be reissued by a later
+    // append — it would come back silently masked. Narrow one-column scan.
+    val inputMaxId = spark.read.parquet(
+        gens.map(sd => s"$indexDir/$sd/docs"): _*)
+      .agg(max($"docId")).head().getLong(0)
     val nDocs = statsRow.getLong(0)
     if (nDocs == 0 && partial) {
       // every doc of the merged subset is dead (e.g. each batch fully
@@ -174,7 +180,7 @@ object Compaction {
     IndexBuilder.writeDocsMap(spark, segPath)
     Seq(CorpusStats(nDocs, avgdl, totalTerms,
       if (nDocs == 0) 0.0 else titleTerms.toDouble / nDocs, titleTerms,
-      maxDocId = statsRow.getLong(4))).toDS()
+      maxDocId = inputMaxId)).toDS()
       .write.mode(SaveMode.Overwrite).parquet(s"$segPath/stats")
     if (partial) {
       // forward the merged generations' upsert victims: their entries may

@@ -255,10 +255,26 @@ object IndexBuilder {
     // Stats written before r5 lack the high-water mark → fall back to the
     // scan once (the next compaction/append rewrites stats with it).
     val statsMax = IndexLayout.combinedStats(spark, indexDir).maxDocId
-    val offset =
-      if (statsMax >= 0) statsMax + 1L
+    val liveMax =
+      if (statsMax >= 0) statsMax
       else spark.read.parquet(published.map(sd => s"$indexDir/$sd/docs"): _*)
-        .agg(max($"docId")).head().getLong(0) + 1L
+        .agg(max($"docId")).head().getLong(0)
+    // backstop: never reissue an id the tombstone view can mask. A partial
+    // compaction whose merged subset was ENTIRELY dead drops those
+    // generations' stats while folding their supersedes into the global
+    // tombstones dir — the live high-water can then sit below a surviving
+    // tombstoned id, and reusing it would hide the new doc silently. The
+    // tombstone tables are docId-only and batch-sized; this is an O(deletes)
+    // metadata read, not a corpus scan.
+    val tombPaths = IndexLayout.tombstonePaths(spark, indexDir, published)
+    val tombMax =
+      if (tombPaths.isEmpty) -1L
+      else {
+        val r = spark.read.schema("docId LONG").parquet(tombPaths: _*)
+          .agg(max($"docId")).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
+    val offset = math.max(liveMax, tombMax) + 1L
     val seg = IndexLayout.nextSegDir(spark, indexDir)
     IndexLayout.writeJobDescriptor(spark, s"$indexDir/$seg",
       JobDescriptor("append", offset, published :+ seg))
@@ -300,9 +316,12 @@ object IndexBuilder {
     val gens = IndexLayout.current(spark, indexDir).getOrElse(return)
     if (gens.size <= conf.autoCompactGenerations) return
     // per-generation doc counts from the single-row stats tables
+    // select("n") rather than .as[CorpusStats]: generations written before
+    // the maxDocId column existed must not crash the policy (the offset
+    // read above already tolerates them)
     val counts: Seq[(String, Long)] = gens.map(g =>
-      g -> spark.read.parquet(s"$indexDir/$g/stats").as[CorpusStats]
-        .head().n)
+      g -> spark.read.parquet(s"$indexDir/$g/stats")
+        .select($"n").as[Long].head())
     val total = counts.map(_._2).sum
     val (big, bigN) = counts.maxBy(_._2)
     if (bigN * 2 >= total && gens.size >= 3)

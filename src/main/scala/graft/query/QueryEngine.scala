@@ -44,18 +44,36 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
   // ------------------------------------------------- index state (swappable)
 
-  /** Resolved at construction; [[invalidateCache]] re-resolves, so one engine
-    * instance survives compaction/append (the round-1 lazy vals went stale).
+  /** Immutable snapshot of the resolved index state (generation set, corpus
+    * stats, relation handles). Held in ONE volatile field and swapped whole:
+    * auto-compaction under appends made [[refreshIfStale]] run concurrently
+    * with queries, and with four separate vars a racing query could observe
+    * a torn mix (new segdirs + old postings, or new stats against old
+    * segments → wrong idf/norms). A query now sees the old or the new
+    * snapshot, each internally consistent. Resolved at construction;
+    * [[invalidateCache]] re-resolves, so one engine instance survives
+    * compaction/append (the round-1 lazy vals went stale).
     */
-  private var segdirs: Seq[String] = IndexLayout.current(spark, indexDir)
-    .getOrElse(throw new IllegalStateException(
-      s"no published index at $indexDir"))
-  private var statsV: CorpusStats = IndexLayout.combinedStats(spark, indexDir)
-  private var docsV: DataFrame = readDocs()
-  private var postingsV: DataFrame = readPostings()
+  private final class IndexView(val segdirs: Seq[String],
+      val stats: CorpusStats, val docs: DataFrame, val postings: DataFrame)
 
-  private def readDocs(): DataFrame =
-    spark.read.parquet(segdirs.map(sd => s"$indexDir/$sd/docs"): _*)
+  @volatile private var view: IndexView = buildView()
+
+  private def buildView(): IndexView = {
+    val sd = IndexLayout.current(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no published index at $indexDir"))
+    new IndexView(sd, IndexLayout.combinedStats(spark, indexDir),
+      readDocs(sd), readPostings(sd))
+  }
+
+  private def segdirs: Seq[String] = view.segdirs
+  private def statsV: CorpusStats = view.stats
+  private def docsV: DataFrame = view.docs
+  private def postingsV: DataFrame = view.postings
+
+  private def readDocs(sd: Seq[String]): DataFrame =
+    spark.read.parquet(sd.map(s => s"$indexDir/$s/docs"): _*)
 
   /** One relation handle for all queries — building it per query would
     * re-list the partition directories and re-infer the schema every time.
@@ -64,8 +82,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * pushdown distributes over the union, so bucket pruning still applies
     * per generation.
     */
-  private def readPostings(): DataFrame =
-    segdirs.map(sd => spark.read.parquet(s"$indexDir/$sd/postings"))
+  private def readPostings(sd: Seq[String]): DataFrame =
+    sd.map(s => spark.read.parquet(s"$indexDir/$s/postings"))
       .reduce(_.unionByName(_))
 
   def stats: CorpusStats = statsV
@@ -101,14 +119,12 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
   /** Re-resolve the generation pointer and drop every cache — call after a
     * compaction or append performed while this engine instance is live.
+    * Synchronized so two concurrent refreshes cannot interleave; the new
+    * snapshot is built COMPLETELY before the single volatile assignment
+    * makes it visible.
     */
-  def invalidateCache(): Unit = {
-    segdirs = IndexLayout.current(spark, indexDir)
-      .getOrElse(throw new IllegalStateException(
-        s"no published index at $indexDir"))
-    statsV = IndexLayout.combinedStats(spark, indexDir)
-    docsV = readDocs()
-    postingsV = readPostings()
+  def invalidateCache(): Unit = synchronized {
+    view = buildView()
     segCache.synchronized(segCache.clear())
     filterCache.synchronized(filterCache.clear())
     prefixCache.synchronized(prefixCache.clear())
@@ -610,8 +626,9 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * analog, SURVEY.md §2.6): match set → join to the docs table →
     * groupBy(field).count, ordered (count desc, value asc).
     */
-  def facet(q: String, field: String, topN: Int = 20): DataFrame = {
-    val ast = QueryParser.parse(q)
+  def facet(q: String, field: String, topN: Int = 20,
+      df: String = "text"): DataFrame = {
+    val ast = QueryParser.parse(q, df) // same df as the hits being faceted
     scoredCandidates(ast)
       .select($"docId")
       .join(docsV.select($"docId", col(field)), Seq("docId"))
@@ -630,10 +647,15 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * is simply not visible yet.
     */
   def realtimeGet(url: String): DataFrame = {
+    // same staleness guard as the search paths: after an auto-compaction
+    // GC's segment dirs, planning over the old segdirs would throw
+    // PATH_NOT_FOUND (and stale docsmap entries would point at dead files)
+    refreshIfStale()
+    val v = view // ONE capture: segdirs/docs below must be the same snapshot
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val latest = IndexLayout.latestSegDir(spark, indexDir).toSeq
-      .filterNot(segdirs.contains)
+      .filterNot(v.segdirs.contains)
       .filter { sd =>
         val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sd/docs/_SUCCESS")
         fs.exists(p) // docs table fully written (job-commit marker)
@@ -644,8 +666,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     // the at-10^12-docs shape (VERDICT r4 missing #3). A segment without a
     // docsmap (pre-docsmap index, or an in-flight append whose map is not
     // committed yet) falls back to its full docs dir.
-    val paths = (segdirs ++ latest).flatMap { sd =>
-      docsMapOf(sd, cache = segdirs.contains(sd)) match {
+    val paths = (v.segdirs ++ latest).flatMap { sd =>
+      docsMapOf(sd, cache = v.segdirs.contains(sd)) match {
         case Some(entries) => entries.iterator
           .filter(e => utf8Le(e._2, url) && utf8Le(url, e._3))
           .map(e => s"$indexDir/$sd/docs/${e._1}").toSeq
@@ -653,14 +675,14 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       }
     }
     var cand =
-      if (paths.isEmpty) docsV.where(lit(false)) // no file can hold the key
+      if (paths.isEmpty) v.docs.where(lit(false)) // no file can hold the key
       else spark.read.parquet(paths: _*).filter($"url" === url)
     // a deleted doc must not resurface via /get (ADVICE r3): apply the SAME
     // tombstone view the search path anti-joins — global tombstones/ plus
     // supersedes of every segment in this RTG view (incl. the uncommitted
     // one, whose supersedes may not exist yet: best-effort like the rest)
     val tombPaths = IndexLayout.tombstonePaths(spark, indexDir,
-      segdirs ++ latest)
+      v.segdirs ++ latest)
     if (tombPaths.nonEmpty) {
       val t = spark.read.schema("docId LONG").parquet(tombPaths: _*)
         .select($"docId")

@@ -194,6 +194,104 @@ class CompactionSpec extends AnyFunSuite {
     assert(new QueryEngine(spark, dir2, conf.numBuckets).stats.n == 110)
   }
 
+  // ---- docId high-water monotonicity: a partial merge keeps the global
+  //      tombstones dir, so ids tombstoned ABOVE the survivors' max must
+  //      never be reissued by a later append (they would come back
+  //      silently masked — data loss with no error) ----
+
+  private def marked(seed: Long, n: Int, marker: String) =
+    CorpusGen.generateLocal(n, seed = seed).map { d =>
+      val t = s"$marker " + d.text
+      d.copy(text = t,
+        html = s"<html><head><title>t</title></head><body>$t</body></html>"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+  test("append after tail merge never reuses tombstoned ids above the survivors' max") {
+    val dir = SparkTestSession.tempDir("graft-hwm")
+    val conf = IndexConf(numBuckets = 4)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 100L), dir, conf)
+    IndexBuilder.append(spark,
+      CorpusGen.generate(spark, 20L, seed = 351L), dir, conf) // ids 100..119
+    IndexBuilder.append(spark,
+      CorpusGen.generate(spark, 10L, seed = 352L), dir, conf) // ids 120..129
+    Deletes.delete(spark, dir, Seq(126L, 127L, 128L, 129L)) // top of the range
+    val gens = IndexLayout.current(spark, dir).get
+    Compaction.merge(spark, dir, conf, gens.drop(1)) // tail {B,C}; base stays
+    // the merged segment's high-water must cover the DROPPED ids, not just
+    // the survivors' max (125)
+    assert(IndexLayout.combinedStats(spark, dir).maxDocId == 129L)
+
+    val d = marked(999L, 5, "hwmtoken")
+    IndexBuilder.append(spark, spark.createDataset(d), dir, conf)
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    val got = engine.search("hwmtoken", 10).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(130L, 131L, 132L, 133L, 134L),
+      s"appended docs must get FRESH ids above every tombstoned id: ${got.toSeq}")
+  }
+
+  test("append after an all-dead partial merge skips ids the tombstone view can mask") {
+    val dir = SparkTestSession.tempDir("graft-hwm0")
+    val conf = IndexConf(numBuckets = 4)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 100L), dir, conf)
+    IndexBuilder.append(spark,
+      CorpusGen.generate(spark, 20L, seed = 361L), dir, conf) // ids 100..119
+    Deletes.delete(spark, dir, (100L to 119L)) // entire tail generation dead
+    val gens = IndexLayout.current(spark, dir).get
+    Compaction.merge(spark, dir, conf, gens.drop(1)) // nDocs==0 branch
+    assert(IndexLayout.current(spark, dir).get.size == 1)
+    // live stats high-water (99) now sits BELOW surviving tombstones
+    // (100..119): the append offset backstop must clear them
+    val d = marked(998L, 3, "hwmztoken")
+    IndexBuilder.append(spark, spark.createDataset(d), dir, conf)
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    val got = engine.search("hwmztoken", 10).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(120L, 121L, 122L),
+      s"appended docs must not be masked by surviving tombstones: ${got.toSeq}")
+  }
+
+  test("stale engine realtimeGet self-heals after compaction GCs its segments") {
+    val dir = SparkTestSession.tempDir("graft-rtg-stale")
+    val conf = IndexConf(numBuckets = 4)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 80L), dir, conf)
+    IndexBuilder.append(spark,
+      CorpusGen.generate(spark, 20L, seed = 371L), dir, conf)
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    val url = CorpusGen.doc(CorpusGen.DefaultSeed, 10L, 80L).url
+    assert(engine.realtimeGet(url).collect().length == 1)
+    // full merge + GC deletes every dir the engine resolved at construction
+    Compaction.run(spark, dir, conf)
+    val hit = engine.realtimeGet(url).collect() // must refresh, not crash
+    assert(hit.length == 1 && hit.head.getAs[String]("url") == url)
+  }
+
+  test("auto-compaction tolerates pre-r5 stats files without maxDocId") {
+    val dir = SparkTestSession.tempDir("graft-oldstats")
+    val conf = IndexConf(numBuckets = 4, autoCompactGenerations = 1)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 60L), dir,
+      conf.copy(autoCompactGenerations = 0))
+    // rewrite the base generation's stats in the pre-r5 schema (no maxDocId)
+    val gen = IndexLayout.current(spark, dir).get.head
+    val p = s"$dir/$gen/stats"
+    val old = spark.read.parquet(p)
+      .select("n", "avgdl", "totalTerms", "titleAvgdl", "titleTerms")
+      .collect().head
+    Seq((old.getLong(0), old.getDouble(1), old.getLong(2),
+        old.getDouble(3), old.getLong(4)))
+      .toDF("n", "avgdl", "totalTerms", "titleAvgdl", "titleTerms")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+    // append over the legacy index: the offset read falls back to the docs
+    // scan AND the auto-compaction policy's per-gen stats read must not
+    // resolve the missing column
+    IndexBuilder.append(spark,
+      CorpusGen.generate(spark, 15L, seed = 381L), dir, conf)
+    assert(IndexLayout.current(spark, dir).get.size == 1,
+      "G=1 policy should have merged down to one generation")
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    assert(engine.stats.n == 75L)
+    assert(IndexLayout.combinedStats(spark, dir).maxDocId == 74L)
+  }
+
   test("crash before publish leaves the old generation serving") {
     val dir = SparkTestSession.tempDir("graft-compact-crash")
     val n = 150L

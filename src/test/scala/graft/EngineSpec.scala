@@ -207,6 +207,20 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("facet resolves the query against the caller's df, like search") {
+    // every synthetic title is "doc <i>", so 'doc' under df=title matches
+    // all docs while under df=text it matches only bodies containing it —
+    // facet counts must agree with the SAME df the printed hits used
+    val titleMatches = engine.facet("doc", "lang", df = "title").collect()
+      .map(_.getLong(1)).sum
+    assert(titleMatches == engine.stats.n,
+      s"df=title 'doc' should facet over every live doc, got $titleMatches")
+    val textMatches = engine.facet("doc", "lang", df = "text").collect()
+      .map(_.getLong(1)).sum
+    assert(textMatches < titleMatches,
+      "df must change the match set facet counts over")
+  }
+
   test("phrase-free facet plan has no UDF and no positions column") {
     // VERDICT r4 #4: facet routes production queries through the exhaustive
     // match set; without a phrase in the query, that plan must stay fully
