@@ -48,21 +48,23 @@ object IndexLayout {
     if (!fs.exists(base)) return None
     val ptrs = fs.listStatus(base).toSeq
       .flatMap(st => pointerK(st.getPath.getName).map(_ -> st.getPath))
-    if (ptrs.isEmpty) None
-    else {
-      val (_, p) = ptrs.maxBy(_._1)
+    // newest first; a legitimate pointer always names >= 1 segdir, so an
+    // empty read (a pre-rename-era mid-create pointer, or a torn filesystem)
+    // falls back to the next-newest instead of resolving an empty index
+    ptrs.sortBy(-_._1).iterator.map { case (_, p) =>
       val in = fs.open(p)
       try {
         val txt = new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
-        Some(txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+        txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
       } finally in.close()
-    }
+    }.find(_.nonEmpty)
   }
 
   /** Publish a new pointer naming `segdirs` as the live set. Atomic: the
-    * pointer file is created with overwrite=false, so it either fully exists
-    * or not at all; readers keep resolving the previous pointer until then.
+    * content is written to a `.tmp` name the pointer regex ignores, then
+    * renamed into place — a reader either resolves the previous pointer or
+    * the complete new one, never a partial.
     */
   def publish(spark: SparkSession, indexDir: String,
       segdirs: Seq[String]): Unit = {
@@ -72,10 +74,18 @@ object IndexLayout {
     val nextK = fs.listStatus(base).toSeq
       .flatMap(st => pointerK(st.getPath.getName)).foldLeft(0)(math.max) + 1
     val p = new Path(indexDir, f"current-$nextK%06d.txt")
-    val out = fs.create(p, false) // create-new: never clobber a pointer
+    // write-to-temp + rename: the .tmp name never matches PointerRe, so a
+    // concurrent reader can NEVER observe a zero-length or half-written
+    // pointer (a racing realtimeGet once resolved an empty segdir set from
+    // a mid-create pointer and crashed planning over zero paths). rename
+    // also keeps the never-clobber guarantee: it fails if the target exists.
+    val tmp = new Path(indexDir, f"current-$nextK%06d.txt.tmp")
+    val out = fs.create(tmp, true)
     try out.write(segdirs.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"pointer flip lost the race: $p exists")
   }
 
   /** Next unused segment dir name (scans existing seg-*, published or not —

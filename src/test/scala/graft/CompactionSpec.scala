@@ -292,6 +292,49 @@ class CompactionSpec extends AnyFunSuite {
     assert(IndexLayout.combinedStats(spark, dir).maxDocId == 74L)
   }
 
+  test("queries racing appends never crash or see torn state") {
+    // hammer the ONE-volatile-IndexView contract: refreshIfStale swaps the
+    // whole snapshot, so a query thread racing an append's pointer flip
+    // must always land on a consistent (old or new) view — never a torn
+    // mix of half-updated fields. Appends only (no compaction): generations
+    // are add-only, so both views' files exist throughout — the remaining
+    // query-vs-GC overlap window is a separate, documented concern.
+    val dir = SparkTestSession.tempDir("graft-race")
+    val conf = IndexConf(numBuckets = 4, autoCompactGenerations = 0)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 100L), dir, conf)
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    val url = CorpusGen.doc(CorpusGen.DefaultSeed, 7L, 100L).url
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (1 to 2).map { t =>
+      new Thread(() => {
+        try {
+          while (!stop.get()) {
+            val hits = engine.search(if (t == 1) "the" else "w00003", 5)
+              .collect()
+            assert(hits.forall(r =>
+              r.getLong(0) >= 0 && !r.getDouble(1).isNaN))
+            assert(engine.realtimeGet(url).collect().length == 1)
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      (0 until 4).foreach { i =>
+        IndexBuilder.append(spark,
+          CorpusGen.generate(spark, 10L, seed = 400L + i), dir, conf)
+      }
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(60000))
+    }
+    assert(errs.isEmpty, s"racing query failed: ${Option(errs.peek())}")
+    assert(IndexLayout.current(spark, dir).get.size == 5)
+    val after = engine.search("the", 5).collect()
+    assert(after.length == 5)
+  }
+
   test("crash before publish leaves the old generation serving") {
     val dir = SparkTestSession.tempDir("graft-compact-crash")
     val n = 150L
