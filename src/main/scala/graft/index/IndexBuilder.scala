@@ -394,8 +394,18 @@ object IndexBuilder {
 
         desc.kind match {
           case "compaction" | "compaction-partial" =>
-            if (published == desc.publish) // flip already happened
+            if (published == desc.publish) {
+              // flip already happened; reclaim the superseded dirs. The
+              // global tombstones dir is deliberately NOT deleted here even
+              // for a full merge: deletes issued between the crash and this
+              // resume are indistinguishable from pre-flip residue, and a
+              // stale folded tombstone is harmless (it targets ids the
+              // merge physically dropped; append's offset backstop keeps
+              // them from ever being reissued) while a wiped fresh delete
+              // is a resurrection. The next full merge folds them again.
+              IndexLayout.gcUnreferenced(spark, indexDir)
               return BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
+            }
             if (missing.isEmpty) {
               // fully materialized, crash was before the flip: finish it.
               // Only a FULL merge folds the global tombstones dir — a
@@ -414,8 +424,15 @@ object IndexBuilder {
             BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
 
           case kind => // "build" | "append"
-            if (missing.isEmpty && published == desc.publish)
+            if (missing.isEmpty && published == desc.publish) {
+              // flip already happened — but a crash in the publish→cleanup
+              // window leaves tombstones aimed at the SUPERSEDED id space,
+              // and a fresh build reuses ids from 0: skipping cleanup here
+              // permanently masked arbitrary new docs (and the next full
+              // compaction would physically drop them)
+              if (kind == "build") postBuildCleanup(spark, indexDir)
               return BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
+            }
             val report =
               if (missing.isEmpty) BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
               else {

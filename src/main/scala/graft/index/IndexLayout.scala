@@ -116,6 +116,13 @@ object IndexLayout {
 
   /** Delete segment dirs not named by the newest pointer (post-publish GC).
     * Best-effort: a failure leaves only dead bytes, never a broken index.
+    *
+    * Known at-scale gap: a query planned over the OLD pointer can still be
+    * executing when its segment dirs are deleted here — the engine's
+    * per-query staleness refresh shrinks but cannot close that window
+    * (the Lucene analog is reference-counted readers). The production
+    * posture on an object store is DELAYED GC — a grace period or bucket
+    * versioning — which this local layout models as immediate deletion.
     */
   def gcUnreferenced(spark: SparkSession, indexDir: String): Unit = {
     val live = current(spark, indexDir).getOrElse(return).toSet

@@ -235,6 +235,14 @@ object QueryParser {
                 case _ if w.nonEmpty =>
                   toks += TermTok(field, w, phrase = false)
                 case _ =>
+                  // reject-loudly: `title:(a b)` used to DROP the field
+                  // prefix (empty word before '(') and run the group
+                  // against the default field — Lucene field-grouping is
+                  // unsupported here, so say so instead of mis-scoping
+                  require(field.isEmpty,
+                    s"field-grouped query '${field.get}:(...)' is " +
+                      "unsupported — qualify each term instead " +
+                      s"(e.g. ${field.get}:a ${field.get}:b)")
               }
             }
           }
@@ -282,6 +290,11 @@ object QueryParser {
 
     def run(): QueryAst = {
       val formula = parseOrList(depth = 0)
+      // reject-loudly: a stray top-level ')' used to stop the parse and
+      // silently DROP everything after it ("a) OR b" ran as just "a")
+      require(i == toks.length,
+        s"unconsumed query input at token ${i + 1} of ${toks.length} " +
+          "(unbalanced ')'?)")
       val scoring = mutable.LinkedHashSet.empty[TermLit]
       collectScoring(formula, pos = true, scoring)
       val clauses = dnf(nnf(formula, pos = true))
@@ -371,11 +384,14 @@ object QueryParser {
       var scanning = true
       while (scanning) {
         peek match {
-          case Some(NotTok)  => neg = true; i += 1
+          // toggle, not set: under the documented boolean algebra
+          // "NOT NOT a" is a — latching true silently evaluated it as -a
+          case Some(NotTok)  => neg = !neg; i += 1
           case Some(PlusTok) => plus = true; i += 1
           case _             => scanning = false
         }
       }
+      var filterCaptured = false
       val unit: Option[N] = peek match {
         case Some(LParen) =>
           i += 1
@@ -383,7 +399,12 @@ object QueryParser {
           val inner = parseOrList(depth + 1)
           if (peek.contains(RParen)) i += 1 // tolerate unclosed at end
           Some(inner)
-        case Some(t: TermTok) => i += 1; termNode(t)
+        case Some(t: TermTok) =>
+          i += 1
+          val n = termNode(t)
+          if (n.isEmpty && t.field.exists(f => f == "lang" || f == "url"))
+            filterCaptured = true
+          n
         case Some(r: RangeTok) =>
           i += 1
           require(FilterFields.contains(r.field),
@@ -402,11 +423,20 @@ object QueryParser {
             }
           }
           ranges += RangeFilter(r.field, r.lo, r.hi)
+          filterCaptured = true
           None
         case Some(AndTok) | Some(OrTok) => i += 1; None // dangling operator
         case Some(RParen) | None => None
         case Some(NotTok) | Some(PlusTok) => None // unreachable
       }
+      // reject-loudly: "-lang:en" used to DROP the '-' and filter TO
+      // lang=en — the exact inversion of the request. Stored-field filters
+      // are global conjuncts with no negative form; '+' is a harmless
+      // restatement of that must-semantics and stays allowed.
+      if (filterCaptured && neg)
+        throw new IllegalArgumentException(
+          "negated stored-field filter (-lang:/-url:/NOT field:[..]) is " +
+            "unsupported — filters always apply positively and globally")
       unit.map(n => (if (neg) NNot(n) else n, plus && !neg))
     }
 

@@ -366,6 +366,29 @@ class EngineSpec extends AnyFunSuite {
       .contains("h/p?q=1"))
   }
 
+  test("parser round-5 regressions: leftover input, NOT NOT, filter sign") {
+    import graft.query.{QueryParser, ExactLit}
+    // a stray top-level ')' used to silently DROP everything after it
+    intercept[IllegalArgumentException](QueryParser.parse("a) OR b"))
+    intercept[IllegalArgumentException](QueryParser.parse("w1)"))
+    // unclosed-at-end stays tolerated (never dropped input)
+    assert(QueryParser.parse("(w1 OR w2").clauses.nonEmpty)
+    // NOT used to latch instead of toggle: "NOT NOT a" ran as "-a"
+    val dn = QueryParser.parse("NOT NOT w1")
+    assert(dn.clauses.length == 1 &&
+      dn.clauses.head.pos == Seq(ExactLit("w1")) &&
+      dn.clauses.head.neg.isEmpty)
+    // "-lang:en" used to DROP the '-' and filter TO lang=en
+    intercept[IllegalArgumentException](QueryParser.parse("w1 -lang:en"))
+    intercept[IllegalArgumentException](QueryParser.parse("w1 NOT url:x"))
+    intercept[IllegalArgumentException](
+      QueryParser.parse("w1 -warc_ts:[2020-01-01T00:00:00Z TO *]"))
+    // '+' on a filter is a harmless restatement and stays allowed
+    assert(QueryParser.parse("w1 +lang:en").langFilter.contains("en"))
+    // "title:(a b)" used to silently drop the field prefix
+    intercept[IllegalArgumentException](QueryParser.parse("title:(w1 w2)"))
+  }
+
   test("`+` is honored on ANY operand of an AND chain (ADVICE r3)") {
     import graft.query.{QueryParser, ExactLit}
     // `x a AND +b`: the (a AND b) group is a MUST, x a pure should →

@@ -205,4 +205,53 @@ class ResumeSpec extends AnyFunSuite {
     assert(IndexLayout.current(spark, dir).nonEmpty)
     assert(logicalPostings(dir) == logicalPostings(ref))
   }
+
+  test("resume after a flip-complete REBUILD crash clears stale tombstones") {
+    // r5 review: a crash in the publish→cleanup window of a full rebuild
+    // left tombstones aimed at the SUPERSEDED id space, and resume's
+    // flip-complete early-return skipped cleanup — since a fresh build
+    // reuses ids from 0, the stale entries silently masked arbitrary new
+    // docs forever (and the next full compaction would drop them).
+    import graft.query.{Deletes, QueryEngine}
+    val dir = SparkTestSession.tempDir("graft-resume-staletomb")
+    val c = IndexConf(numBuckets = 4)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 80), dir, c)
+    Deletes.delete(spark, dir, Seq(0L, 3L))
+    val stale = spark.read.schema("docId LONG")
+      .parquet(s"$dir/tombstones").as[Long].collect().toSeq
+    val docsNew = CorpusGen.generate(spark, 120, seed = 99L)
+    IndexBuilder.build(spark, docsNew, dir, c)
+    // recreate the crash window: pointer flipped to the rebuild, cleanup
+    // never ran → the old index's tombstones are back on disk
+    stale.toDS().toDF("docId").coalesce(1).write
+      .parquet(s"$dir/tombstones")
+    val url0 = spark.read.parquet(IndexLayout.docsPaths(spark, dir): _*)
+      .filter($"docId" === 0L).select($"url").head().getString(0)
+    val eng = new QueryEngine(spark, dir, c.numBuckets)
+    assert(eng.realtimeGet(url0).count() == 0,
+      "bug precondition: the stale tombstone masks the reused id")
+    IndexBuilder.resume(spark, docsNew, dir, c)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$dir/tombstones")),
+      "resume over a flip-complete rebuild must run postBuildCleanup")
+    eng.invalidateCache()
+    assert(eng.realtimeGet(url0).count() == 1)
+  }
+
+  test("resume after a flip-complete compaction crash GCs superseded dirs") {
+    val dir = SparkTestSession.tempDir("graft-resume-compactgc")
+    val c = IndexConf(numBuckets = 4, autoCompactGenerations = 0)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 80), dir, c)
+    IndexBuilder.append(spark,
+      CorpusGen.generate(spark, 40, seed = 7L), dir, c)
+    Compaction.run(spark, dir, c)
+    // recreate the crash window: merged gen published, inputs not yet GC'd
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new Path(s"$dir/seg-000000")
+    fs.mkdirs(orphan)
+    fs.create(new Path(orphan, "leftover"), true).close()
+    IndexBuilder.resume(spark, CorpusGen.generate(spark, 1), dir, c)
+    assert(!fs.exists(orphan),
+      "resume over a flip-complete compaction must GC unreferenced dirs")
+  }
 }
