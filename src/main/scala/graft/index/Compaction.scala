@@ -198,7 +198,7 @@ object Compaction {
     // manifest for the new generation (same shape as a fresh build's)
     val manifest = IndexBuilder.manifestStats(spark, segPath)
       .select($"partitionId", $"termRangeLo", $"termRangeHi", $"segCount",
-        $"rowCount", $"bytes",
+        $"termCount", $"rowCount", $"bytes",
         typedLit(Seq.empty[String]).as("inputFiles"),
         lit(0L).as("durationMs"), lit("complete").as("status"))
       .as[ManifestRow].collect()

@@ -593,9 +593,10 @@ object IndexBuilder {
       .select($"termBucket", $"term", $"count")
       .groupBy($"termBucket")
       .agg(min($"term").as("termRangeLo"), max($"term").as("termRangeHi"),
-        count(lit(1)).as("segCount"), sum($"count").as("rowCount"))
+        count(lit(1)).as("segCount"), countDistinct($"term").as("termCount"),
+        sum($"count").as("rowCount"))
       .select($"termBucket".cast("int").as("partitionId"),
-        $"termRangeLo", $"termRangeHi", $"segCount", $"rowCount")
+        $"termRangeLo", $"termRangeHi", $"segCount", $"termCount", $"rowCount")
       .withColumn("bytes",
         coalesce(element_at(bytesMap, $"partitionId"), lit(0L)))
   }
@@ -673,7 +674,7 @@ object IndexBuilder {
     val durationMs = (System.nanoTime() - t0) / 1000000L
     var manifestNew = manifestStats(spark, outDir)
       .select($"partitionId", $"termRangeLo", $"termRangeHi", $"segCount",
-        $"rowCount", $"bytes",
+        $"termCount", $"rowCount", $"bytes",
         typedLit(inputFiles.toSeq).as("inputFiles"),
         lit(durationMs).as("durationMs"), lit("complete").as("status"))
     onlyBuckets.foreach { bs =>
@@ -691,9 +692,14 @@ object IndexBuilder {
     phase("manifest written")
 
     val segCount = manifestRows.map(_.segCount).sum
+    // exact distinct-term count for this generation: buckets partition the
+    // term space, so the per-bucket distinct counts sum without overlap
+    // (the pre-r5 report put segCount here, overstating terms whenever a
+    // hot term was df-split into multiple segments)
+    val termCount = manifestRows.map(_.termCount).sum
     val postingsCount = manifestRows.map(_.rowCount).sum
     unpersistSorted()
-    BuildReport(nDocs, segCount, postingsCount, segCount, nb, durationMs)
+    BuildReport(nDocs, termCount, postingsCount, segCount, nb, durationMs)
   }
 }
 

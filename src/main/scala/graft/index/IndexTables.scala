@@ -96,6 +96,7 @@ final case class ManifestRow(
     termRangeLo: String,
     termRangeHi: String,
     segCount: Long,
+    termCount: Long, // distinct terms (exact: a term hashes to ONE bucket)
     rowCount: Long, // total postings (sum of segment counts)
     bytes: Long, // compressed posting bytes
     inputFiles: Array[String],

@@ -66,6 +66,17 @@ object PostingCodec {
       posBytes: Array[Array[Byte]]): PostingSegment = {
     val count = docIds.length
     require(count > 0, s"empty segment for term '$term'")
+    // all-or-nothing positions invariant: the decode side attributes posVb
+    // runs to postings by tf-counted vbyte values, so a NON-empty stream
+    // that is missing runs for some postings would silently hand one
+    // posting's bytes to the next (wrong phrase matches). Positions-free
+    // segments must be empty-for-ALL (decode treats empty posVb as such).
+    locally {
+      val nRuns = posBytes.count(p => p != null && p.nonEmpty)
+      require(nRuns == 0 || nRuns == count,
+        s"term '$term': $nRuns of $count postings carry positions — " +
+          "mixed positioned/position-free input cannot be encoded")
+    }
     val bs = IndexConf.BlockSize
     val nBlocks = (count + bs - 1) / bs
 
@@ -394,13 +405,6 @@ final class SegCursor(val seg: PostingSegment, idfv: Double, avgdl: Double) {
     pos = lo
   }
 
-  /** Skip forward within metadata only: next docId that could start a block
-    * whose max exceeds the threshold. Returns a lower bound on the next
-    * plausible candidate (for block-max skipping).
-    */
-  def nextDocAfterCurrentBlock: Long =
-    if (blockIdx < 0) seg.firstDocId else seg.blockLastDocId(blockIdx) + 1
-
   def next(): Unit = {
     if (exhausted) return
     if (blockIdx < 0) { decodeBlock(0); return }
@@ -419,8 +423,7 @@ final class SegCursor(val seg: PostingSegment, idfv: Double, avgdl: Double) {
   * docID-ordered posting iterator to the WAND loop.
   */
 final class TermCursor(val term: String, segments: Seq[PostingSegment],
-    val idfv: Double, avgdl: Double, lo: Long, hi: Long,
-    val required: Boolean) {
+    val idfv: Double, avgdl: Double, lo: Long, hi: Long) {
 
   private val segs = segments.sortBy(_.firstDocId).toArray
   private var segIdx = 0

@@ -128,9 +128,12 @@ object Wand {
     // term-sorted cursor array: scoring iterates this order (determinism)
     val cursors: Array[TermCursor] = sortedTerms.flatMap { t =>
       segsByTerm.get(t).map { segs =>
-        val df = dfByTerm.getOrElse(t, segs.map(_.count.toLong).sum)
-        new TermCursor(t, segs, BM25.idf(n, df), avgdlOf(t), lo, hi,
-          required = false)
+        // df MUST be the term's GLOBAL df: falling back to the window-local
+        // segment sum would make idf (and so scores) depend on window
+        // partitioning, breaking the cross-parallelism bit-identity contract
+        val df = dfByTerm.getOrElse(t, throw new IllegalStateException(
+          s"no global df for scoring term '$t'"))
+        new TermCursor(t, segs, BM25.idf(n, df), avgdlOf(t), lo, hi)
       }
     }.toArray
     if (cursors.isEmpty) return Array.empty
@@ -140,7 +143,7 @@ object Wand {
     val exclCursors: Array[TermCursor] =
       live.flatMap(_.notTerms).distinct.sorted.flatMap { t =>
         segsByTerm.get(t).map(segs =>
-          new TermCursor(t, segs, 0.0, avgdlOf(t), lo, hi, required = false))
+          new TermCursor(t, segs, 0.0, avgdlOf(t), lo, hi))
       }.toArray
     val exclByTerm: Map[String, TermCursor] =
       exclCursors.map(c => c.term -> c).toMap
@@ -223,7 +226,7 @@ object Wand {
       // disjunctive block-max WAND over an INCREMENTALLY ordered cursor
       // array (round-2 review item: the old loop rebuilt filter+sortBy
       // collections on every pivot — the hottest allocation in the engine)
-      val arr: Array[TermCursor] = cursors.filter(!_.exhausted).clone()
+      val arr: Array[TermCursor] = cursors.filter(!_.exhausted)
       java.util.Arrays.sort(arr, Ordering.by[TermCursor, Long](_.curDoc))
       var active = arr.length // prefix of arr that is not exhausted
 

@@ -105,6 +105,16 @@ class CodecSpec extends AnyFunSuite {
     assert(cur.curPositions.isEmpty)
   }
 
+  test("mixed positioned/position-free postings reject at encode") {
+    // decode attributes posVb runs to postings by count — a non-empty
+    // stream missing runs would misalign every later posting's positions
+    intercept[IllegalArgumentException] {
+      PostingCodec.encode("t", 0, 0, Array(1L, 5L, 9L),
+        Array(2L, 1L, 3L), Array(10L, 10L, 10L),
+        Array(Array(0, 4), Array.empty[Int], Array(1, 2, 3)))
+    }
+  }
+
   test("SegCursor advanceTo lands on first docId >= target (block skipping)") {
     val rng = new Random(4)
     for (_ <- 1 to 100) {
@@ -147,7 +157,7 @@ class CodecSpec extends AnyFunSuite {
       val segs = parts.zipWithIndex.map { case (p, i) =>
         PostingCodec.encode("t", 0, i, p, p.map(_ => 1L), p.map(_ => 100L))
       }
-      val cur = new TermCursor("t", segs, 1.0, 100.0, 0L, Long.MaxValue, false)
+      val cur = new TermCursor("t", segs, 1.0, 100.0, 0L, Long.MaxValue)
       val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
       while (!cur.exhausted) { seen += cur.curDoc; cur.next() }
       assert(seen.toSeq == ids.toSeq)
@@ -227,7 +237,7 @@ class CodecSpec extends AnyFunSuite {
     val hi = bigIds(2 * bigIds.length / 3)
     val slice = PostingCodec.sliceForWindow(big, lo, hi).get
     def collect(s: graft.index.PostingSegment): Seq[(Long, Double)] = {
-      val c = new TermCursor("t", Seq(s), 1.7, 120.0, lo, hi, false)
+      val c = new TermCursor("t", Seq(s), 1.7, 120.0, lo, hi)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
       while (!c.exhausted) { out += ((c.curDoc, c.curScore)); c.next() }
       out.toSeq
@@ -243,7 +253,7 @@ class CodecSpec extends AnyFunSuite {
         ids, ids.map(_ => 1L), ids.map(_ => 100L))
       val lo = rng.nextLong(1L << 41)
       val hi = lo + rng.nextLong(1L << 40)
-      val cur = new TermCursor("t", Seq(seg), 1.0, 100.0, lo, hi, false)
+      val cur = new TermCursor("t", Seq(seg), 1.0, 100.0, lo, hi)
       val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
       while (!cur.exhausted) { seen += cur.curDoc; cur.next() }
       assert(seen.toSeq == ids.filter(d => d >= lo && d < hi).toSeq)
