@@ -137,8 +137,10 @@ object SparkEntry {
     "q_lastupdate_max" ->
       "SELECT user_id, max(ts) AS max_ts FROM events GROUP BY user_id",
     "q_field_extract" ->
-      ("SELECT event_id, regexp_extract(props, '([0-9]+)', 1)::INT AS k " +
-        "FROM events"),
+      // nullif: DuckDB's no-match result is '' and ''::INT ERRORS where
+      // Spark's cast yields null — digitless props must agree as null
+      ("SELECT event_id, nullif(regexp_extract(props, '([0-9]+)', 1), '')::INT " +
+        "AS k FROM events"),
     "q_date_format" ->
       ("SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso " +
         "FROM orders"),
@@ -220,11 +222,11 @@ object SparkEntry {
         "(SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 300) " +
         "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
     "q_phrase_match" ->
-      ("SELECT doc_id FROM documents " +
-        "WHERE regexp_matches(lower(text), 'data[^a-z0-9]+group')"),
+      ("SELECT doc_id FROM documents WHERE regexp_matches(lower(text), " +
+        "'(^|[^a-z0-9])data[^a-z0-9]+group([^a-z0-9]|$)')"),
     "q_phrase_slop" ->
       ("SELECT doc_id FROM documents WHERE regexp_matches(lower(text), " +
-        "'data([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+group')"),
+        "'(^|[^a-z0-9])data([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+group([^a-z0-9]|$)')"),
     "q_event_window" ->
       ("SELECT date_trunc('hour', ts) AS ws, event_type, " +
         "count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value " +
@@ -239,11 +241,14 @@ object SparkEntry {
         "hex(encode(substr(text, 1, 8))) AS header_hex FROM documents"),
   )
 
-  /** Ceiling on fixture pairs a dynamic oracle embeds as a VALUES list (the
-    * driver gate runs at sf0.01 ≈ tens of pairs; the cap only guards
-    * against an unexpectedly degenerate corpus blowing up the SQL string).
+  /** Ceiling on fixture pairs a dynamic oracle embeds as a VALUES list.
+    * Sized for sf0.1, not just the sf0.01 driver gate: measured there,
+    * embNearDupCandidates ≈ 36k pairs and minhashBanded = 4 bands × ~5k
+    * docs ≈ 20k rows (the old 20000 cap silently dropped those oracles at
+    * any scale past the gate). 150k rows ≈ 2–3 MB of SQL — well inside
+    * what DuckDB parses; the cap now only guards true degeneracy.
     */
-  private val MaxFixturePairs = 20000
+  private val MaxFixturePairs = 150000
 
   private def guarded(n: Int): Option[Unit] =
     // a None silently downgrades the query to rows-only in the driver gate —

@@ -113,7 +113,14 @@ object CorpusGen {
       t += 1
     }
     val text = sb.toString
-    val hosts = math.max(16L, n / 64L)
+    // host cardinality grows with the doc's own INDEX, never with n: every
+    // column must be a pure function of (seed, i) so regenerating the same
+    // seed at a different --docs yields byte-identical docs — url-keyed
+    // upsert idempotence across runs depends on it (the pre-r5 n/64 formula
+    // silently re-ingested "the same" docs as new urls when n changed).
+    // Octave scaling (~4 docs/host/octave) keeps cardinality crawl-like:
+    // ≤16 hosts under 64 docs, ~1M hosts at 4M docs.
+    val hosts = math.max(16L, java.lang.Long.highestOneBit(i + 1L) >> 2)
     val url = s"https://host${i % hosts}.example.org/p/${sha1hex(seed, i).take(12)}"
     val title = s"doc $i"
     val html =

@@ -119,7 +119,11 @@ object Ops {
     */
   def phraseMatch(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .filter(lower(col("text")).rlike("data[^a-z0-9]+group"))
+      // boundary-anchored: without (^|[^a-z0-9])...([^a-z0-9]|$) the regex
+      // substring-matches inside larger tokens ('metadata groups'), which
+      // the engine's positions-based phrase never does
+      .filter(lower(col("text"))
+        .rlike("(^|[^a-z0-9])data[^a-z0-9]+group([^a-z0-9]|$)"))
       .select("doc_id")
 
   /** Q3 phrase slop (r4): `"data group"~2` as a bounded-gap in-order
@@ -129,8 +133,8 @@ object Ops {
     */
   def phraseSlop(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .filter(lower(col("text"))
-        .rlike("data([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+group"))
+      .filter(lower(col("text")).rlike(
+        "(^|[^a-z0-9])data([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+group([^a-z0-9]|$)"))
       .select("doc_id")
 
   /** A8/Q5: top-k with deterministic tiebreak (TakeOrderedAndProject). */
@@ -409,27 +413,32 @@ object Ops {
     val bandSize = 4
     val docs = t(spark, dir, "documents")
       .select("doc_id", "text").as[(Long, String)]
-    val sigs = docs.map { case (id, text) =>
+    // <3-token docs have NO 3-gram shingles: the verify stage
+    // ([[shingles]] filters size >= 3) could never confirm a candidate
+    // involving one, so signing them only produced pairs that silently
+    // vanished in [[dedupLshVerified]] — drop them here, symmetrically
+    val sigs = docs.flatMap { case (id, text) =>
       val toks = graft.index.Analysis.tokenize(text)
-      val sh: Array[String] =
-        if (toks.length < 3) Array(toks.mkString(" "))
-        else Array.tabulate(toks.length - 2)(i =>
+      if (toks.length < 3) None
+      else {
+        val sh: Array[String] = Array.tabulate(toks.length - 2)(i =>
           s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
-      val sig = Array.tabulate(nPerm) { p =>
-        var m = Long.MaxValue
-        sh.foreach { s =>
-          val h = graft.corpus.CorpusGen.mix(p.toLong * 0x9E37L + 17L,
-            scala.util.hashing.MurmurHash3.stringHash(s).toLong)
-          if (h < m) m = h
+        val sig = Array.tabulate(nPerm) { p =>
+          var m = Long.MaxValue
+          sh.foreach { s =>
+            val h = graft.corpus.CorpusGen.mix(p.toLong * 0x9E37L + 17L,
+              scala.util.hashing.MurmurHash3.stringHash(s).toLong)
+            if (h < m) m = h
+          }
+          m
         }
-        m
+        val bands = Array.tabulate(nPerm / bandSize) { b =>
+          val h = sig.slice(b * bandSize, (b + 1) * bandSize)
+            .foldLeft(1125899906842597L)((acc, v) => acc * 31 + v)
+          (b, h)
+        }
+        Some((id, bands))
       }
-      val bands = Array.tabulate(nPerm / bandSize) { b =>
-        val h = sig.slice(b * bandSize, (b + 1) * bandSize)
-          .foldLeft(1125899906842597L)((acc, v) => acc * 31 + v)
-        (b, h)
-      }
-      (id, bands)
     }
     // checkpoint: both self-join sides and the bucket-size cap read this —
     // otherwise the minhash signature computation runs 3×
@@ -585,13 +594,23 @@ object Ops {
       .filter(col("vec_id") < kClusters).collect().sortBy(_._1)
       .map { case (id, v) => (id.toInt, v.map(_.toDouble)) }
 
-    // Lloyd: assign (broadcast argmax) → per-dimension mean via hash agg
+    // Lloyd: assign (broadcast argmax) → per-dimension mean via hash agg.
+    // The mean is an exact FIXED-POINT sum (Long addition is associative),
+    // not avg() over doubles, whose partial-merge order follows shuffle
+    // fetch order: the op and its dynamic oracle fixture recompute this
+    // pipeline independently, and a bitwise-wobbling centroid could flip a
+    // near-tie assignment between the two runs, silently desyncing the
+    // probe set from the fixture. 2^20 quantization keeps cluster sums
+    // far from Long overflow even at 10^9-doc clusters.
+    val Fx = (1L << 20).toDouble
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(cents)
       val means = e.map { case (_, v) => (nearestCluster(bc.value, v), v) }
         .toDF("cluster", "v")
         .select(col("cluster"), posexplode(col("v")))
-        .groupBy(col("cluster"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((sum(round(col("col") * Fx).cast("long")).cast("double") /
+          count(lit(1)) / Fx).as("m"))
         .groupBy(col("cluster"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
         .as[(Int, Seq[(Int, Double)])].collect()
