@@ -29,6 +29,21 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("doc i is byte-identical regardless of corpus size n (upsert idempotence)") {
+    // url-keyed upsert across --docs sizes depends on every column being a
+    // pure function of (seed, i): appending a 2000-doc corpus over an index
+    // built from its first 500 docs must re-ingest those 500 as THE SAME
+    // urls (the pre-r5 hosts = n/64 formula broke this silently)
+    for (i <- Seq(0L, 1L, 17L, 63L, 64L, 499L)) {
+      val small = CorpusGen.doc(CorpusGen.DefaultSeed, i, 500)
+      val big = CorpusGen.doc(CorpusGen.DefaultSeed, i, 2000)
+      assert(small.url == big.url, s"i=$i url")
+      assert(small.text == big.text, s"i=$i text")
+      assert(small.html.toSeq == big.html.toSeq, s"i=$i html")
+      assert(small.warc_ts == big.warc_ts && small.lang == big.lang, s"i=$i")
+    }
+  }
+
   test("urls are unique (docId assignment prerequisite)") {
     val docs = CorpusGen.generateLocal(2000)
     assert(docs.map(_.url).distinct.size == 2000)

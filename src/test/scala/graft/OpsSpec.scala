@@ -124,6 +124,28 @@ class OpsSpec extends AnyFunSuite {
     got.foreach { case (x, y) => assert(cos(byId(x), byId(y)) >= 0.98) }
   }
 
+  test("phrase ops match on token boundaries, not substrings") {
+    import spark.implicits._
+    // 'metadata groups' contains the CHARACTER substring 'data groups' but
+    // not the token sequence [data, group*] — the positions-based engine
+    // phrase never matches it, so the regex analogs must not either
+    val docs = Seq(
+      (1L, "the data group met on tuesday"), // phrase match
+      (2L, "metadata groups are curated"), // substring trap: no match
+      (3L, "data quality group review"), // slop-1 match only
+      (4L, "metadata quality groups review"), // slop trap: no match
+      (5L, "grouped data analysis") // reversed order: no match
+    ).toDF("doc_id", "text")
+    val tmp = SparkTestSession.tempDir("graft-phrase-bounds")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val exact = graft.ops.Ops.phraseMatch(spark, tmp)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L), s"exact phrase got $exact")
+    val slop = graft.ops.Ops.phraseSlop(spark, tmp)
+      .collect().map(_.getLong(0)).toSet
+    assert(slop == Set(1L, 3L), s"slop phrase got $slop")
+  }
+
   test("LSH band buckets are capped: identical-text flood stays bounded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
