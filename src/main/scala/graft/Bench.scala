@@ -223,7 +223,9 @@ object Bench {
     "w00017 AND w00342 OR w00343", "w00017 AND (w00342 OR w00343)",
     "w0099*", "title:9999 w00017",
     // round-4 surface: phrase slop
-    "\"the of\"~2", "\"w00017 w00342\"~3")
+    "\"the of\"~2", "\"w00017 w00342\"~3",
+    // round-5 surface: boosts (term + fractional damping)
+    "w00017^2 OR w00342", "the^0.1 w00017")
 
   /** Stopword-heavy queries whose posting sets exceed the driver threshold —
     * timed against a driverWandMaxSegments=0 engine so the 100×-relevant

@@ -24,6 +24,7 @@ object SparkEntry {
     "q_doclen" -> ((s, d) => Ops.doclen(s, d)),
     "q_corpus_stats" -> ((s, d) => Ops.corpusStats(s, d)),
     "q_bm25_topk" -> ((s, d) => Ops.bm25TopK(s, d)),
+    "q_bm25_boosted" -> ((s, d) => Ops.bm25Boosted(s, d)),
     "q_topk_orders" -> ((s, d) => Ops.topkOrders(s, d)),
     // extraction / validation / join analogs (SURVEY.md §2.3–§2.5)
     "q_id_sanitize" -> ((s, d) => Ops.idSanitize(s, d)),
@@ -97,6 +98,19 @@ object SparkEntry {
         "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +
         "dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term) " +
         "SELECT tf.doc_id, round(sum(ln(1 + (s.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf / " +
+        "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
+        "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
+        "WHERE tf.term IN ('spark','window') " +
+        "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
+    "q_bm25_boosted" ->
+      (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
+        "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +
+        "dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term) " +
+        // boost folds into idf (spark^2, window^0.5) — same rule as the
+        // engine (QueryParser boost Scaladoc); CASE cast ::DOUBLE so the
+        // DECIMAL literals don't demote the product
+        "SELECT tf.doc_id, round(sum(ln(1 + (s.n - dfr.df + 0.5)/(dfr.df + 0.5)) * " +
+        "(CASE tf.term WHEN 'spark' THEN 2.0 WHEN 'window' THEN 0.5 ELSE 1.0 END)::DOUBLE * tf.tf / " +
         "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
         "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
         "WHERE tf.term IN ('spark','window') " +

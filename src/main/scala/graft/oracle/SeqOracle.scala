@@ -119,7 +119,8 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     val scores = mutable.LongMap.empty[Double]
     scoringTerms.foreach { t =>
       postings.get(t).foreach { pl =>
-        val idfv = BM25.idf(n, pl.size.toLong)
+        // boost folds into idf, same association as every engine path
+        val idfv = BM25.idf(n, pl.size.toLong) * rq.boosts.getOrElse(t, 1.0)
         pl.foreach { case (id, tf) =>
           scores(id) = scores.getOrElse(id, 0.0) +
             BM25.score(tf, dlOf(t, id), avgdlOf(t), idfv)

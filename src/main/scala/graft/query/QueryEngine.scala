@@ -381,7 +381,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
               (denyIds.isEmpty || java.util.Arrays.binarySearch(denyIds, id) < 0)
             }
           val top = Wand.topK(byTerm, dfByTerm, scoring, clauses,
-            n, avgdls, k, 0L, Long.MaxValue, allowFn)
+            n, avgdls, k, 0L, Long.MaxValue, allowFn, rq.boosts)
           return top.toSeq.toDS().toDF()
         case _ => // fall through to the distributed path
       }
@@ -411,6 +411,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val scoringB = scoring
     val avgdlsB = avgdls
     val kB = k
+    val boostsB = rq.boosts
 
     // per-window BLOCK slices, not whole segments: a segment spanning many
     // windows ships each window only the bytes of its overlapping blocks
@@ -449,7 +450,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
           val byTerm = it.map(_._2).toSeq.groupBy(_.term)
           val lo = rid * rangeLen
           Wand.topK(byTerm, bDf.value, scoringB, clausesB,
-            n, avgdlsB, kB, lo, lo + rangeLen, None).iterator
+            n, avgdlsB, kB, lo, lo + rangeLen, None, boostsB).iterator
         }
       case Some(fr) =>
         // cogroup: each window task gets its own filter slice as a
@@ -484,7 +485,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
                 }
               val byTerm = segsHere.groupBy(_.term)
               Wand.topK(byTerm, bDf.value, scoringB, clausesB,
-                n, avgdlsB, kB, lo, hi, allowFn).iterator
+                n, avgdlsB, kB, lo, hi, allowFn, boostsB).iterator
             }
         }
     }
@@ -533,6 +534,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val nB = n
     val scoringSet = scoring.toSet
     val phraseTermsB = phraseTerms
+    val boostsB = rq.boosts
     val hasPhrases = clauses.exists(_.phrases.nonEmpty)
 
     var scored: DataFrame = if (!hasPhrases) {
@@ -541,7 +543,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       // evaluation is a pure Catalyst predicate over the per-doc term set
       // (arrays_overlap, codegen'd) — no UDF anywhere in the plan
       val rows = postingsFor(allTerms).flatMap { s =>
-        val idfv = BM25.idf(nB, bDf.value(s.term))
+        val idfv = BM25.idf(nB, bDf.value(s.term)) *
+          boostsB.getOrElse(s.term, 1.0)
         val avg = avgdls(s.term)
         val isScoring = scoringSet.contains(s.term)
         val (ids, tfs, dls) = PostingCodec.decodeAll(s)
@@ -574,7 +577,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       // doc's collected (term, positions) list — the slow regression-anchor
       // shape, reached only when the query actually contains a phrase
       val rows = postingsFor(allTerms).flatMap { s =>
-        val idfv = BM25.idf(nB, bDf.value(s.term))
+        val idfv = BM25.idf(nB, bDf.value(s.term)) *
+          boostsB.getOrElse(s.term, 1.0)
         val avg = avgdls(s.term)
         val isScoring = scoringSet.contains(s.term)
         val needPos = phraseTermsB.contains(s.term)

@@ -72,6 +72,13 @@ final case class BoolClause(pos: Seq[TermLit], neg: Seq[TermLit],
   *  - scoring: a matching document scores the sum of BM25 contributions of
   *    every DISTINCT positive query term it contains (term-sorted summation
   *    for bit determinism), independent of which clause matched;
+  *  - boosts (`term^2`, `"a b"~1^2`, `pre*^0.5`, round 5): a term's
+  *    contribution is multiplied by its boost, folded into idf so WAND
+  *    block-max pruning stays exact. Because scoring is per-distinct-term,
+  *    a term occurring with several boosts takes the MAX (unboosted = 1),
+  *    a phrase boost applies to each of the phrase's terms, and a prefix
+  *    boost applies to every expansion term (Lucene instead scores each
+  *    occurrence separately and rewrites prefixes constant-score);
   *  - prefix terms score like ordinary terms per expansion (Lucene rewrites
   *    them constant-score);
   *  - negated phrases are rejected with a parse error (ADVICE r2);
@@ -85,7 +92,8 @@ final case class QueryAst(
     clauses: Seq[BoolClause],
     langFilter: Option[String],
     urlFilter: Option[String],
-    rangeFilters: Seq[RangeFilter]) {
+    rangeFilters: Seq[RangeFilter],
+    boosts: Map[TermLit, Double] = Map.empty) {
   def hasFieldFilter: Boolean =
     langFilter.isDefined || urlFilter.isDefined || rangeFilters.nonEmpty
 }
@@ -93,8 +101,14 @@ final case class QueryAst(
 /** Post-parse resolution: prefix literals → concrete term lists. */
 final case class ResolvedClause(mustGroups: Seq[Seq[String]],
     notTerms: Seq[String], phrases: Seq[PhraseQ])
+/** @param boosts per-term score multipliers ≠ 1 (absent term = 1.0),
+  *   prefix literals already expanded; every consumer folds the boost into
+  *   idf as `BM25.idf(n, df) * boost` — ONE association order, so all four
+  *   physical paths stay bit-identical.
+  */
 final case class ResolvedQuery(scoringTerms: Seq[String],
-    clauses: Seq[ResolvedClause])
+    clauses: Seq[ResolvedClause],
+    boosts: Map[String, Double] = Map.empty)
 
 object QueryResolve {
   /** Cap on terms a prefix expands to. Both sides of the correctness gate
@@ -126,7 +140,13 @@ object QueryResolve {
         c.phrases))
     }
     val scoring = ast.scoringLits.flatMap(terms).distinct.sorted
-    ResolvedQuery(scoring, clauses)
+    // prefix boosts fan out to every expansion term; a term reached with
+    // several boosts takes the MAX (mirrors the parser's same-literal rule)
+    val boosts = ast.boosts.iterator
+      .flatMap { case (l, b) => terms(l).map(_ -> b) }.toSeq
+      .groupBy(_._1).map { case (t, bs) => t -> bs.map(_._2).max }
+      .filter(_._2 != 1.0)
+    ResolvedQuery(scoring, clauses, boosts)
   }
 
   /** The shared expansion rule over an in-memory term dictionary (the
@@ -154,6 +174,30 @@ object QueryParser {
   private[query] def termKey(field: String, token: String): String =
     if (field == "text") token else s"$field:$token"
 
+  /** Parse the numeric literal of a `^boost` suffix; loud on anything that
+    * is not a plain non-negative decimal (`2`, `0.5`, `3.`).
+    */
+  private def parseBoostLiteral(lit: String, ctx: String): Double = {
+    require(lit.nonEmpty && lit.count(_ == '.') <= 1 &&
+      lit.forall(c => c.isDigit || c == '.') && lit.exists(_.isDigit),
+      s"malformed boost '^$lit' on $ctx (expected ^<number>)")
+    lit.toDouble
+  }
+
+  /** Split a bare term's trailing `^boost` off (`jakarta^4` → (jakarta, 4)).
+    * A '^' anywhere else in the word stays in the base and is rejected by
+    * [[P.rejectUnsupported]].
+    */
+  private def splitBoost(v: String): (String, Double) = {
+    val ix = v.lastIndexOf('^')
+    if (ix <= 0) (v, 1.0) // no '^', or a leading '^' (malformed — loud later)
+    else {
+      val base = v.substring(0, ix)
+      if (base.contains("^")) (v, 1.0) // a^2^3 — reject whole, loud later
+      else (base, parseBoostLiteral(v.substring(ix + 1), s"'$v'"))
+    }
+  }
+
   // ------------------------------------------------------------------ lexer
 
   private sealed trait Tok
@@ -164,7 +208,7 @@ object QueryParser {
   private case object LParen extends Tok
   private case object RParen extends Tok
   private final case class TermTok(field: Option[String], value: String,
-      phrase: Boolean, slop: Int = 0) extends Tok
+      phrase: Boolean, slop: Int = 0, boost: Double = 1.0) extends Tok
   private final case class RangeTok(field: String, lo: Option[String],
       hi: Option[String]) extends Tok
 
@@ -195,7 +239,8 @@ object QueryParser {
               val stop = if (end < 0) s.length else end
               val body = s.substring(i + 1, stop)
               i = if (end < 0) s.length else end + 1
-              // phrase slop suffix `"..."~N` (Lucene classic surface)
+              // phrase slop suffix `"..."~N`, then optional boost `^B`
+              // (Lucene classic order: "a b"~2^3)
               var slop = 0
               if (i < s.length && s.charAt(i) == '~') {
                 var j = i + 1
@@ -205,7 +250,19 @@ object QueryParser {
                 slop = s.substring(i + 1, j).toInt
                 i = j
               }
-              toks += TermTok(field, body, phrase = true, slop)
+              var boost = 1.0
+              if (i < s.length && s.charAt(i) == '^') {
+                var j = i + 1
+                while (j < s.length &&
+                  (s.charAt(j).isDigit || s.charAt(j) == '.')) j += 1
+                boost = parseBoostLiteral(s.substring(i + 1, j),
+                  s"\"$body\"")
+                require(j >= s.length || s.charAt(j).isWhitespace ||
+                  s.charAt(j) == ')',
+                  s"malformed boost after phrase \"$body\"")
+                i = j
+              }
+              toks += TermTok(field, body, phrase = true, slop, boost)
             } else if (i < s.length && s.charAt(i) == '[') {
               // range literal [lo TO hi] — only meaningful with a field
               val end = s.indexOf(']', i + 1)
@@ -285,6 +342,17 @@ object QueryParser {
     private var lang: Option[String] = None
     private var url: Option[String] = None
     private val ranges = Seq.newBuilder[RangeFilter]
+    // literal → boost; same literal occurring twice keeps the MAX across
+    // ALL its occurrences, unboosted counting as 1 (scoring is per-distinct-
+    // term, so there is no per-occurrence contribution to keep). The first
+    // occurrence must seed with ITS boost, not 1.0 — a lone damping boost
+    // (`a^0.5`) would otherwise be silently erased by the default.
+    private val boosts = mutable.HashMap.empty[TermLit, Double]
+
+    private def boosted(l: TermLit, b: Double): TermLit = {
+      boosts(l) = math.max(b, boosts.getOrElse(l, b))
+      l
+    }
 
     private def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
 
@@ -306,7 +374,8 @@ object QueryParser {
             "pure-negative query branch is unscorable (every OR-branch " +
               "needs at least one positive term)")
       }
-      QueryAst(scoring.toSeq, nonEmpty, lang, url, ranges.result())
+      QueryAst(scoring.toSeq, nonEmpty, lang, url, ranges.result(),
+        boosts.toMap.filter(_._2 != 1.0))
     }
 
     /** orList := seq (OR seq)* */
@@ -454,21 +523,27 @@ object QueryParser {
           }
           if (t.phrase) {
             val ts = Analysis.tokenize(t.value).toSeq.map(termKey(field, _))
+            // a phrase boost weights each of the phrase's terms (documented
+            // divergence: Lucene boosts the phrase clause's own score)
+            ts.foreach(k => boosted(ExactLit(k), t.boost))
             if (ts.isEmpty) None
             else if (ts.length == 1) Some(NTerm(ExactLit(ts.head)))
             else Some(NPhrase(ts, t.slop))
           } else {
-            rejectUnsupported(t.value)
-            if (t.value.endsWith("*")) {
-              val base = Analysis.tokenize(t.value.dropRight(1))
+            val (bare, boost) = splitBoost(t.value)
+            rejectUnsupported(bare)
+            if (bare.endsWith("*")) {
+              val base = Analysis.tokenize(bare.dropRight(1))
               require(base.length == 1,
-                s"wildcard term '${t.value}' must be a single trailing-* prefix")
-              Some(NTerm(PrefixLit(termKey(field, base(0)))))
+                s"wildcard term '$bare' must be a single trailing-* prefix")
+              Some(NTerm(boosted(PrefixLit(termKey(field, base(0))), boost)))
             } else {
-              val ts = Analysis.tokenize(t.value).toSeq.map(termKey(field, _))
+              val ts = Analysis.tokenize(bare).toSeq.map(termKey(field, _))
               if (ts.isEmpty) None
-              else if (ts.length == 1) Some(NTerm(ExactLit(ts.head)))
-              else Some(NOr(ts.map(k => NTerm(ExactLit(k))))) // multi-token value
+              else if (ts.length == 1)
+                Some(NTerm(boosted(ExactLit(ts.head), boost)))
+              else Some(NOr(ts.map(k => // multi-token value
+                NTerm(boosted(ExactLit(k), boost)))))
             }
           }
       }
@@ -483,7 +558,8 @@ object QueryParser {
     private def rejectUnsupported(v: String): Unit = {
       def bad(what: String): Nothing = throw new IllegalArgumentException(
         s"unsupported query syntax in '$v': $what")
-      if (v.contains("^")) bad("boost (term^N) is not supported")
+      if (v.contains("^"))
+        bad("boost is only supported as a single trailing ^<number>")
       if (v.contains("~")) bad("fuzzy (term~ / term~N) is not supported")
       if (v.contains("?")) bad("single-character wildcard (?) is not supported")
       val stars = v.count(_ == '*')

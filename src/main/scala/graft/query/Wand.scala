@@ -104,6 +104,10 @@ object Wand {
     * @param avgdlOf      per-term average doc length (per indexed field)
     * @param allow        extra per-doc predicate (stored-field filter /
     *                     tombstones); None = allow all
+    * @param boosts       per-term score multipliers ≠ 1 (query `^boost`,
+    *                     r5) — folded into each cursor's idf, so curScore,
+    *                     upperBound and blockMax all scale together and
+    *                     pruning stays exact
     */
   def topK(
       segsByTerm: Map[String, Seq[PostingSegment]],
@@ -112,7 +116,8 @@ object Wand {
       clauses: Seq[ResolvedClause],
       n: Long, avgdlOf: String => Double, k: Int,
       lo: Long, hi: Long,
-      allow: Option[Long => Boolean] = None): Array[Scored] = {
+      allow: Option[Long => Boolean] = None,
+      boosts: Map[String, Double] = Map.empty): Array[Scored] = {
 
     // clauses whose required structure cannot be satisfied by the index are
     // dead; terms absent from the index are pruned out of their groups
@@ -133,7 +138,10 @@ object Wand {
         // partitioning, breaking the cross-parallelism bit-identity contract
         val df = dfByTerm.getOrElse(t, throw new IllegalStateException(
           s"no global df for scoring term '$t'"))
-        new TermCursor(t, segs, BM25.idf(n, df), avgdlOf(t), lo, hi)
+        // boost folds into idf — SAME association order as the exhaustive
+        // path and the oracle, so scores stay bit-identical across paths
+        new TermCursor(t, segs, BM25.idf(n, df) * boosts.getOrElse(t, 1.0),
+          avgdlOf(t), lo, hi)
       }
     }.toArray
     if (cursors.isEmpty) return Array.empty

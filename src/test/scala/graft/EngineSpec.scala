@@ -68,7 +68,10 @@ class EngineSpec extends AnyFunSuite {
     // stored-field ranges (inclusive, ISO instants / lexicographic)
     "warc_ts:[2024-01-01T00:00:00Z TO 2024-01-01T02:00:00Z] the",
     "warc_ts:[2024-01-01T01:00:00Z TO *] w00017",
-    "url:[https://host10 TO https://host12z] the")
+    "url:[https://host10 TO https://host12z] the",
+    // boosts (round 5): term, fractional, phrase, prefix, title-fielded
+    "w00017^2 OR w00342", "w00017 w00342^0.5", "\"the of\"^2 w00017",
+    "w0099*^3 the", "title:doc^2 AND w00017", "the^0.1 w00017")
 
   private def assertRankIdentical(got: Seq[(Long, Double)],
       expect: Seq[(Long, Double)], ctx: String): Unit = {
@@ -355,7 +358,6 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](QueryParser.parse("roam~"))   // fuzzy
     intercept[IllegalArgumentException](QueryParser.parse("roam~2"))  // fuzzy
     intercept[IllegalArgumentException](QueryParser.parse("title:roam~1"))
-    intercept[IllegalArgumentException](QueryParser.parse("jakarta^4")) // boost
     intercept[IllegalArgumentException](QueryParser.parse("te?t"))    // ? wc
     intercept[IllegalArgumentException](QueryParser.parse("*ing"))    // leading
     intercept[IllegalArgumentException](QueryParser.parse("te*t"))    // infix
@@ -388,6 +390,73 @@ class EngineSpec extends AnyFunSuite {
     // "title:(a b)" used to silently drop the field prefix
     intercept[IllegalArgumentException](QueryParser.parse("title:(w1 w2)"))
   }
+
+  test("boost parses on terms/phrases/prefixes; malformed forms reject") {
+    import graft.query.{QueryParser, ExactLit, PrefixLit}
+    // trailing ^N on a bare term (the r4 loud-reject, now implemented)
+    val a = QueryParser.parse("jakarta^4 other")
+    assert(a.boosts == Map(ExactLit("jakarta") -> 4.0))
+    // fractional, fielded, prefix, phrase (per-term), slop-then-boost order
+    assert(QueryParser.parse("title:doc^0.5").boosts ==
+      Map(ExactLit("title:doc") -> 0.5))
+    assert(QueryParser.parse("w00*^3").boosts == Map(PrefixLit("w00") -> 3.0))
+    assert(QueryParser.parse("\"a b\"^2").boosts ==
+      Map(ExactLit("a") -> 2.0, ExactLit("b") -> 2.0))
+    assert(QueryParser.parse("\"a b\"~2^1.5").boosts ==
+      Map(ExactLit("a") -> 1.5, ExactLit("b") -> 1.5))
+    // same term boosted twice keeps the max; unboosted occurrence is 1.0
+    assert(QueryParser.parse("a^2 a^3 a").boosts == Map(ExactLit("a") -> 3.0))
+    // ... which also means an unboosted occurrence undoes a damping boost,
+    // while a LONE damping boost survives (the r5 getOrElse(1.0) bug)
+    assert(QueryParser.parse("a^0.5 a").boosts == Map.empty)
+    assert(QueryParser.parse("b a^0.5").boosts == Map(ExactLit("a") -> 0.5))
+    // malformed boosts stay loud
+    intercept[IllegalArgumentException](QueryParser.parse("a^"))
+    intercept[IllegalArgumentException](QueryParser.parse("a^x"))
+    intercept[IllegalArgumentException](QueryParser.parse("a^2^3"))
+    intercept[IllegalArgumentException](QueryParser.parse("^4"))
+    intercept[IllegalArgumentException](QueryParser.parse("a^2b"))
+    intercept[IllegalArgumentException](QueryParser.parse("\"a b\"^"))
+    intercept[IllegalArgumentException](QueryParser.parse("\"a b\"^2x"))
+  }
+
+  test("boost changes ranking in the boosted term's favor (all paths)") {
+    def mk(url: String, text: String): WebDoc = WebDoc(url,
+      new java.sql.Timestamp(1704067200000L),
+      s"<html><head><title>t</title></head><body>$text</body></html>"
+        .getBytes(UTF_8), text, "en")
+    // doc 1 is alpha-heavy, doc 2 beta-heavy, symmetric lengths
+    val corpus = Seq(
+      mk("https://b.example.org/1", "alpha alpha alpha beta filler pad"),
+      mk("https://b.example.org/2", "beta beta beta alpha filler pad"),
+      mk("https://b.example.org/3", "gamma delta filler pad words here"))
+    val dir = SparkTestSession.tempDir("graft-boost")
+    IndexBuilder.build(spark, spark.createDataset(corpus),
+      dir, IndexConf(numBuckets = 4))
+    val eng = new QueryEngine(spark, dir, 4)
+    val distEng = new QueryEngine(spark, dir, 4, driverWandMaxSegments = 0)
+    val orc = new SeqOracle(corpus.sortBy(_.url).zipWithIndex.map {
+      case (d, i) => OracleDoc(i.toLong, d.text, d.lang, d.url, 0L)
+    })
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).toSeq
+    // symmetric corpus: unboosted ranks tie on score (docId breaks), and
+    // the boosted term's heavy doc must come first in every path
+    val plain = ids(eng.search("alpha beta", 10))
+    val boosted = ids(eng.search("alpha beta^5", 10))
+    assert(boosted.head == 1L, s"beta^5 should rank doc 2 first: $boosted")
+    assert(plain != boosted || plain.head == 1L)
+    Seq("alpha beta^5", "alpha^5 beta", "alpha beta^0.1").foreach { q =>
+      val expect = orc.topK(q, 10)
+      assertRankIdentical(ids2(eng.search(q, 10)), expect, s"WAND q='$q'")
+      assertRankIdentical(ids2(distEng.search(q, 10)), expect, s"dist q='$q'")
+      assertRankIdentical(ids2(eng.searchExhaustive(q, 10)), expect,
+        s"exh q='$q'")
+    }
+  }
+
+  private def ids2(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
   test("`+` is honored on ANY operand of an AND chain (ADVICE r3)") {
     import graft.query.{QueryParser, ExactLit}

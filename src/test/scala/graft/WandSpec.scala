@@ -78,7 +78,10 @@ class WandSpec extends AnyFunSuite {
     "\"w1 w2\" OR w3", "stop0 AND (w1 OR w2 OR w3)",
     // round-4 surface: phrase slop
     "\"w1 w2\"~1", "\"stop0 w1\"~2", "\"w1 w2 w3\"~1 OR w4",
-    "\"stop0 stop1\"~3 AND w1")
+    "\"stop0 stop1\"~3 AND w1",
+    // round-5 surface: boosts (term/prefix/phrase, incl. slop-then-boost)
+    "w1^2 w2", "w1 AND w2^0.5", "\"w1 w2\"^2 OR w3", "w3*^2 AND stop0",
+    "\"stop0 w1\"~2^3", "stop0^0.25 w1 w2")
 
   private def resolved(q: String,
       segs: Map[String, Seq[PostingSegment]]): ResolvedQuery =
@@ -99,7 +102,7 @@ class WandSpec extends AnyFunSuite {
 
         // single window over the whole docId space
         val got = Wand.topK(segs, dfByTerm, rq.scoringTerms, rq.clauses,
-          n, _ => avgdl, k, 0L, Long.MaxValue)
+          n, _ => avgdl, k, 0L, Long.MaxValue, boosts = rq.boosts)
         assertRankIdentical(got.toSeq, expect, s"q='$q' trial=$trial single")
 
         // windowed: 4 disjoint windows, each given only the BLOCK SLICES of
@@ -114,7 +117,7 @@ class WandSpec extends AnyFunSuite {
             t -> ss.flatMap(PostingCodec.sliceForWindow(_, lo, hi))
           }.filter(_._2.nonEmpty)
           Wand.topK(sliced, dfByTerm, rq.scoringTerms, rq.clauses,
-            n, _ => avgdl, k, lo, hi)
+            n, _ => avgdl, k, lo, hi, boosts = rq.boosts)
         }.sortBy(s => (-s.score, s.docId)).take(k)
         assertRankIdentical(merged, expect, s"q='$q' trial=$trial windowed")
       }
@@ -125,10 +128,11 @@ class WandSpec extends AnyFunSuite {
     val rng = new Random(77)
     def randQuery(depth: Int): String = {
       def atom(): String =
-        rng.nextInt(6) match {
+        rng.nextInt(7) match {
           case 0 => "stop" + rng.nextInt(3)
           case 1 if depth < 2 => "(" + randQuery(depth + 1) + ")"
           case 2 => "w" + rng.nextInt(5) + "*" // prefix of w0..w39 space
+          case 3 => "w" + rng.nextInt(40) + "^" + (1 + rng.nextInt(3)) // boost
           case _ => "w" + rng.nextInt(40)
         }
       val nItems = 1 + rng.nextInt(3)
@@ -153,7 +157,7 @@ class WandSpec extends AnyFunSuite {
           catch { case _: IllegalArgumentException => (Nil, None) }
         rqOpt.foreach { rq =>
           val got = Wand.topK(segs, dfByTerm, rq.scoringTerms, rq.clauses,
-            n, _ => avgdl, 10, 0L, Long.MaxValue)
+            n, _ => avgdl, 10, 0L, Long.MaxValue, boosts = rq.boosts)
           assertRankIdentical(got.toSeq, expect, s"q='$q' trial=$trial")
         }
       }
