@@ -59,6 +59,12 @@ object SparkEntry {
     "q_phrase_match" -> ((s, d) => Ops.phraseMatch(s, d)),
     "q_phrase_slop" -> ((s, d) => Ops.phraseSlop(s, d)),
     "q_event_window" -> ((s, d) => Ops.eventWindow(s, d)),
+    // MMD pivot analogs (r5): P18/P20/P21/P23/P25 computational shapes
+    "q_personnel_pivot" -> ((s, d) => Ops.personnelPivot(s, d)),
+    "q_access_pivot" -> ((s, d) => Ops.accessPivot(s, d)),
+    "q_parent_ref" -> ((s, d) => Ops.parentRef(s, d)),
+    "q_related_url_lut" -> ((s, d) => Ops.relatedUrlLut(s, d)),
+    "q_keywords_double" -> ((s, d) => Ops.keywordsDouble(s, d)),
     // hash/cluster stages aren't DuckDB-portable; everything downstream
     // (band join+cap, bit voting, cosine top-k) is oracled via dynamic
     // fixture SQL (oracleSqlDynamic, r5)
@@ -253,6 +259,42 @@ object SparkEntry {
     "q_media_meta" ->
       ("SELECT doc_id, strlen(text)::INT AS n_bytes, " +
         "hex(encode(substr(text, 1, 8))) AS header_hex FROM documents"),
+    // MMD pivot analogs (r5). Empty role slots: count FILTER = 0 matches
+    // Spark's count(when), and coalesce('') matches array_join of an empty
+    // array; id lists are ORDER BY id numeric before stringify on BOTH sides.
+    "q_personnel_pivot" ->
+      ("SELECT user_id, " +
+        Seq("click" -> "investigator", "view" -> "technical_contact",
+          "purchase" -> "metadata_author", "signup" -> "datacenter_contact")
+          .map { case (typ, role) =>
+            s"count(*) FILTER (WHERE event_type = '$typ')::BIGINT AS personnel_${role}_n, " +
+              s"coalesce(string_agg(event_id::VARCHAR, ',' ORDER BY event_id) " +
+              s"FILTER (WHERE event_type = '$typ'), '') AS personnel_${role}_ids"
+          }.mkString(", ") +
+        " FROM events GROUP BY user_id"),
+    "q_access_pivot" ->
+      ("SELECT user_id, lower(regexp_replace(event_type, '[ -]', '_', 'g')) AS access_type, " +
+        "string_agg(event_id::VARCHAR, ',' ORDER BY event_id) AS access_ids, " +
+        "arg_min(props, event_id) AS first_props " +
+        "FROM events GROUP BY 1, 2"),
+    "q_parent_ref" ->
+      ("SELECT o_orderkey, translate('order:' || o_orderkey, ':/.', '---') AS parent_id " +
+        "FROM orders WHERE o_orderstatus = 'P'"),
+    "q_related_url_lut" ->
+      ("SELECT event_id, CASE event_type WHEN 'click' THEN 'documentation' " +
+        "WHEN 'view' THEN 'landing_page' WHEN 'purchase' THEN 'order_data' " +
+        "WHEN 'signup' THEN 'registration' END AS related_url_slot, " +
+        "coalesce(props, 'Not Available') AS description FROM events " +
+        "WHERE event_type IN ('click','view','purchase','signup')"),
+    "q_keywords_double" ->
+      (s"WITH toks AS (SELECT doc_id, list_sort(list_distinct(list_filter(" +
+        s"$Tok, x -> x <> ''))) AS kw FROM documents) " +
+        // array_to_string of an empty filtered list is NULL in DuckDB 1.0
+        // where Spark's array_join gives '' — coalesce to match
+        "SELECT doc_id, coalesce(array_to_string(kw, ','), '') AS keywords_keyword, " +
+        "coalesce(array_to_string(list_filter(kw, x -> x IN " +
+        "('spark','window','data','group','the','of')), ','), '') AS keywords_gcmd, " +
+        "'' AS keywords_wigos FROM toks"),
   )
 
   /** Ceiling on fixture pairs a dynamic oracle embeds as a VALUES list.

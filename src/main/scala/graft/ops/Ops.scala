@@ -804,4 +804,108 @@ object Ops {
       .select(col("doc_id"),
         length(col("bin")).as("n_bytes"),
         hex(substring(col("bin"), 1, 8)).as("header_hex"))
+
+  // --------------------------- MMD pivot analogs (r5: P18/P20/P21/P23/P25)
+  // The reference routes XML metadata sub-records through fixed LUTs into
+  // per-slot fields; web-page input has no MMD records, so each analog below
+  // runs the SAME computational shape (LUT pivot with silent unknown-drop,
+  // group-by-type arrays + first-value, relation filter + id sanitize, LUT
+  // slotting with a literal default, double-index with a vocabulary filter)
+  // over the driver's events/orders/documents tables. All concatenated
+  // "array" columns are sorted before joining so Spark and DuckDB agree.
+
+  /** The P18 role LUT (indexdata.py:439–443: 4 known roles, anything else
+    * silently dropped — the reference `break`s out of the personnel loop).
+    */
+  private val PersonnelRoleLut: Seq[(String, String)] = Seq(
+    "click" -> "investigator", "view" -> "technical_contact",
+    "purchase" -> "metadata_author", "signup" -> "datacenter_contact")
+
+  /** P18: personnel pivot (indexdata.py:774–841) — route sub-records through
+    * a 4-role LUT into `personnel_<role>_*` fields; unknown roles dropped
+    * silently. One hash-agg pass: conditional count + sorted id list per
+    * role (map-side partial agg; no shuffle beyond the groupBy key).
+    */
+  def personnelPivot(spark: SparkSession, dir: String): DataFrame = {
+    val cols = PersonnelRoleLut.flatMap { case (typ, role) =>
+      Seq(
+        count(when(col("event_type") === typ, lit(1)))
+          .as(s"personnel_${role}_n"),
+        // sort numerically THEN stringify, matching the oracle's ORDER BY
+        array_join(transform(sort_array(collect_list(
+          when(col("event_type") === typ, col("event_id")))),
+          _.cast("string")), ",")
+          .as(s"personnel_${role}_ids"))
+    }
+    t(spark, dir, "events")
+      .groupBy("user_id").agg(cols.head, cols.tail: _*)
+  }
+
+  /** P20: data-access group-by-type (indexdata.py:873–892) — per record,
+    * bucket access entries by their normalized type slug into an array,
+    * plus the `wms_layers`-style first-value extract (deterministic
+    * min-by-id). Long form: one row per (record, slug).
+    */
+  def accessPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("access_type",
+        lower(regexp_replace(col("event_type"), "[ -]", "_")))
+      .groupBy("user_id", "access_type")
+      .agg(
+        array_join(transform(sort_array(collect_list(col("event_id"))),
+          _.cast("string")), ",").as("access_ids"),
+        min_by(col("props"), col("event_id")).as("first_props"))
+
+  /** P21: related-dataset parent reference (indexdata.py:894–921) — keep
+    * only relation_type == 'parent' entries and sanitize the referenced id
+    * ([:/.] → '-', same rule as P1).
+    */
+  def parentRef(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey"),
+        translate(concat(lit("order:"), col("o_orderkey")), ":/.", "---")
+          .as("parent_id"))
+
+  /** P23: related-information URL slots (indexdata.py:444–455, 946–968) —
+    * map each entry's type through a fixed LUT to a `related_url_<slug>`
+    * slot, description defaulting to 'Not Available'; types outside the
+    * LUT are dropped.
+    */
+  def relatedUrlLut(spark: SparkSession, dir: String): DataFrame = {
+    val lut = Map("click" -> "documentation", "view" -> "landing_page",
+      "purchase" -> "order_data", "signup" -> "registration")
+    val slot = lut.foldLeft(lit(null).cast("string")) {
+      case (e, (typ, slug)) =>
+        when(col("event_type") === typ, lit(slug)).otherwise(e)
+    }
+    t(spark, dir, "events")
+      .withColumn("related_url_slot", slot)
+      .filter(col("related_url_slot").isNotNull) // silent LUT drop
+      .select(col("event_id"), col("related_url_slot"),
+        coalesce(col("props"), lit("Not Available")).as("description"))
+  }
+
+  /** The P25 "GCMDSK" vocabulary analog: the fixed controlled set whose
+    * members double-index into the vocab-specific field.
+    */
+  private val KeywordVocab = Seq("spark", "window", "data", "group",
+    "the", "of")
+
+  /** P25: keywords double-index (indexdata.py:981–1030) — every keyword
+    * indexes into `keywords_keyword`; members of the controlled vocabulary
+    * double-index into `keywords_gcmd`; `keywords_wigos` is always empty
+    * (the reference emits it unconditionally). Pure HOF plan: split →
+    * filter → distinct → sort → join/filter, no UDF, one narrow pass.
+    */
+  def keywordsDouble(spark: SparkSession, dir: String): DataFrame = {
+    val toks = array_sort(array_distinct(filter(
+      split(lower(col("text")), "[^a-z0-9]+"), x => x =!= "")))
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      array_join(toks, ",").as("keywords_keyword"),
+      array_join(filter(toks,
+        x => x.isin(KeywordVocab: _*)), ",").as("keywords_gcmd"),
+      lit("").as("keywords_wigos"))
+  }
 }

@@ -198,4 +198,62 @@ class OpsSpec extends AnyFunSuite {
     // verified pairs carry EXACT jaccard — they must be a subset of exact
     assert(verified.subsetOf(exact))
   }
+
+  test("MMD pivot analogs: LUT silent-drop and 'Not Available' default") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // driver data has no null props and every type is known at the pivot
+    // LUTs — plant both edge shapes (unknown type, missing description)
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val events = Seq(
+      (1L, ts, 10L, "click", 1.0, """{"k": 1}"""),
+      (2L, ts, 10L, "mystery", 2.0, """{"k": 2}"""), // unknown type
+      (3L, ts, 10L, "view", 3.0, null: String), // missing description
+      (4L, ts, 11L, "click", 4.0, """{"k": 4}"""),
+      (5L, ts, 10L, "click", 5.0, """{"k": 5}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = SparkTestSession.tempDir("graft-mmd-pivot")
+    events.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+
+    // P18: unknown role rows vanish; sorted id routing per role
+    val pp = graft.ops.Ops.personnelPivot(spark, tmp)
+      .filter(col("user_id") === 10L).collect()(0)
+    assert(pp.getAs[Long]("personnel_investigator_n") == 2L)
+    assert(pp.getAs[String]("personnel_investigator_ids") == "1,5")
+    assert(pp.getAs[Long]("personnel_technical_contact_n") == 1L)
+    assert(pp.getAs[Long]("personnel_metadata_author_n") == 0L)
+    assert(pp.getAs[String]("personnel_metadata_author_ids") == "")
+
+    // P23: unknown type dropped from the LUT slots; null desc defaults
+    val lut = graft.ops.Ops.relatedUrlLut(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(!lut.contains(2L), "unknown type must be silently dropped")
+    assert(lut(3L) == ("landing_page", "Not Available"))
+    assert(lut(1L) == ("documentation", """{"k": 1}"""))
+
+    // P20: dynamic group-by-type keeps unknown types (no LUT); first-value
+    // extract is deterministic min-by-id
+    val ap = graft.ops.Ops.accessPivot(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getString(2), r.getString(3)))
+      .toMap
+    assert(ap((10L, "mystery"))._1 == "2")
+    assert(ap((10L, "click")) == (("1,5", """{"k": 1}""")))
+  }
+
+  test("keywords double-index: vocab filter + always-empty wigos") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Spark the window!", "en", "s", 17L),
+      (2L, "zzz qqq", "en", "s", 7L), // nothing in vocab
+      (3L, "", "en", "s", 0L)) // empty text
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = SparkTestSession.tempDir("graft-kw-double")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.ops.Ops.keywordsDouble(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+    assert(got(1L) == (("spark,the,window", "spark,the,window", "")))
+    assert(got(2L) == (("qqq,zzz", "", "")))
+    assert(got(3L) == (("", "", "")))
+  }
 }
