@@ -114,13 +114,20 @@ object Compact {
     val conf = IndexConf(numBuckets = opts.getOrElse("--buckets", "32").toInt)
     val before = graft.index.IndexLayout.current(spark, indexDir)
       .getOrElse(throw new IllegalStateException(s"no index at $indexDir"))
-    if (flags.contains("--tail") && before.size >= 3) {
-      val counts = before.map(g => g ->
-        spark.read.parquet(s"$indexDir/$g/stats")
-          .select("n").as[Long].head())
-      val big = counts.maxBy(_._2)._1
-      graft.index.Compaction.merge(spark, indexDir, conf,
-        before.filterNot(_ == big))
+    if (flags.contains("--tail")) {
+      // --tail NEVER escalates to a full merge: the flag's contract is an
+      // O(tail) fold that leaves the base (and the global tombstones dir)
+      // untouched — silently rewriting the whole index on a 2-generation
+      // layout would be the opposite of what the operator asked for
+      if (before.size < 2)
+        println("[graft] --tail: single live generation, nothing to fold")
+      else {
+        val counts =
+          graft.index.Compaction.generationCounts(spark, indexDir, before)
+        val big = counts.maxBy(_._2)._1
+        graft.index.Compaction.merge(spark, indexDir, conf,
+          before.filterNot(_ == big))
+      }
     } else graft.index.Compaction.run(spark, indexDir, conf)
     val after = graft.index.IndexLayout.current(spark, indexDir).get
     println(s"[graft] compaction complete: generations ${before.size} -> ${after.size}")

@@ -51,6 +51,18 @@ object Compaction {
       gens: Seq[String]): Unit =
     runInternal(spark, indexDir, conf, failBeforePublish = false, Some(gens))
 
+  /** Per-generation doc counts from the single-row stats tables. Shared by
+    * the auto-compaction policy and the CLI `--tail` selection so the two
+    * cannot drift. Column-pruned select("n"): generations written before
+    * the maxDocId column existed must not crash the policy.
+    */
+  def generationCounts(spark: SparkSession, indexDir: String,
+      gens: Seq[String]): Seq[(String, Long)] = {
+    import spark.implicits._
+    gens.map(g => g -> spark.read.parquet(s"$indexDir/$g/stats")
+      .select($"n").as[Long].head())
+  }
+
   /** @param failBeforePublish test hook: throw after all data of the new
     *   generation is on disk but before the pointer flip — simulates the
     *   worst-placed crash.

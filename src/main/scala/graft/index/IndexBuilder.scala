@@ -315,13 +315,7 @@ object IndexBuilder {
     if (conf.autoCompactGenerations <= 0) return
     val gens = IndexLayout.current(spark, indexDir).getOrElse(return)
     if (gens.size <= conf.autoCompactGenerations) return
-    // per-generation doc counts from the single-row stats tables
-    // select("n") rather than .as[CorpusStats]: generations written before
-    // the maxDocId column existed must not crash the policy (the offset
-    // read above already tolerates them)
-    val counts: Seq[(String, Long)] = gens.map(g =>
-      g -> spark.read.parquet(s"$indexDir/$g/stats")
-        .select($"n").as[Long].head())
+    val counts = Compaction.generationCounts(spark, indexDir, gens)
     val total = counts.map(_._2).sum
     val (big, bigN) = counts.maxBy(_._2)
     if (bigN * 2 >= total && gens.size >= 3)

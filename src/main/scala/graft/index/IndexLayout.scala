@@ -203,10 +203,21 @@ object IndexLayout {
     * docId high-water mark is the max over generations (-1 when any
     * generation predates the column — callers needing it must fall back).
     */
-  def combinedStats(spark: SparkSession, indexDir: String): CorpusStats = {
+  def combinedStats(spark: SparkSession, indexDir: String): CorpusStats =
+    combinedStats(spark, indexDir, live(spark, indexDir))
+
+  /** Stats over an ALREADY-RESOLVED segdir list. Snapshot readers (the
+    * engine's buildView) must use this overload with the segdirs they
+    * resolved once: the pointer-resolving overload re-reads `current`
+    * internally, so a pointer flip between the two reads would pair one
+    * generation set's docs/postings with another's stats (wrong idf/norms
+    * for every query on that snapshot).
+    */
+  def combinedStats(spark: SparkSession, indexDir: String,
+      segdirs: Seq[String]): CorpusStats = {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
-    val parts = statsPaths(spark, indexDir).flatMap { p =>
+    val parts = segdirs.map(sd => s"$indexDir/$sd/stats").flatMap { p =>
       val df = spark.read.parquet(p)
       val withMax = // pre-r5 stats files lack maxDocId
         if (df.columns.contains("maxDocId")) df

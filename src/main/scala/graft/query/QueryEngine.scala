@@ -50,12 +50,60 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * with queries, and with four separate vars a racing query could observe
     * a torn mix (new segdirs + old postings, or new stats against old
     * segments → wrong idf/norms). A query now sees the old or the new
-    * snapshot, each internally consistent. Resolved at construction;
+    * snapshot, each internally consistent: every query path captures the
+    * view ONCE at its top and threads it through (re-reading the volatile
+    * mid-query would reintroduce the tear). Resolved at construction;
     * [[invalidateCache]] re-resolves, so one engine instance survives
     * compaction/append (the round-1 lazy vals went stale).
+    *
+    * The four query caches live INSIDE the view (r5): they are valid
+    * exactly as long as the generation set they were read from, so a view
+    * swap retires them atomically with the relations. The old
+    * clear-on-invalidate scheme had a poisoning window — a query holding
+    * the old view could `put` a stale postings sample AFTER the clear,
+    * and every later query on the new view then served superseded docs
+    * from the cache. Now an in-flight query writes into ITS view's cache,
+    * which is unreachable from queries on the new view.
     */
   private final class IndexView(val segdirs: Seq[String],
-      val stats: CorpusStats, val docs: DataFrame, val postings: DataFrame)
+      val stats: CorpusStats, val docs: DataFrame, val postings: DataFrame) {
+    /** Bounded cache of small pruned-scan results keyed by the query's term
+      * set — the analog of Solr/Lucene's filter/block caches (hot postings
+      * stay resident). Only results under the driver threshold are cached,
+      * so memory is bounded by 256 entries × driver-threshold segments.
+      * Postings files are immutable between compactions, and this cache
+      * dies with its view at the pointer flip that follows one.
+      */
+    val segCache =
+      new java.util.LinkedHashMap[String, Array[PostingSegment]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[PostingSegment]]): Boolean =
+          size() > 256
+      }
+
+    /** Bounded LRU of driver-side stored-field filter results: canonical
+      * predicate key → sorted matching docIds (each ≤ MaxDriverFilterDocs).
+      */
+    val filterCache =
+      new java.util.LinkedHashMap[String, Array[Long]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Long]]): Boolean = size() > 64
+      }
+
+    /** Bounded LRU of prefix → expansion (dictionary terms). */
+    val prefixCache =
+      new java.util.LinkedHashMap[String, Seq[String]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[String]]): Boolean = size() > 64
+      }
+
+    /** Per-segment docsmap (file → url min/max) for realtimeGet planning.
+      * Cached only for PUBLISHED segments of this view — an in-flight
+      * append's map may appear between calls, so it is re-read each time.
+      */
+    val docsMapCache = scala.collection.mutable.Map
+      .empty[String, Option[Array[(String, String, String)]]]
+  }
 
   @volatile private var view: IndexView = buildView()
 
@@ -63,7 +111,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val sd = IndexLayout.current(spark, indexDir)
       .getOrElse(throw new IllegalStateException(
         s"no published index at $indexDir"))
-    new IndexView(sd, IndexLayout.combinedStats(spark, indexDir),
+    new IndexView(sd, IndexLayout.combinedStats(spark, indexDir, sd),
       readDocs(sd), readPostings(sd))
   }
 
@@ -94,8 +142,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * IndexLayout.tombstonePaths). Explicit schema: an upsert batch with no
     * overlapping urls writes an empty (schema-less) parquet dir.
     */
-  private def tombstones: Option[DataFrame] = {
-    val paths = IndexLayout.tombstonePaths(spark, indexDir, segdirs)
+  private def tombstones(v: IndexView): Option[DataFrame] = {
+    val paths = IndexLayout.tombstonePaths(spark, indexDir, v.segdirs)
     if (paths.isEmpty) None
     else Some(spark.read.schema("docId LONG").parquet(paths: _*)
       .select($"docId"))
@@ -124,21 +172,22 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * makes it visible.
     */
   def invalidateCache(): Unit = synchronized {
+    // caches live inside the view — the swap retires them atomically
     view = buildView()
-    segCache.synchronized(segCache.clear())
-    filterCache.synchronized(filterCache.clear())
-    prefixCache.synchronized(prefixCache.clear())
-    docsMapCache.synchronized(docsMapCache.clear())
   }
 
   /** Pruned postings scan for a term set: bucket partition pruning + term
     * predicate (Parquet min-max pruning on the sorted term column).
     */
-  def postingsFor(terms: Seq[String]): Dataset[PostingSegment] = {
+  def postingsFor(terms: Seq[String]): Dataset[PostingSegment] =
+    postingsFor(terms, view)
+
+  private def postingsFor(terms: Seq[String],
+      v: IndexView): Dataset[PostingSegment] = {
     val ts = terms.distinct
     if (ts.isEmpty) return spark.emptyDataset[PostingSegment]
     val buckets = ts.map(IndexBuilder.bucketOf(_, numBuckets)).distinct
-    postingsV
+    v.postings
       .filter($"termBucket".isin(buckets: _*) && $"term".isin(ts: _*))
       .as[PostingSegment]
   }
@@ -151,28 +200,6 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   private val DriverWandMaxSegments = driverWandMaxSegments
 
-  /** Bounded cache of small pruned-scan results keyed by the query's term
-    * set — the analog of Solr/Lucene's filter/block caches (hot postings
-    * stay resident). Only results under the driver threshold are cached, so
-    * memory is bounded by 256 entries × 256 segments. Postings files are
-    * immutable between compactions; [[invalidateCache]] clears after one.
-    */
-  private val segCache =
-    new java.util.LinkedHashMap[String, Array[PostingSegment]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Array[PostingSegment]]): Boolean =
-        size() > 256
-    }
-
-  /** Per-segment docsmap (file → url min/max, written by the builder next
-    * to each docs table): the realtimeGet planning index. Entry count =
-    * docs files per segment; None = segment has no docsmap (fall back to a
-    * full-dir scan). Cached only for PUBLISHED segments — an in-flight
-    * append's map may appear between calls, so it is re-checked each time.
-    */
-  private val docsMapCache = scala.collection.mutable.Map
-    .empty[String, Option[Array[(String, String, String)]]]
-
   private def loadDocsMap(sd: String): Option[Array[(String, String, String)]] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sd/docsmap/_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -182,10 +209,10 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       .as[(String, String, String)].collect())
   }
 
-  private def docsMapOf(sd: String, cache: Boolean)
+  private def docsMapOf(v: IndexView, sd: String, cache: Boolean)
       : Option[Array[(String, String, String)]] =
-    if (cache) docsMapCache.synchronized(
-      docsMapCache.getOrElseUpdate(sd, loadDocsMap(sd)))
+    if (cache) v.docsMapCache.synchronized(
+      v.docsMapCache.getOrElseUpdate(sd, loadDocsMap(sd)))
     else loadDocsMap(sd)
 
   /** a <= b under UTF-8 BINARY order — the order Spark/Parquet min/max on a
@@ -197,15 +224,6 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     java.util.Arrays.compareUnsigned(
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) <= 0
-
-  /** Bounded LRU of driver-side stored-field filter results: canonical
-    * predicate key → sorted matching docIds (each ≤ MaxDriverFilterDocs).
-    */
-  private val filterCache =
-    new java.util.LinkedHashMap[String, Array[Long]](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Array[Long]]): Boolean = size() > 64
-    }
 
   def search(q: String, k: Int, df: String = "text"): DataFrame =
     searchWand(q, k, df)
@@ -221,19 +239,10 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   /** Per-term avgdl (per-field BM25 length norms; title terms carry the
     * "title:" key prefix).
     */
-  private def avgdlOf: Wand.FieldAvgdl =
-    Wand.FieldAvgdl(stats.avgdl, stats.titleAvgdl)
+  private def avgdlOf(s: CorpusStats): Wand.FieldAvgdl =
+    Wand.FieldAvgdl(s.avgdl, s.titleAvgdl)
 
   // ------------------------------------------------------ prefix expansion
-
-  /** Bounded LRU of prefix → expansion (dictionary terms), cleared with the
-    * other caches on append/compaction.
-    */
-  private val prefixCache =
-    new java.util.LinkedHashMap[String, Seq[String]](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Seq[String]]): Boolean = size() > 64
-    }
 
   /** Dictionary expansion of a trailing-* prefix: a term-RANGE scan over the
     * sorted term column (Parquet min/max prunes row groups in every bucket —
@@ -265,18 +274,21 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       .queryExecution.executedPlan.toString
   }
 
-  private[query] def expandPrefix(prefix: String): Seq[String] = {
-    prefixCache.synchronized(Option(prefixCache.get(prefix))) match {
+  private[query] def expandPrefix(prefix: String): Seq[String] =
+    expandPrefix(view, prefix)
+
+  private def expandPrefix(v: IndexView, prefix: String): Seq[String] = {
+    v.prefixCache.synchronized(Option(v.prefixCache.get(prefix))) match {
       case Some(hit) => return hit
       case None      =>
     }
-    var scan = postingsV
+    var scan = v.postings
       .filter($"term" >= prefix && $"term" < prefix + "\uffff")
     if (!prefix.contains(":")) // text-field prefix: skip field-qualified keys
       scan = scan.filter(!$"term".contains(":"))
     val terms = scan.select($"term").distinct().orderBy($"term")
       .limit(QueryResolve.MaxPrefixExpansion).as[String].collect().toSeq
-    prefixCache.synchronized(prefixCache.put(prefix, terms))
+    v.prefixCache.synchronized(v.prefixCache.put(prefix, terms))
     terms
   }
 
@@ -306,23 +318,24 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * Some(sorted ids) if the filter fits; None = too large for the driver →
     * caller must use the distributed path.
     */
-  private def boundedFilterIds(key: String, pred: Column): Option[Array[Long]] = {
-    filterCache.synchronized(Option(filterCache.get(key))) match {
+  private def boundedFilterIds(v: IndexView, key: String,
+      pred: Column): Option[Array[Long]] = {
+    v.filterCache.synchronized(Option(v.filterCache.get(key))) match {
       case Some(hit) => return Some(hit)
       case None      =>
     }
-    val ids = docsV.filter(pred).select($"docId").as[Long]
+    val ids = v.docs.filter(pred).select($"docId").as[Long]
       .limit(QueryEngine.MaxDriverFilterDocs + 1).collect()
     if (ids.length > QueryEngine.MaxDriverFilterDocs) None
     else {
       java.util.Arrays.sort(ids)
-      filterCache.synchronized(filterCache.put(key, ids))
+      v.filterCache.synchronized(v.filterCache.put(key, ids))
       Some(ids)
     }
   }
 
-  private def boundedTombstoneIds(): Option[Array[Long]] = {
-    tombstones match {
+  private def boundedTombstoneIds(v: IndexView): Option[Array[Long]] = {
+    tombstones(v) match {
       case None => Some(Array.empty[Long])
       case Some(t) =>
         val ids = t.select($"docId").as[Long]
@@ -336,28 +349,29 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
   def searchWand(q: String, k: Int, df: String = "text"): DataFrame = {
     refreshIfStale()
+    val v = view // ONE capture: every read below sees the same snapshot
     val ast = QueryParser.parse(q, df)
-    val rq = QueryResolve.resolve(ast, expandPrefix)
+    val rq = QueryResolve.resolve(ast, expandPrefix(v, _))
     val scoring = rq.scoringTerms // distinct + sorted by resolve
     val clauses = rq.clauses
     val not = clauses.flatMap(_.notTerms).distinct.sorted
     if (scoring.isEmpty || clauses.isEmpty) return emptyResult
-    val n = stats.n
-    val avgdls = avgdlOf
+    val n = v.stats.n
+    val avgdls = avgdlOf(v.stats)
     val pred = filterPredicate(ast)
 
     // plan construction alone costs 10s of ms — build only on cache miss
-    lazy val segs = postingsFor(scoring ++ not)
+    lazy val segs = postingsFor(scoring ++ not, v)
 
     // small-query fast path: k·segments fits on the driver → skip the
     // shuffle + global-sort stages entirely (one scan job, cached)
     val cacheKey = (scoring ++ not).mkString("\u0000")
-    val sample = segCache.synchronized(Option(segCache.get(cacheKey))) match {
+    val sample = v.segCache.synchronized(Option(v.segCache.get(cacheKey))) match {
       case Some(hit) => hit
       case None =>
         val fetched = segs.take(DriverWandMaxSegments + 1)
         if (fetched.length <= DriverWandMaxSegments)
-          segCache.synchronized(segCache.put(cacheKey, fetched))
+          v.segCache.synchronized(v.segCache.put(cacheKey, fetched))
         fetched
     }
     if (sample.length <= DriverWandMaxSegments) {
@@ -365,9 +379,9 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       // set falls through to the distributed path instead of materializing
       val allowIdsOpt: Option[Option[Array[Long]]] = pred match {
         case None    => Some(None)
-        case Some(p) => boundedFilterIds(filterKey(ast), p).map(Some(_))
+        case Some(p) => boundedFilterIds(v, filterKey(ast), p).map(Some(_))
       }
-      val denyIdsOpt = boundedTombstoneIds()
+      val denyIdsOpt = boundedTombstoneIds(v)
       (allowIdsOpt, denyIdsOpt) match {
         case (Some(allowIds), Some(denyIds)) =>
           val byTerm = sample.toSeq.groupBy(_.term)
@@ -403,7 +417,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     // high-water mark now rides in stats; -1 = pre-r5 stats, fall back to
     // n). Cap so window-local filter bitmaps stay ≤ 8 MiB regardless of
     // corpus size (also kills any 2^31-docId assumption).
-    val idSpace = math.max(n, stats.maxDocId + 1)
+    val idSpace = math.max(n, v.stats.maxDocId + 1)
     val rangeLen = math.min(
       math.max(1L, (idSpace + parallelism - 1) / parallelism), 1L << 26)
 
@@ -432,9 +446,9 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val hasPred = pred.isDefined
     val filterRows: Option[Dataset[(Long, Long, Boolean)]] = {
       val allowDs = pred.map(p =>
-        docsV.filter(p).select($"docId").as[Long]
+        v.docs.filter(p).select($"docId").as[Long]
           .map(id => (id / rangeLen, id, false)))
-      val denyDs = tombstones.map(t =>
+      val denyDs = tombstones(v).map(t =>
         t.select($"docId").as[Long].map(id => (id / rangeLen, id, true)))
       (allowDs, denyDs) match {
         case (Some(a), Some(d)) => Some(a.union(d))
@@ -498,8 +512,9 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   // ---------------------------------------------------------- exhaustive
 
   def searchExhaustive(q: String, k: Int, df: String = "text"): DataFrame = {
+    refreshIfStale()
     val ast = QueryParser.parse(q, df)
-    scoredCandidates(ast)
+    scoredCandidates(ast, view)
       .orderBy(desc("score"), asc("docId")).limit(k)
   }
 
@@ -513,20 +528,19 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * only queries that actually contain a phrase take the positions-
     * collecting UDF path, the slow regression anchor.
     */
-  private def scoredCandidates(ast: QueryAst): DataFrame = {
-    refreshIfStale()
-    val rq = QueryResolve.resolve(ast, expandPrefix)
+  private def scoredCandidates(ast: QueryAst, v: IndexView): DataFrame = {
+    val rq = QueryResolve.resolve(ast, expandPrefix(v, _))
     val scoring = rq.scoringTerms
     val clauses = rq.clauses
     if (scoring.isEmpty || clauses.isEmpty) return emptyResult
     val not = clauses.flatMap(_.notTerms).distinct
     val phraseTerms = clauses.flatMap(_.phrases.flatMap(_.terms)).distinct.toSet
     val allTerms = (scoring ++ not).distinct
-    val n = stats.n
-    val avgdls = avgdlOf
+    val n = v.stats.n
+    val avgdls = avgdlOf(v.stats)
 
     // per-term global df for idf: tiny agg over the pruned scan
-    val dfByTerm: Map[String, Long] = postingsFor(allTerms)
+    val dfByTerm: Map[String, Long] = postingsFor(allTerms, v)
       .groupBy($"term").agg(sum($"count").as("df"))
       .as[(String, Long)].collect().toMap
     val bDf = spark.sparkContext.broadcast(dfByTerm)
@@ -542,7 +556,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       // are never decoded, never shipped, never collected, and clause
       // evaluation is a pure Catalyst predicate over the per-doc term set
       // (arrays_overlap, codegen'd) — no UDF anywhere in the plan
-      val rows = postingsFor(allTerms).flatMap { s =>
+      val rows = postingsFor(allTerms, v).flatMap { s =>
         val idfv = BM25.idf(nB, bDf.value(s.term)) *
           boostsB.getOrElse(s.term, 1.0)
         val avg = avgdls(s.term)
@@ -576,7 +590,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       // phrase terms and evaluate clauses with the shared matcher over the
       // doc's collected (term, positions) list — the slow regression-anchor
       // shape, reached only when the query actually contains a phrase
-      val rows = postingsFor(allTerms).flatMap { s =>
+      val rows = postingsFor(allTerms, v).flatMap { s =>
         val idfv = BM25.idf(nB, bDf.value(s.term)) *
           boostsB.getOrElse(s.term, 1.0)
         val avg = avgdls(s.term)
@@ -618,9 +632,9 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
     filterPredicate(ast).foreach { p =>
       scored = scored.join(
-        docsV.filter(p).select($"docId"), Seq("docId"), "left_semi")
+        v.docs.filter(p).select($"docId"), Seq("docId"), "left_semi")
     }
-    tombstones.foreach { t =>
+    tombstones(v).foreach { t =>
       scored = scored.join(t.select($"docId"), Seq("docId"), "left_anti")
     }
     scored
@@ -632,10 +646,12 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def facet(q: String, field: String, topN: Int = 20,
       df: String = "text"): DataFrame = {
+    refreshIfStale()
+    val v = view // one snapshot for both the match set and the facet join
     val ast = QueryParser.parse(q, df) // same df as the hits being faceted
-    scoredCandidates(ast)
+    scoredCandidates(ast, v)
       .select($"docId")
-      .join(docsV.select($"docId", col(field)), Seq("docId"))
+      .join(v.docs.select($"docId", col(field)), Seq("docId"))
       .groupBy(col(field)).agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc(field))
       .limit(topN)
@@ -671,7 +687,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     // docsmap (pre-docsmap index, or an in-flight append whose map is not
     // committed yet) falls back to its full docs dir.
     val paths = (v.segdirs ++ latest).flatMap { sd =>
-      docsMapOf(sd, cache = v.segdirs.contains(sd)) match {
+      docsMapOf(v, sd, cache = v.segdirs.contains(sd)) match {
         case Some(entries) => entries.iterator
           .filter(e => utf8Le(e._2, url) && utf8Le(url, e._3))
           .map(e => s"$indexDir/$sd/docs/${e._1}").toSeq

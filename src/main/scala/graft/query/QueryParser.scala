@@ -141,8 +141,13 @@ object QueryResolve {
     }
     val scoring = ast.scoringLits.flatMap(terms).distinct.sorted
     // prefix boosts fan out to every expansion term; a term reached with
-    // several boosts takes the MAX (mirrors the parser's same-literal rule)
-    val boosts = ast.boosts.iterator
+    // several boosts takes the MAX. "Unboosted occurrence = 1" must hold
+    // ACROSS literals too: a bare `w00017` pins that term at ≥1 even when a
+    // damping `w0001*^0.5` also expands to it, so every scoring literal
+    // without an explicit boost contributes an implicit 1.0 to the max.
+    val implicitOnes = ast.scoringLits.filterNot(ast.boosts.contains)
+      .iterator.map(_ -> 1.0)
+    val boosts = (ast.boosts.iterator ++ implicitOnes)
       .flatMap { case (l, b) => terms(l).map(_ -> b) }.toSeq
       .groupBy(_._1).map { case (t, bs) => t -> bs.map(_._2).max }
       .filter(_._2 != 1.0)
@@ -341,7 +346,7 @@ object QueryParser {
     private var i = 0
     private var lang: Option[String] = None
     private var url: Option[String] = None
-    private val ranges = Seq.newBuilder[RangeFilter]
+    private val ranges = mutable.ListBuffer.empty[RangeFilter]
     // literal → boost; same literal occurring twice keeps the MAX across
     // ALL its occurrences, unboosted counting as 1 (scoring is per-distinct-
     // term, so there is no per-occurrence contribution to keep). The first
@@ -374,7 +379,7 @@ object QueryParser {
             "pure-negative query branch is unscorable (every OR-branch " +
               "needs at least one positive term)")
       }
-      QueryAst(scoring.toSeq, nonEmpty, lang, url, ranges.result(),
+      QueryAst(scoring.toSeq, nonEmpty, lang, url, ranges.toSeq,
         boosts.toMap.filter(_._2 != 1.0))
     }
 
@@ -461,6 +466,13 @@ object QueryParser {
         }
       }
       var filterCaptured = false
+      // global filter state BEFORE the unit parse: a filter captured inside
+      // a negated parenthesized group (`-(lang:en a)`) registers in the
+      // parser-level lang/url/ranges, not in this frame's filterCaptured —
+      // diffing the state across the parse catches it at any nesting depth
+      val langBefore = lang
+      val urlBefore = url
+      val nRangesBefore = ranges.size
       val unit: Option[N] = peek match {
         case Some(LParen) =>
           i += 1
@@ -502,10 +514,12 @@ object QueryParser {
       // lang=en — the exact inversion of the request. Stored-field filters
       // are global conjuncts with no negative form; '+' is a harmless
       // restatement of that must-semantics and stays allowed.
-      if (filterCaptured && neg)
+      if (neg && (filterCaptured || lang != langBefore || url != urlBefore ||
+          ranges.size != nRangesBefore))
         throw new IllegalArgumentException(
-          "negated stored-field filter (-lang:/-url:/NOT field:[..]) is " +
-            "unsupported — filters always apply positively and globally")
+          "negated stored-field filter (-lang:/-url:/NOT field:[..], " +
+            "including inside a negated group) is unsupported — filters " +
+            "always apply positively and globally")
       unit.map(n => (if (neg) NNot(n) else n, plus && !neg))
     }
 

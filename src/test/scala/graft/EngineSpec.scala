@@ -382,6 +382,17 @@ class EngineSpec extends AnyFunSuite {
       dn.clauses.head.neg.isEmpty)
     // "-lang:en" used to DROP the '-' and filter TO lang=en
     intercept[IllegalArgumentException](QueryParser.parse("w1 -lang:en"))
+    // ...and a filter inside a NEGATED GROUP leaked the same way: the inner
+    // parse registered lang=en globally while the '-' applied only to the
+    // group's terms (r5 review) — reject at any nesting depth
+    intercept[IllegalArgumentException](QueryParser.parse("b -(lang:en a)"))
+    intercept[IllegalArgumentException](QueryParser.parse("b NOT (a url:x)"))
+    intercept[IllegalArgumentException](QueryParser.parse(
+      "b -(a (c warc_ts:[2024-01-01T00:00:00Z TO *]))"))
+    // positive controls: un-negated groups still carry filters; negated
+    // groups without filters still parse
+    assert(QueryParser.parse("b (lang:en a)").langFilter.contains("en"))
+    assert(QueryParser.parse("b -(a c)").clauses.nonEmpty)
     intercept[IllegalArgumentException](QueryParser.parse("w1 NOT url:x"))
     intercept[IllegalArgumentException](
       QueryParser.parse("w1 -warc_ts:[2020-01-01T00:00:00Z TO *]"))
@@ -410,6 +421,20 @@ class EngineSpec extends AnyFunSuite {
     // while a LONE damping boost survives (the r5 getOrElse(1.0) bug)
     assert(QueryParser.parse("a^0.5 a").boosts == Map.empty)
     assert(QueryParser.parse("b a^0.5").boosts == Map(ExactLit("a") -> 0.5))
+    // cross-literal MAX: a bare occurrence pins the term at 1 even when a
+    // prefix damping boost expands onto it; other expansions keep the boost
+    locally {
+      import graft.query.QueryResolve
+      val dict = Seq("w00010", "w00017")
+      val rq = QueryResolve.resolve(QueryParser.parse("w0001*^0.5 w00017"),
+        QueryResolve.dictExpand(dict))
+      assert(rq.boosts == Map("w00010" -> 0.5),
+        s"bare w00017 must pin its boost at 1: ${rq.boosts}")
+      // and an explicit boost still wins over the implicit 1
+      val rq2 = QueryResolve.resolve(QueryParser.parse("w0001*^3 w00017"),
+        QueryResolve.dictExpand(dict))
+      assert(rq2.boosts == Map("w00010" -> 3.0, "w00017" -> 3.0))
+    }
     // malformed boosts stay loud
     intercept[IllegalArgumentException](QueryParser.parse("a^"))
     intercept[IllegalArgumentException](QueryParser.parse("a^x"))
