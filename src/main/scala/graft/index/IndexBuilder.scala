@@ -318,10 +318,23 @@ object IndexBuilder {
     val counts = Compaction.generationCounts(spark, indexDir, gens)
     val total = counts.map(_._2).sum
     val (big, bigN) = counts.maxBy(_._2)
-    if (bigN * 2 >= total && gens.size >= 3)
-      Compaction.merge(spark, indexDir, conf, gens.filterNot(_ == big))
-    else
-      Compaction.run(spark, indexDir, conf)
+    // Background-merge semantics: the append is already durable and visible
+    // at its own pointer flip, so a compaction failure must never propagate
+    // into the append's (or the streaming micro-batch's) result — a retried
+    // micro-batch would re-upsert, grow a generation per retry, and re-hit
+    // the same failure. Compaction is itself atomic at its flip; a failed
+    // run leaves the multi-generation index fully serving and the next
+    // over-threshold append simply tries again.
+    try {
+      if (bigN * 2 >= total && gens.size >= 3)
+        Compaction.merge(spark, indexDir, conf, gens.filterNot(_ == big))
+      else
+        Compaction.run(spark, indexDir, conf)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft-append] auto-compaction failed (index still serving): $e")
+    }
   }
 
   /** Derive and write $seg/supersedes: docIds of prior-generation versions

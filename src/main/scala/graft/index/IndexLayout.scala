@@ -79,13 +79,21 @@ object IndexLayout {
     // pointer (a racing realtimeGet once resolved an empty segdir set from
     // a mid-create pointer and crashed planning over zero paths). rename
     // also keeps the never-clobber guarantee: it fails if the target exists.
-    val tmp = new Path(indexDir, f"current-$nextK%06d.txt.tmp")
-    val out = fs.create(tmp, true)
+    // The tmp name is per-writer unique: two publishers racing to the same
+    // nextK must NOT share a tmp (create(_, true) would truncate the other
+    // writer's in-flight bytes and the surviving rename could install a
+    // torn pointer); with unique tmps exactly one rename wins and the
+    // loser's file stays a .tmp no reader ever matches.
+    val tmp = new Path(indexDir,
+      f"current-$nextK%06d.txt.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
     try out.write(segdirs.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, p))
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
       throw new IllegalStateException(s"pointer flip lost the race: $p exists")
+    }
   }
 
   /** Next unused segment dir name (scans existing seg-*, published or not —
@@ -127,10 +135,19 @@ object IndexLayout {
   def gcUnreferenced(spark: SparkSession, indexDir: String): Unit = {
     val live = current(spark, indexDir).getOrElse(return).toSet
     val fs = fsOf(spark, indexDir)
+    // Crash-orphaned pointer temps (unique per writer, see publish) are
+    // harmless to readers but would otherwise accumulate; an age guard
+    // keeps a racing writer's in-flight tmp safe.
+    val tmpGraceMs = 60L * 60 * 1000
+    val now = System.currentTimeMillis()
     fs.listStatus(new Path(indexDir)).foreach { st =>
       val name = st.getPath.getName
       if (SegRe.pattern.matcher(name).matches() && !live.contains(name)) {
         try fs.delete(st.getPath, true)
+        catch { case _: Exception => }
+      } else if (name.startsWith("current-") && name.endsWith(".tmp") &&
+          now - st.getModificationTime > tmpGraceMs) {
+        try fs.delete(st.getPath, false)
         catch { case _: Exception => }
       }
     }

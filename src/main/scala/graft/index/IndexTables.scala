@@ -126,15 +126,21 @@ object IndexConf {
   * @param autoCompactGenerations merge policy threshold G (0 disables): when
   *                      an append leaves MORE than G live generations
   *                      published, [[Compaction]] runs immediately after the
-  *                      pointer flip and folds them to one — the Solr/Lucene
-  *                      background-merge analog (SURVEY.md §4.2). Bounds
-  *                      query planning (readPostings unions one relation per
-  *                      generation) under continuous streaming ingest, which
-  *                      otherwise creates a generation per micro-batch
-  *                      without bound. Each compaction is a full merge, so
-  *                      write amplification is amortized O(N/G) per batch —
-  *                      acceptable for G≈8; a tiered policy would reduce it
-  *                      further if appends outpace merges at scale.
+  *                      pointer flip — the Solr/Lucene background-merge
+  *                      analog (SURVEY.md §4.2). Bounds query planning
+  *                      (readPostings unions one relation per generation)
+  *                      under continuous streaming ingest, which otherwise
+  *                      creates a generation per micro-batch without bound.
+  *                      The policy is TIERED (IndexBuilder.maybeAutoCompact):
+  *                      when the largest generation holds at least half the
+  *                      live docs, only the tail folds via
+  *                      [[Compaction.merge]] — a PARTIAL merge that forwards
+  *                      superseded ids and leaves the global tombstones dir
+  *                      in place (entries may target unmerged generations);
+  *                      only a full merge folds tombstones. Tail folds cost
+  *                      O(tail); full rewrites amortize to every O(N) docs.
+  *                      Failures never propagate into the append — the merge
+  *                      is best-effort background work.
   */
 final case class IndexConf(
     numBuckets: Int = 32,

@@ -899,8 +899,7 @@ object Ops {
     * filter → distinct → sort → join/filter, no UDF, one narrow pass.
     */
   def keywordsDouble(spark: SparkSession, dir: String): DataFrame = {
-    val toks = array_sort(array_distinct(filter(
-      split(lower(col("text")), "[^a-z0-9]+"), x => x =!= "")))
+    val toks = array_sort(array_distinct(toksCol(col("text"))))
     t(spark, dir, "documents").select(
       col("doc_id"),
       array_join(toks, ",").as("keywords_keyword"),
