@@ -40,6 +40,26 @@ object MainCommon {
     }
     (opts.result(), flags.result())
   }
+  /** Bucket count for read/maintain CLIs: the index is self-describing
+    * (job.txt records the encode bucket count), so --buckets is only needed
+    * for indexes predating the field — and an explicit flag that contradicts
+    * the recorded count fails loudly instead of silently pruning postings
+    * scans to the wrong termBucket dirs (zero hits, no error).
+    */
+  def resolveBuckets(spark: SparkSession, indexDir: String,
+      flag: Option[String]): Int = {
+    val detected = graft.index.IndexLayout.detectBuckets(spark, indexDir)
+    (flag.map(_.toInt), detected) match {
+      case (Some(f), Some(d)) if f != d => throw new IllegalArgumentException(
+        s"--buckets $f contradicts the index's recorded bucket count $d " +
+          s"at $indexDir (omit --buckets; it is only needed for indexes " +
+          "that predate self-description)")
+      case (Some(f), _)    => f
+      case (None, Some(d)) => d
+      case (None, None)    => 32
+    }
+  }
+
   def session(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -75,7 +95,13 @@ object BuildIndex {
       flagNames = Set("--resume", "--append", "--skew"))
     val spark = MainCommon.session("graft-build")
     import spark.implicits._
-    val conf = IndexConf(numBuckets = opts.getOrElse("--buckets", "32").toInt)
+    // fresh build: the flag (or default) DEFINES the layout; append/resume
+    // continue an existing index, so the recorded count wins (a mismatched
+    // flag is rejected — mixed-bucket generations silently lose hits)
+    val incremental = flags.contains("--resume") || flags.contains("--append")
+    val conf = IndexConf(numBuckets =
+      if (incremental) MainCommon.resolveBuckets(spark, indexDir, opts.get("--buckets"))
+      else opts.getOrElse("--buckets", "32").toInt)
     val docs = opts.get("--input") match {
       case Some(p) => spark.read.parquet(p).as[graft.corpus.WebDoc]
       case None =>
@@ -111,7 +137,8 @@ object Compact {
       valued = Set("--buckets"), flagNames = Set("--tail"))
     val spark = MainCommon.session("graft-compact")
     import spark.implicits._
-    val conf = IndexConf(numBuckets = opts.getOrElse("--buckets", "32").toInt)
+    val conf = IndexConf(numBuckets =
+      MainCommon.resolveBuckets(spark, indexDir, opts.get("--buckets")))
     val before = graft.index.IndexLayout.current(spark, indexDir)
       .getOrElse(throw new IllegalStateException(s"no index at $indexDir"))
     if (flags.contains("--tail")) {
@@ -146,7 +173,7 @@ object Get {
       valued = Set("--buckets"), flagNames = Set.empty)
     val spark = MainCommon.session("graft-get")
     val engine = new QueryEngine(spark, args(0),
-      opts.getOrElse("--buckets", "32").toInt)
+      MainCommon.resolveBuckets(spark, args(0), opts.get("--buckets")))
     val rows = engine.realtimeGet(args(1)).collect()
     if (rows.isEmpty) println(s"[graft] get url='${args(1)}' -> NOT FOUND")
     else {
@@ -176,7 +203,7 @@ object Search {
     val k = opts.getOrElse("--k", "10").toInt
     val df = opts.getOrElse("--df", "text") // Solr's df= default field
     val spark = MainCommon.session("graft-search")
-    val buckets = opts.getOrElse("--buckets", "32").toInt
+    val buckets = MainCommon.resolveBuckets(spark, indexDir, opts.get("--buckets"))
     // --distributed forces the windowed plan (driver fast path off) — the
     // 100×-relevant physical strategy, for plan/latency inspection. Without
     // it, the engine's own constructor default applies (ADVICE r4: a

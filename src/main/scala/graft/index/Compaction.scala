@@ -185,7 +185,7 @@ object Compaction {
     // global tombstones dir must SURVIVE the flip.
     IndexLayout.writeJobDescriptor(spark, segPath,
       JobDescriptor(if (partial) "compaction-partial" else "compaction",
-        0L, publishSet))
+        0L, publishSet, conf.numBuckets))
     IndexBuilder.encodePostings(spark, rows, hot, totalTerms, conf, segPath,
       append = false, onlyBuckets = None)
     docs.write.mode(SaveMode.Overwrite).parquet(s"$segPath/docs")

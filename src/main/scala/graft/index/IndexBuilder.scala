@@ -218,7 +218,7 @@ object IndexBuilder {
     // intent record FIRST: a crash at any later point leaves resume enough
     // to finish THIS job instead of mis-inferring it from the old pointer
     IndexLayout.writeJobDescriptor(spark, s"$indexDir/$seg",
-      JobDescriptor("build", 0L, Seq(seg)))
+      JobDescriptor("build", 0L, Seq(seg), conf.numBuckets))
     val r = buildInternal(spark, docs, s"$indexDir/$seg", conf,
       onlyBuckets = None)
     IndexLayout.publish(spark, indexDir, Seq(seg))
@@ -277,7 +277,7 @@ object IndexBuilder {
     val offset = math.max(liveMax, tombMax) + 1L
     val seg = IndexLayout.nextSegDir(spark, indexDir)
     IndexLayout.writeJobDescriptor(spark, s"$indexDir/$seg",
-      JobDescriptor("append", offset, published :+ seg))
+      JobDescriptor("append", offset, published :+ seg, conf.numBuckets))
     val r = buildInternal(spark, newDocs, s"$indexDir/$seg", conf,
       onlyBuckets = None, idOffset = offset)
     // upsert-by-url: the superseded docIds are written INSIDE the new
@@ -392,12 +392,20 @@ object IndexBuilder {
               return BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
             return build(spark, docs, indexDir, conf)
         }
+        // REPLAY the recorded bucket count (like kind/idOffset/publish):
+        // resume must finish the job with the buckets it was STARTED with —
+        // rebuilding the missing buckets under a different count would
+        // produce a segment whose termBucket layout disagrees with its
+        // completed buckets (silent query misses). 0 = pre-field descriptor;
+        // fall back to the caller's conf.
+        val rconf =
+          if (desc.buckets > 0) conf.copy(numBuckets = desc.buckets) else conf
         val done: Set[Int] =
           try spark.read.parquet(s"$segPath/manifest")
             .filter($"status" === "complete")
             .select($"partitionId").as[Int].collect().toSet
           catch { case _: Exception => Set.empty }
-        val missing = (0 until conf.numBuckets).filterNot(done).toSet
+        val missing = (0 until rconf.numBuckets).filterNot(done).toSet
 
         desc.kind match {
           case "compaction" | "compaction-partial" =>
@@ -411,7 +419,7 @@ object IndexBuilder {
               // them from ever being reissued) while a wiped fresh delete
               // is a resurrection. The next full merge folds them again.
               IndexLayout.gcUnreferenced(spark, indexDir)
-              return BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
+              return BuildReport(0, 0, 0, 0, rconf.numBuckets, 0)
             }
             if (missing.isEmpty) {
               // fully materialized, crash was before the flip: finish it.
@@ -428,7 +436,7 @@ object IndexBuilder {
               // discard the orphan; the next Compaction run redoes it
               fs.delete(new org.apache.hadoop.fs.Path(segPath), true)
             }
-            BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
+            BuildReport(0, 0, 0, 0, rconf.numBuckets, 0)
 
           case kind => // "build" | "append"
             if (missing.isEmpty && published == desc.publish) {
@@ -438,16 +446,16 @@ object IndexBuilder {
               // permanently masked arbitrary new docs (and the next full
               // compaction would physically drop them)
               if (kind == "build") postBuildCleanup(spark, indexDir)
-              return BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
+              return BuildReport(0, 0, 0, 0, rconf.numBuckets, 0)
             }
             val report =
-              if (missing.isEmpty) BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
+              if (missing.isEmpty) BuildReport(0, 0, 0, 0, rconf.numBuckets, 0)
               else {
                 missing.foreach { b =>
                   fs.delete(new org.apache.hadoop.fs.Path(
                     s"$segPath/postings/termBucket=$b"), true)
                 }
-                buildInternal(spark, docs, segPath, conf, Some(missing),
+                buildInternal(spark, docs, segPath, rconf, Some(missing),
                   desc.idOffset)
               }
             if (kind == "append") // idempotent; always redo before the flip

@@ -165,8 +165,10 @@ object IndexLayout {
       d: JobDescriptor): Unit = {
     val fs = fsOf(spark, segPath)
     val out = fs.create(new Path(segPath, "job.txt"), true)
+    val bucketsLine = if (d.buckets > 0) s"buckets=${d.buckets}\n" else ""
     try out.write(
-      s"kind=${d.kind}\nidOffset=${d.idOffset}\npublish=${d.publish.mkString(",")}\n"
+      (s"kind=${d.kind}\nidOffset=${d.idOffset}\n" +
+        s"publish=${d.publish.mkString(",")}\n" + bucketsLine)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -185,7 +187,34 @@ object IndexLayout {
     for (kind <- kv.get("kind"); off <- kv.get("idOffset")) yield
       JobDescriptor(kind, off.toLong,
         kv.getOrElse("publish", "").split(",").map(_.trim)
-          .filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty).toSeq,
+        kv.get("buckets").map(_.toInt).getOrElse(0))
+  }
+
+  /** The bucket count the live index was encoded with, from the newest
+    * published segment that recorded one (job.txt `buckets=`); falls back to
+    * counting `termBucket=` dirs for pre-field segments (a lower bound that
+    * is exact whenever every bucket is non-empty — true for any real
+    * corpus). None when nothing is published. CLIs use this so an operator
+    * never has to repeat --buckets at query/compact time, and a WRONG
+    * explicit flag can be rejected loudly instead of silently pruning to
+    * the wrong termBucket dirs.
+    */
+  def detectBuckets(spark: SparkSession, indexDir: String): Option[Int] = {
+    val segdirs = current(spark, indexDir).getOrElse(return None)
+    val recorded = segdirs.reverseIterator
+      .flatMap(sd => readJobDescriptor(spark, s"$indexDir/$sd"))
+      .map(_.buckets).find(_ > 0)
+    recorded.orElse {
+      val fs = fsOf(spark, indexDir)
+      val counts = segdirs.flatMap { sd =>
+        val p = new Path(s"$indexDir/$sd/postings")
+        if (!fs.exists(p)) None
+        else Some(fs.listStatus(p)
+          .count(_.getPath.getName.startsWith("termBucket=")))
+      }.filter(_ > 0)
+      if (counts.isEmpty) None else Some(counts.max)
+    }
   }
 
   /** All delete/supersede sources for a live segment set: the global

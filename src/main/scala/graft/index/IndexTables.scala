@@ -110,10 +110,14 @@ final case class Tombstone(docId: Long)
 
 /** Segment-dir job record (see IndexLayout.writeJobDescriptor): kind is
   * "build" | "append" | "compaction"; `publish` is the exact segment set the
-  * pointer must name when this job completes.
+  * pointer must name when this job completes. `buckets` is the term-hash
+  * bucket count the segment was (or is being) encoded with — the index's
+  * self-description, so read paths never have to trust a CLI flag (a
+  * mismatched bucket count prunes to the WRONG termBucket dirs and silently
+  * returns misses). 0 = written before this field existed.
   */
 final case class JobDescriptor(kind: String, idOffset: Long,
-    publish: Seq[String])
+    publish: Seq[String], buckets: Int = 0)
 
 object IndexConf {
   val BlockSize = 128

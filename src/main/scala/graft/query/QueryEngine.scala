@@ -111,6 +111,19 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val sd = IndexLayout.current(spark, indexDir)
       .getOrElse(throw new IllegalStateException(
         s"no published index at $indexDir"))
+    // Bucket-count safety net: a numBuckets that disagrees with what a live
+    // segment was encoded with prunes postings scans to the WRONG
+    // termBucket dirs — zero hits, no error. Segments record their count in
+    // job.txt (0 = predates the field); fail loudly here instead. Checked
+    // per view build, not per query (job.txt is a one-line driver-side read).
+    sd.foreach { s =>
+      IndexLayout.readJobDescriptor(spark, s"$indexDir/$s")
+        .map(_.buckets).filter(_ > 0).foreach { b =>
+          if (b != numBuckets) throw new IllegalArgumentException(
+            s"QueryEngine numBuckets=$numBuckets but segment $s of " +
+              s"$indexDir was encoded with $b buckets")
+        }
+    }
     new IndexView(sd, IndexLayout.combinedStats(spark, indexDir, sd),
       readDocs(sd), readPostings(sd))
   }

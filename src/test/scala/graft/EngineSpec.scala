@@ -483,6 +483,16 @@ class EngineSpec extends AnyFunSuite {
   private def ids2(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
+  test("index self-describes its bucket count; a mismatched engine fails loudly") {
+    assert(IndexLayout.detectBuckets(spark, indexDir).contains(conf.numBuckets))
+    // wrong numBuckets used to prune postings scans to the wrong termBucket
+    // dirs — zero hits, no error; now the view build rejects it
+    val e = intercept[IllegalArgumentException] {
+      new QueryEngine(spark, indexDir, conf.numBuckets * 2)
+    }
+    assert(e.getMessage.contains("encoded with"))
+  }
+
   test("`+` is honored on ANY operand of an AND chain (ADVICE r3)") {
     import graft.query.{QueryParser, ExactLit}
     // `x a AND +b`: the (a AND b) group is a MUST, x a pure should →

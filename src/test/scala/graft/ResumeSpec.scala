@@ -58,6 +58,33 @@ class ResumeSpec extends AnyFunSuite {
     assert(m2.forall(_.status == "complete"))
   }
 
+  test("resume replays the RECORDED bucket count, not the caller's conf") {
+    // a resume launched with a different --buckets must not rebuild the
+    // missing buckets under the new count: completed termBucket dirs would
+    // disagree with rebuilt ones and queries would silently lose hits
+    val ref = SparkTestSession.tempDir("graft-resume-bk-ref")
+    val dir = SparkTestSession.tempDir("graft-resume-bk")
+    val docs = CorpusGen.generate(spark, N)
+    IndexBuilder.build(spark, docs, ref, conf)
+    IndexBuilder.build(spark, docs, dir, conf)
+    val seg = IndexLayout.latestSegDir(spark, dir).get
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(s"$dir/$seg/postings/termBucket=2"), true))
+    val manifest = spark.read.parquet(s"$dir/$seg/manifest").as[ManifestRow]
+      .collect().filterNot(_.partitionId == 2)
+    manifest.toSeq.toDS().coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/$seg/manifest")
+
+    val report = IndexBuilder.resume(spark, docs, dir,
+      conf.copy(numBuckets = 12)) // wrong caller conf — must be ignored
+    assert(report.buckets == conf.numBuckets)
+    assert(logicalPostings(dir) == logicalPostings(ref),
+      "resume under a mismatched conf must still finish with the recorded buckets")
+    val m2 = spark.read.parquet(s"$dir/$seg/manifest").as[ManifestRow].collect()
+    assert(m2.map(_.partitionId).sorted.toSeq == (0 until conf.numBuckets))
+  }
+
   test("resume on a complete index is a no-op") {
     val dir = SparkTestSession.tempDir("graft-resume-noop")
     val docs = CorpusGen.generate(spark, 100)
