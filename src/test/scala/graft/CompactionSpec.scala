@@ -335,6 +335,50 @@ class CompactionSpec extends AnyFunSuite {
     assert(after.length == 5)
   }
 
+  test("racing publishers never install a torn pointer") {
+    // pointer temps are per-writer unique: a shared tmp name let one racing
+    // publisher truncate another's in-flight bytes and rename TORN content
+    // into place. Hammer publish from many threads and assert every pointer
+    // ever installed is EXACTLY one writer's complete set.
+    val dir = SparkTestSession.tempDir("graft-pub-race")
+    val writers = 6
+    val iters = 8
+    val sets = (0 until writers).map(i => Seq(f"seg-$i%06d", f"seg-9$i%05d"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until writers).map { i =>
+      new Thread(() => {
+        var it = 0
+        while (it < iters) {
+          try IndexLayout.publish(spark, dir, sets(i))
+          catch {
+            case _: IllegalStateException => // lost the rename race: expected
+            case e: Throwable             => errs.add(e)
+          }
+          it += 1
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"unexpected publish failure: ${Option(errs.peek())}")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pointers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath)
+      .filter(_.getName.matches("current-\\d{6}\\.txt"))
+    assert(pointers.nonEmpty)
+    val valid = sets.map(_.mkString("\n")).toSet
+    pointers.foreach { p =>
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      assert(valid.contains(txt),
+        s"torn pointer ${p.getName}: ${txt.replace("\n", "\\n")}")
+    }
+    // the live resolution is one writer's complete set, never a mix
+    assert(sets.contains(IndexLayout.current(spark, dir).get))
+  }
+
   test("crash before publish leaves the old generation serving") {
     val dir = SparkTestSession.tempDir("graft-compact-crash")
     val n = 150L
