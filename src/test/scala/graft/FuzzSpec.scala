@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.index._
+import graft.oracle.{OracleDoc, SeqOracle}
+import graft.query.QueryEngine
+
+/** Grammar-driven fuzz: generate pseudo-random well-formed queries over the
+  * supported surface (boolean precedence, parens, +/NOT, phrases ± slop,
+  * prefixes, boosts, field qualifiers, lang/url filters) and assert all
+  * three physical paths are rank- and score-identical to the sequential
+  * oracle. Fixed seed — the query set is deterministic, so a failure is
+  * reproducible; the generator only emits syntax the parser accepts (loud
+  * rejection of unsupported Lucene syntax is tested in EngineSpec).
+  */
+class FuzzSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val NDocs = 300L
+  private val conf = IndexConf(numBuckets = 8, segmentMaxDocs = 64)
+
+  private lazy val indexDir: String = {
+    val dir = SparkTestSession.tempDir("graft-fuzz")
+    IndexBuilder.build(spark, CorpusGen.generate(spark, NDocs), dir, conf)
+    dir
+  }
+
+  private lazy val oracle: SeqOracle = new SeqOracle(
+    CorpusGen.generateLocal(NDocs).sortBy(_.url).zipWithIndex.map {
+      case (d, i) => OracleDoc(i.toLong, d.text, d.lang, d.url,
+        d.warc_ts.getTime, graft.corpus.Extractor.extractTitle(d.html))
+    })
+
+  private lazy val engine = new QueryEngine(spark, indexDir, conf.numBuckets)
+  private lazy val distEngine = new QueryEngine(spark, indexDir,
+    conf.numBuckets, driverWandMaxSegments = 0)
+
+  // ---------------------------------------------------------- generator
+
+  private val rng = new java.util.Random(20260818L)
+
+  private def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.length))
+
+  /** Mix of hot stopwords, mid-frequency, rare, and nonexistent terms —
+    * hit-list sizes from "most docs" down to zero.
+    */
+  private def term(): String = rng.nextInt(10) match {
+    case 0 | 1 | 2    => pick(CorpusGen.Stopwords.toSeq.take(12))
+    case 3 | 4 | 5 | 6 => f"w${rng.nextInt(300)}%05d"
+    case 7 | 8        => f"w${rng.nextInt(50000)}%05d"
+    case _            => "qzzzz" + rng.nextInt(10) // never generated
+  }
+
+  private def boost(): String =
+    "^" + pick(Seq("0.1", "0.5", "2", "3", "1.5"))
+
+  private def prefix(): String =
+    pick(Seq("w00*", "w001*", "w0001*", "w12*", "w4999*"))
+
+  private def phrase(): String = {
+    val n = 2 + rng.nextInt(2)
+    val ts = Seq.fill(n)(if (rng.nextBoolean())
+      pick(CorpusGen.Stopwords.toSeq.take(10)) else term())
+    val slop = if (rng.nextInt(3) == 0) s"~${1 + rng.nextInt(3)}" else ""
+    s""""${ts.mkString(" ")}"$slop"""
+  }
+
+  /** One positive atom (may carry a boost or a field qualifier). */
+  private def atom(): String = {
+    val base = rng.nextInt(10) match {
+      case 0 | 1 | 2 | 3 | 4 => term()
+      case 5 | 6             => phrase()
+      case 7                 => prefix()
+      case 8                 => "title:" + pick(Seq("doc", "1", "9",
+        "\"doc 1\"", "\"doc 9\"~1"))
+      case _                 => "text:" + term()
+    }
+    if (rng.nextInt(4) == 0) base + boost() else base
+  }
+
+  /** A space/AND/OR sequence of 1..4 atoms with optional +, NOT tails,
+    * optional parens around a pair, optional lang/url filter. The first
+    * atom is always a bare positive literal, so every query has at least
+    * one scoring term and never starts with an operator.
+    */
+  private def genQuery(): String = {
+    val sb = new StringBuilder(atom())
+    val n = rng.nextInt(4)
+    (0 until n).foreach { _ =>
+      rng.nextInt(6) match {
+        case 0 => sb.append(" AND ").append(atom())
+        case 1 => sb.append(" OR ").append(atom())
+        case 2 => sb.append(" NOT ")
+          .append(if (rng.nextBoolean()) term() else prefix())
+        case 3 => sb.append(" +").append(atom())
+        case 4 => sb.append(" (").append(atom())
+          .append(if (rng.nextBoolean()) " OR " else " AND ")
+          .append(atom()).append(")")
+        case _ => sb.append(" ").append(atom())
+      }
+    }
+    if (rng.nextInt(5) == 0) sb.append(" lang:").append(pick(Seq("en", "no")))
+    if (rng.nextInt(8) == 0) sb.append(" url:host").append(rng.nextInt(10))
+      .append(".")
+    sb.toString
+  }
+
+  // ---------------------------------------------------------- the test
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def assertSame(got: Seq[(Long, Double)],
+      expect: Seq[(Long, Double)], ctx: String): Unit = {
+    assert(got.map(_._1) == expect.map(_._1),
+      s"[$ctx]\n got=${got.take(12)}\n exp=${expect.take(12)}")
+    got.zip(expect).foreach { case ((_, gs), (_, es)) =>
+      assert(math.abs(gs - es) < 1e-9, s"[$ctx] score $gs != $es")
+    }
+  }
+
+  test("60 generated queries: driver WAND, distributed WAND, exhaustive " +
+      "all rank-identical to the oracle") {
+    val queries = Iterator.continually(genQuery()).distinct.take(60).toSeq
+    var nonEmpty = 0
+    queries.foreach { q =>
+      val expect = oracle.topK(q, 10)
+      if (expect.nonEmpty) nonEmpty += 1
+      assertSame(ids(engine.search(q, 10)), expect, s"driver q='$q'")
+      assertSame(ids(distEngine.searchWand(q, 10)), expect, s"dist q='$q'")
+      assertSame(ids(engine.searchExhaustive(q, 10)), expect, s"exh q='$q'")
+    }
+    // the generator must be producing real work, not 60 zero-hit queries
+    assert(nonEmpty >= 30, s"only $nonEmpty/60 queries matched anything")
+  }
+}
