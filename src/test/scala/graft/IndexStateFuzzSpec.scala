@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.{CorpusGen, WebDoc}
+import graft.index._
+import graft.query.{QueryEngine, Deletes}
+
+/** State-machine fuzz over the incremental machinery: a seeded random
+  * sequence of append / upsert / delete / compact steps against a
+  * driver-side model of the live corpus, with invariants checked after
+  * EVERY step:
+  *
+  *  - each live url realtime-gets exactly one row; deleted urls get none;
+  *  - each url's CURRENT version token matches exactly one doc, and its
+  *    superseded version tokens match none;
+  *  - per-term hit counts equal the model's live containment counts;
+  *  - after a final FULL compaction, (url, score) result sets are identical
+  *    to a from-scratch build over the model's live docs (stats fold down
+  *    to exactly the surviving corpus).
+  *
+  * Auto-compaction is enabled with a small threshold so tiered merges fire
+  * MID-sequence — the interleavings (upsert → partial merge → delete →
+  * re-upsert …) are where the supersedes/tombstone/high-water rules earn
+  * their keep. Fixed seed: the sequence is deterministic.
+  */
+class IndexStateFuzzSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val conf = IndexConf(numBuckets = 6, segmentMaxDocs = 64,
+    autoCompactGenerations = 4)
+
+  private val rng = new java.util.Random(51L)
+
+  private def withVersion(d: WebDoc, tok: String): WebDoc = {
+    val text = s"$tok ${d.text}"
+    d.copy(text = text,
+      html = s"<html><head><title>t</title></head><body>$text</body></html>"
+        .getBytes(UTF_8))
+  }
+
+  test("random append/upsert/delete/compact sequence preserves the model") {
+    val dir = SparkTestSession.tempDir("graft-statefuzz")
+    val N0 = 120L
+    var nextI = N0 // fresh-url id space (urls are pure functions of (seed,i))
+    val version = scala.collection.mutable.Map.empty[String, Int] // url → v
+    val iOf = scala.collection.mutable.Map.empty[String, Long]    // url → i
+    val base = scala.collection.mutable.Map.empty[String, WebDoc] // url → v0
+    val model = scala.collection.mutable.Map.empty[String, WebDoc] // live
+    val deleted = scala.collection.mutable.Set.empty[String]
+
+    def vtok(url: String, v: Int) = s"fz${iOf(url)}x$v"
+
+    val initial = (0L until N0).map(CorpusGen.doc(CorpusGen.DefaultSeed, _, N0))
+    initial.foreach { d =>
+      iOf(d.url) = iOf.size.toLong; base(d.url) = d; model(d.url) = d
+    }
+    IndexBuilder.build(spark, spark.createDataset(initial.toSeq), dir, conf)
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+
+    def freshDoc(): WebDoc = {
+      val d = CorpusGen.doc(CorpusGen.DefaultSeed, nextI, N0)
+      iOf(d.url) = nextI; base(d.url) = d; nextI += 1
+      d
+    }
+
+    def checkInvariants(step: String): Unit = {
+      engine.invalidateCache()
+      val liveUrls = model.keys.toSeq.sorted
+      // sampled RTG visibility (all of them is O(n) queries — sample 8)
+      rng.ints(8, 0, liveUrls.size).toArray.map(liveUrls).foreach { u =>
+        assert(engine.realtimeGet(u).collect().length == 1,
+          s"[$step] live url $u not visible")
+      }
+      deleted.toSeq.sorted.take(4).foreach { u =>
+        assert(engine.realtimeGet(u).collect().isEmpty,
+          s"[$step] deleted url $u resurrected")
+      }
+      // version tokens: current matches exactly one, prior matches none
+      version.toSeq.sortBy(_._1).take(6).foreach { case (u, v) =>
+        if (model.contains(u)) {
+          assert(engine.search(vtok(u, v), 10).collect().length == 1,
+            s"[$step] current version of $u invisible")
+        }
+        (1 until v).foreach { old =>
+          assert(engine.search(vtok(u, old), 10).collect().isEmpty,
+            s"[$step] superseded version $old of $u still matches")
+        }
+      }
+      // per-term counts vs model containment
+      Seq("w00005", "w00017", "w00099").foreach { t =>
+        val expect = model.valuesIterator
+          .count(d => Analysis.tokenize(d.text).contains(t))
+        val got = engine.search(t, 5000).collect().length
+        assert(got == expect, s"[$step] term $t: engine $got != model $expect")
+      }
+    }
+
+    val steps = 12
+    (0 until steps).foreach { s =>
+      rng.nextInt(4) match {
+        case 0 => // append a batch of fresh urls
+          val batch = Seq.fill(2 + rng.nextInt(4))(freshDoc())
+          batch.foreach(d => model(d.url) = d)
+          batch.foreach(d => deleted.remove(d.url))
+          IndexBuilder.append(spark, spark.createDataset(batch), dir, conf)
+          checkInvariants(s"step$s-append")
+        case 1 => // upsert existing urls to a new version (+ maybe 1 fresh)
+          val urls = model.keys.toSeq.sorted
+          val picks = rng.ints(1 + rng.nextInt(3), 0, urls.size)
+            .toArray.distinct.map(urls)
+          val ups = picks.toSeq.map { u =>
+            val v = version.getOrElse(u, 0) + 1
+            version(u) = v
+            // version text derives from the BASE doc, so superseded version
+            // tokens really do vanish from the corpus
+            val nd = withVersion(base(u), vtok(u, v))
+            model(u) = nd
+            nd
+          } ++ (if (rng.nextBoolean()) {
+            val d = freshDoc(); model(d.url) = d; Seq(d)
+          } else Nil)
+          IndexBuilder.append(spark, spark.createDataset(ups), dir, conf)
+          checkInvariants(s"step$s-upsert")
+        case 2 => // delete current versions of some urls
+          val urls = model.keys.toSeq.sorted
+          val picks = rng.ints(1 + rng.nextInt(2), 0, urls.size)
+            .toArray.distinct.map(urls)
+          val ids = picks.toSeq.map { u =>
+            engine.invalidateCache()
+            engine.realtimeGet(u).collect().head.getAs[Long]("docId")
+          }
+          Deletes.delete(spark, dir, ids)
+          picks.foreach { u => model.remove(u); deleted += u }
+          checkInvariants(s"step$s-delete")
+        case _ => // explicit compaction (auto fires on its own too)
+          Compaction.run(spark, dir, conf)
+          checkInvariants(s"step$s-compact")
+      }
+    }
+
+    // re-add one deleted url: the new version must be visible — partial
+    // merges keep old tombstones alive, and only the docId high-water rule
+    // stops them from masking the re-added doc (the r5 hwm bug class)
+    deleted.headOption.foreach { u =>
+      val v = version.getOrElse(u, 0) + 1
+      version(u) = v
+      val nd = withVersion(base(u), vtok(u, v))
+      IndexBuilder.append(spark, spark.createDataset(Seq(nd)), dir, conf)
+      model(u) = nd; deleted -= u
+      checkInvariants("readd-after-delete")
+    }
+
+    // final FULL merge → engine must equal a from-scratch build of the model
+    Compaction.run(spark, dir, conf)
+    engine.invalidateCache()
+    val refDir = SparkTestSession.tempDir("graft-statefuzz-ref")
+    IndexBuilder.build(spark,
+      spark.createDataset(model.values.toSeq.sortBy(_.url)), refDir, conf)
+    val refEngine = new QueryEngine(spark, refDir, conf.numBuckets)
+    def urlMap(e: QueryEngine): Map[Long, String] =
+      e.docs.select($"docId", $"url").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gotUrls = urlMap(engine)
+    val expUrls = urlMap(refEngine)
+    // k covers ALL matches: a k cutoff inside a score-tie group would pick
+    // different urls per engine (tie order is by docId, which differs)
+    Seq("the", "w00017", "w00005 OR w00099").foreach { q =>
+      val got = engine.search(q, 5000).collect()
+        .map(r => (gotUrls(r.getLong(0)), r.getDouble(1)))
+      val exp = refEngine.search(q, 5000).collect()
+        .map(r => (expUrls(r.getLong(0)), r.getDouble(1)))
+      val sortKey = (p: (String, Double)) => (-p._2, p._1)
+      val g = got.sortBy(sortKey); val e = exp.sortBy(sortKey)
+      assert(g.map(_._1).toSeq == e.map(_._1).toSeq,
+        s"[final q='$q']\n got=${g.take(8).toSeq}\n exp=${e.take(8).toSeq}")
+      g.zip(e).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-9, s"[final q='$q'] $gs != $es")
+      }
+    }
+  }
+}
