@@ -84,8 +84,25 @@ object Compaction {
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
     // delete-by-id tombstones PLUS every live segment's upsert supersedes —
     // the FULL view even for a partial merge (an unmerged newer generation
-    // may supersede docs inside the merged set)
-    val tombSources = IndexLayout.tombstonePaths(spark, indexDir, published)
+    // may supersede docs inside the merged set). The global dir is read as
+    // an EXPLICIT file-list snapshot, for two reasons: (1) the tombstone
+    // view is consumed by several lazy passes (stats agg, postings
+    // anti-join, docs write), and a dir-path read re-lists per pass — a
+    // delete() landing mid-merge would make the passes disagree; (2) the
+    // snapshot is exactly the set a full merge folds, so only THOSE files
+    // are condemned after the flip and a concurrent delete survives
+    // (IndexLayout.condemnFoldedTombstones). Supersedes dirs are immutable
+    // segment content and stay dir-path reads.
+    val foldedTombFiles: Seq[String] =
+      if (fs.exists(tombPath))
+        fs.listStatus(tombPath).map(_.getPath.getName)
+          .filter(n => !n.startsWith(".") && !n.startsWith("_")).toSeq
+      else Seq.empty
+    val superSources = published
+      .map(sd => s"$indexDir/$sd/supersedes")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val tombSources =
+      foldedTombFiles.map(n => s"$indexDir/tombstones/$n") ++ superSources
     if (tombSources.isEmpty && gens.size == 1)
       return // nothing to fold or merge
     val tombs =
@@ -128,7 +145,7 @@ object Compaction {
           .select($"docId").distinct()
           .write.mode(SaveMode.Append).parquet(s"$indexDir/tombstones")
       IndexLayout.publish(spark, indexDir, remaining)
-      IndexLayout.gcUnreferenced(spark, indexDir)
+      IndexLayout.gcUnreferenced(spark, indexDir, conf.gcGraceMs)
       return
     }
     require(nDocs > 0, "compaction would empty the index")
@@ -186,6 +203,15 @@ object Compaction {
     IndexLayout.writeJobDescriptor(spark, segPath,
       JobDescriptor(if (partial) "compaction-partial" else "compaction",
         0L, publishSet, conf.numBuckets))
+    if (!partial && foldedTombFiles.nonEmpty) {
+      // record the folded snapshot beside the descriptor so resume can
+      // condemn exactly these files after (or instead of re-doing) the flip
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(segPath, "folded-tombstones.txt"), true)
+      try out.write((foldedTombFiles.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     IndexBuilder.encodePostings(spark, rows, hot, totalTerms, conf, segPath,
       append = false, onlyBuckets = None)
     docs.write.mode(SaveMode.Overwrite).parquet(s"$segPath/docs")
@@ -222,7 +248,10 @@ object Compaction {
 
     // PUBLISH — the only step that changes what readers see
     IndexLayout.publish(spark, indexDir, publishSet)
-    if (!partial) fs.delete(tombPath, true) // folded in (full merge only)
-    IndexLayout.gcUnreferenced(spark, indexDir)
+    // full merge only: condemn (don't delete) exactly the snapshot it
+    // folded — stale in-flight snapshots keep reading them until the GC
+    // grace expires, and a delete() that landed mid-merge survives
+    if (!partial) IndexLayout.condemnFoldedTombstones(spark, indexDir, seg)
+    IndexLayout.gcUnreferenced(spark, indexDir, conf.gcGraceMs)
   }
 }

@@ -222,16 +222,23 @@ object IndexBuilder {
     val r = buildInternal(spark, docs, s"$indexDir/$seg", conf,
       onlyBuckets = None)
     IndexLayout.publish(spark, indexDir, Seq(seg))
-    postBuildCleanup(spark, indexDir)
+    postBuildCleanup(spark, indexDir, conf.gcGraceMs)
     r
   }
 
-  /** A fresh build invalidates tombstones aimed at the superseded docIds. */
-  private def postBuildCleanup(spark: SparkSession, indexDir: String): Unit = {
+  /** A fresh build invalidates tombstones aimed at the superseded docIds.
+    * The tombstone wipe is IMMEDIATE, not grace-deferred: a rebuild reuses
+    * ids from 0, so leaving the old entries live for the grace window would
+    * mask arbitrary new docs. The (rare) cost is that a query over the
+    * pre-rebuild snapshot racing this wipe can fail — the retired segment
+    * dirs themselves still get the GC grace.
+    */
+  private def postBuildCleanup(spark: SparkSession, indexDir: String,
+      gcGraceMs: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
-    IndexLayout.gcUnreferenced(spark, indexDir)
+    IndexLayout.gcUnreferenced(spark, indexDir, gcGraceMs)
   }
 
   /** Incremental append — the reference's repeated-batch operating model
@@ -410,27 +417,27 @@ object IndexBuilder {
         desc.kind match {
           case "compaction" | "compaction-partial" =>
             if (published == desc.publish) {
-              // flip already happened; reclaim the superseded dirs. The
-              // global tombstones dir is deliberately NOT deleted here even
-              // for a full merge: deletes issued between the crash and this
-              // resume are indistinguishable from pre-flip residue, and a
-              // stale folded tombstone is harmless (it targets ids the
-              // merge physically dropped; append's offset backstop keeps
-              // them from ever being reissued) while a wiped fresh delete
-              // is a resurrection. The next full merge folds them again.
-              IndexLayout.gcUnreferenced(spark, indexDir)
+              // flip already happened; reclaim the superseded dirs. For a
+              // full merge, condemn EXACTLY the tombstone files the merge's
+              // recorded snapshot folded (idempotent replay): deletes issued
+              // between the crash and this resume are not in the snapshot
+              // and keep masking their targets — the pre-r5 whole-dir wipe
+              // here was a resurrection of exactly those deletes.
+              if (desc.kind == "compaction")
+                IndexLayout.condemnFoldedTombstones(spark, indexDir, sd)
+              IndexLayout.gcUnreferenced(spark, indexDir, rconf.gcGraceMs)
               return BuildReport(0, 0, 0, 0, rconf.numBuckets, 0)
             }
             if (missing.isEmpty) {
               // fully materialized, crash was before the flip: finish it.
-              // Only a FULL merge folds the global tombstones dir — a
-              // partial (tiered) merge's tombstones may target unmerged
-              // generations and must survive the flip.
+              // Only a FULL merge folds the global tombstones dir — and
+              // only its recorded snapshot (see above); a partial (tiered)
+              // merge's tombstones may target unmerged generations and must
+              // survive the flip entirely.
               IndexLayout.publish(spark, indexDir, desc.publish)
               if (desc.kind == "compaction")
-                fs.delete(
-                  new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
-              IndexLayout.gcUnreferenced(spark, indexDir)
+                IndexLayout.condemnFoldedTombstones(spark, indexDir, sd)
+              IndexLayout.gcUnreferenced(spark, indexDir, rconf.gcGraceMs)
             } else {
               // half-written merge: its inputs are still fully published —
               // discard the orphan; the next Compaction run redoes it
@@ -445,7 +452,7 @@ object IndexBuilder {
               // and a fresh build reuses ids from 0: skipping cleanup here
               // permanently masked arbitrary new docs (and the next full
               // compaction would physically drop them)
-              if (kind == "build") postBuildCleanup(spark, indexDir)
+              if (kind == "build") postBuildCleanup(spark, indexDir, rconf.gcGraceMs)
               return BuildReport(0, 0, 0, 0, rconf.numBuckets, 0)
             }
             val report =
@@ -463,7 +470,7 @@ object IndexBuilder {
                 desc.publish.filterNot(_ == sd), sd)
             if (published != desc.publish)
               IndexLayout.publish(spark, indexDir, desc.publish)
-            if (kind == "build") postBuildCleanup(spark, indexDir)
+            if (kind == "build") postBuildCleanup(spark, indexDir, rconf.gcGraceMs)
             report
         }
     }

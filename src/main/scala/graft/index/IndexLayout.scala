@@ -39,6 +39,13 @@ object IndexLayout {
     case _            => None
   }
 
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    finally in.close()
+  }
+
   /** Live segment dirs named by the newest pointer (build order preserved);
     * None if the index has never been published.
     */
@@ -50,14 +57,11 @@ object IndexLayout {
       .flatMap(st => pointerK(st.getPath.getName).map(_ -> st.getPath))
     // newest first; a legitimate pointer always names >= 1 segdir, so an
     // empty read (a pre-rename-era mid-create pointer, or a torn filesystem)
-    // falls back to the next-newest instead of resolving an empty index
+    // falls back to the next-newest instead of resolving an empty index —
+    // as does an older pointer a concurrent GC reaped between list and open
+    // (the newest pointer is never reaped)
     ptrs.sortBy(-_._1).iterator.map { case (_, p) =>
-      val in = fs.open(p)
-      try {
-        val txt = new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-      } finally in.close()
+      try readLines(fs, p) catch { case _: java.io.IOException => Seq.empty }
     }.find(_.nonEmpty)
   }
 
@@ -122,35 +126,131 @@ object IndexLayout {
     if (ks.isEmpty) None else Some(segDirName(ks.max))
   }
 
-  /** Delete segment dirs not named by the newest pointer (post-publish GC).
-    * Best-effort: a failure leaves only dead bytes, never a broken index.
+  /** Post-publish GC with a retirement grace period — the local-filesystem
+    * analog of Lucene's reference-counted readers / an object store's
+    * delayed deletion. Nothing a reader could still be scanning is deleted
+    * until it has been unreferenced for at least `graceMs`:
     *
-    * Known at-scale gap: a query planned over the OLD pointer can still be
-    * executing when its segment dirs are deleted here — the engine's
-    * per-query staleness refresh shrinks but cannot close that window
-    * (the Lucene analog is reference-counted readers). The production
-    * posture on an object store is DELAYED GC — a grace period or bucket
-    * versioning — which this local layout models as immediate deletion.
+    *  - pointer files: the newest is always kept; a superseded pointer is
+    *    kept until its SUCCESSOR is `graceMs` old (i.e. until it has been
+    *    retired for grace). Reaping them matters at scale: continuous
+    *    ingest otherwise leaks one pointer file per publish, and every
+    *    `current()` resolution lists the directory.
+    *  - segment dirs: kept while any retained pointer names them; an
+    *    unreferenced dir is additionally kept until its own mtime is
+    *    `graceMs` old (a concurrent writer's in-flight dir is named by no
+    *    pointer yet).
+    *  - condemned tombstone files: a full merge records the exact files it
+    *    folded (see [[condemnFoldedTombstones]]); they are reaped once the
+    *    condemnation marker is `graceMs` old, and the `tombstones/` dir
+    *    itself only when no data files or markers remain.
+    *
+    * A query planned over a pointer superseded more than `graceMs` ago is
+    * the only reader this can break — the engine re-validates its snapshot
+    * per query, so `graceMs` only needs to exceed the longest single
+    * query/scan. `graceMs = 0` reproduces immediate deletion. Best-effort:
+    * a failure leaves only dead bytes, never a broken index.
     */
-  def gcUnreferenced(spark: SparkSession, indexDir: String): Unit = {
-    val live = current(spark, indexDir).getOrElse(return).toSet
+  def gcUnreferenced(spark: SparkSession, indexDir: String,
+      graceMs: Long = IndexConf.GcGraceMsDefault): Unit = {
     val fs = fsOf(spark, indexDir)
-    // Crash-orphaned pointer temps (unique per writer, see publish) are
-    // harmless to readers but would otherwise accumulate; an age guard
-    // keeps a racing writer's in-flight tmp safe.
-    val tmpGraceMs = 60L * 60 * 1000
+    val base = new Path(indexDir)
+    if (!fs.exists(base)) return
     val now = System.currentTimeMillis()
-    fs.listStatus(new Path(indexDir)).foreach { st =>
+    val sts = fs.listStatus(base).toSeq
+    val ptrs = sts
+      .flatMap(st => pointerK(st.getPath.getName).map(_ -> st))
+      .sortBy(_._1)
+    if (ptrs.isEmpty) return // unpublished dir: nothing is provably garbage
+    // a pointer is retired the moment its successor appears
+    val retained = ptrs.zipWithIndex.collect {
+      case ((_, st), i) if i == ptrs.size - 1 ||
+          now - ptrs(i + 1)._2.getModificationTime < graceMs => st
+    }
+    val protectedSegs: Set[String] =
+      try retained.flatMap(st => readLines(fs, st.getPath)).toSet
+      catch { case _: java.io.IOException => return } // racing GC won; defer
+    val retainedNames = retained.map(_.getPath.getName).toSet
+    // crash-orphaned pointer temps (unique per writer, see publish) are
+    // invisible to readers; age-guard them so a racing writer's in-flight
+    // tmp survives
+    val tmpGraceMs = math.max(graceMs, 60L * 60 * 1000)
+    sts.foreach { st =>
       val name = st.getPath.getName
-      if (SegRe.pattern.matcher(name).matches() && !live.contains(name)) {
+      val reap =
+        if (SegRe.pattern.matcher(name).matches())
+          !protectedSegs.contains(name) &&
+            now - st.getModificationTime >= graceMs
+        else if (pointerK(name).isDefined) !retainedNames.contains(name)
+        else name.startsWith("current-") && name.endsWith(".tmp") &&
+          now - st.getModificationTime >= tmpGraceMs
+      if (reap)
         try fs.delete(st.getPath, true)
         catch { case _: Exception => }
-      } else if (name.startsWith("current-") && name.endsWith(".tmp") &&
-          now - st.getModificationTime > tmpGraceMs) {
-        try fs.delete(st.getPath, false)
-        catch { case _: Exception => }
-      }
     }
+    reapCondemnedTombstones(fs, indexDir, now, graceMs)
+  }
+
+  /** Record that a completed FULL merge folded exactly the tombstone files
+    * listed in `$seg/folded-tombstones.txt` (snapshotted by the merge before
+    * it built its tombstone view): writes `tombstones/.condemned-<seg>`
+    * (a dot-name every parquet read ignores) carrying the publish timestamp
+    * and the file names. The files stay readable for in-flight stale
+    * snapshots and are reaped by [[gcUnreferenced]] after the grace period.
+    *
+    * File-granular on purpose: a delete issued WHILE the merge ran — or
+    * between a compaction crash and its resume — is not in the list and
+    * keeps masking its target (which survived into the merged segment with
+    * its docId). The old whole-dir delete silently lost such deletes
+    * (resurrection). Idempotent per segment, so resume can replay it.
+    */
+  def condemnFoldedTombstones(spark: SparkSession, indexDir: String,
+      seg: String): Unit = {
+    val fs = fsOf(spark, indexDir)
+    val folded = new Path(s"$indexDir/$seg/folded-tombstones.txt")
+    if (!fs.exists(folded)) return // merge saw no global tombstones
+    val marker = new Path(s"$indexDir/tombstones/.condemned-$seg")
+    if (fs.exists(marker)) return
+    val names = readLines(fs, folded)
+    if (names.isEmpty) return
+    try {
+      val out = fs.create(marker, false)
+      try out.write((s"ts=${System.currentTimeMillis()}\n" +
+        names.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => } // lost a replay race: done
+  }
+
+  private def reapCondemnedTombstones(fs: FileSystem, indexDir: String,
+      now: Long, graceMs: Long): Unit = {
+    val tomb = new Path(s"$indexDir/tombstones")
+    if (!fs.exists(tomb)) return
+    fs.listStatus(tomb)
+      .filter(_.getPath.getName.startsWith(".condemned-"))
+      .foreach { m =>
+        try {
+          val lines = readLines(fs, m.getPath)
+          val ts = lines.collectFirst {
+            case l if l.startsWith("ts=") => l.drop(3).toLong
+          }
+          if (ts.exists(now - _ >= graceMs)) {
+            lines.filterNot(_.startsWith("ts=")).foreach { n =>
+              try fs.delete(new Path(tomb, n), false)
+              catch { case _: Exception => }
+            }
+            fs.delete(m.getPath, false)
+          }
+        } catch { case _: Exception => }
+      }
+    // only write metadata (_SUCCESS) left? drop the dir itself
+    val after =
+      try fs.listStatus(tomb).map(_.getPath.getName)
+      catch { case _: Exception => return }
+    if (!after.exists(n => !n.startsWith("_") && !n.startsWith(".")) &&
+        !after.exists(_.startsWith(".condemned-")))
+      try fs.delete(tomb, true)
+      catch { case _: Exception => }
   }
 
   // ----------------------------------------------------- job descriptors

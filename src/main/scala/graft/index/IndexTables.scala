@@ -121,6 +121,15 @@ final case class JobDescriptor(kind: String, idOffset: Long,
 
 object IndexConf {
   val BlockSize = 128
+  /** Default GC retirement grace (15 min): retired segment dirs, superseded
+    * pointer files, and condemned (folded) tombstone files stay on disk this
+    * long after they stop being referenced, so a query planned over the
+    * previous snapshot can finish — the local analog of Lucene's
+    * reference-counted readers / an object store's delayed deletion. Must
+    * exceed the longest in-flight query/scan; engines re-validate their
+    * snapshot per query, so a view only outlives a flip by one query.
+    */
+  val GcGraceMsDefault: Long = 15L * 60 * 1000
 }
 
 /** @param numBuckets    term-hash directory partitions of the postings table
@@ -145,11 +154,18 @@ object IndexConf {
   *                      O(tail); full rewrites amortize to every O(N) docs.
   *                      Failures never propagate into the append — the merge
   *                      is best-effort background work.
+  * @param gcGraceMs     retirement grace for post-publish GC (see
+  *                      [[IndexLayout.gcUnreferenced]]): how long retired
+  *                      segment dirs, superseded pointers, and condemned
+  *                      tombstone files stay on disk after they stop being
+  *                      referenced. 0 = immediate deletion (tests).
   */
 final case class IndexConf(
     numBuckets: Int = 32,
     segmentMaxDocs: Int = 1 << 16,
     buildPartitions: Int = 0, // 0 = spark default parallelism
-    autoCompactGenerations: Int = 8) {
-  require(numBuckets > 0 && segmentMaxDocs > 0 && autoCompactGenerations >= 0)
+    autoCompactGenerations: Int = 8,
+    gcGraceMs: Long = IndexConf.GcGraceMsDefault) {
+  require(numBuckets > 0 && segmentMaxDocs > 0 && autoCompactGenerations >= 0
+    && gcGraceMs >= 0)
 }

@@ -27,12 +27,30 @@ class CompactionSpec extends AnyFunSuite {
     Deletes.delete(spark, dir, victims)
     Compaction.run(spark, dir, conf)
 
-    // tombstones must be gone
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
-    // the superseded generation is GC'd, exactly one live segdir remains
+    def ls(sub: String = "") = fs.listStatus(
+        new org.apache.hadoop.fs.Path(if (sub.isEmpty) dir else s"$dir/$sub"))
+      .map(_.getPath.getName).toSeq
+    // exactly one live segdir — but within the GC grace period the retired
+    // generation, the superseded pointer, and the folded tombstone files all
+    // stay on disk (condemned, not deleted) so an in-flight stale snapshot
+    // can finish; the folded files are marked by a .condemned-<seg> marker
     assert(IndexLayout.current(spark, dir).get.size == 1)
+    val live = IndexLayout.current(spark, dir).get.head
+    assert(ls().contains("seg-000000") && live != "seg-000000",
+      "retired generation reaped before its grace expired")
+    assert(ls().count(_.matches("current-\\d{6}\\.txt")) == 2,
+      "superseded pointer reaped before its grace expired")
+    assert(ls("tombstones").exists(_.startsWith(".condemned-")) &&
+      ls("tombstones").exists(n => !n.startsWith(".") && !n.startsWith("_")),
+      "full merge must condemn, not delete, the folded tombstone files")
+    // grace 0 = reap now: condemned files + dir, retired seg, old pointers
+    IndexLayout.gcUnreferenced(spark, dir, graceMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    assert(ls().filter(_.startsWith("seg-")) == Seq(live))
+    assert(ls().count(_.matches("current-\\d{6}\\.txt")) == 1)
+    assert(IndexLayout.current(spark, dir).get == Seq(live))
 
     val all = CorpusGen.generateLocal(n).sortBy(_.url).zipWithIndex
       .map { case (d, i) => (i.toLong, d.text, d.lang) }
@@ -127,8 +145,10 @@ class CompactionSpec extends AnyFunSuite {
         got.zip(expect).foreach { case ((_, gs), (_, es)) =>
           assert(math.abs(gs - es) < 1e-9, s"q='$q' score $gs != $es") }
       }
-    // a later FULL merge folds tombstone + forwarded supersedes, clears both
+    // a later FULL merge folds tombstone + forwarded supersedes; the folded
+    // tombstone files are condemned and reaped once the grace expires
     Compaction.run(spark, dir, conf)
+    IndexLayout.gcUnreferenced(spark, dir, graceMs = 0L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
     val full = new QueryEngine(spark, dir, conf.numBuckets)
     assert(full.stats.n == (nA - 2) + (nB - 1) + 12)
@@ -296,9 +316,9 @@ class CompactionSpec extends AnyFunSuite {
     // hammer the ONE-volatile-IndexView contract: refreshIfStale swaps the
     // whole snapshot, so a query thread racing an append's pointer flip
     // must always land on a consistent (old or new) view — never a torn
-    // mix of half-updated fields. Appends only (no compaction): generations
-    // are add-only, so both views' files exist throughout — the remaining
-    // query-vs-GC overlap window is a separate, documented concern.
+    // mix of half-updated fields. Appends only (no compaction) keep this
+    // test focused on the snapshot swap; the compaction/GC overlap is
+    // exercised by "queries racing appends with auto-compaction" below.
     val dir = SparkTestSession.tempDir("graft-race")
     val conf = IndexConf(numBuckets = 4, autoCompactGenerations = 0)
     IndexBuilder.build(spark, CorpusGen.generate(spark, 100L), dir, conf)
@@ -333,6 +353,83 @@ class CompactionSpec extends AnyFunSuite {
     assert(IndexLayout.current(spark, dir).get.size == 5)
     val after = engine.search("the", 5).collect()
     assert(after.length == 5)
+  }
+
+  test("queries racing appends with auto-compaction never crash (grace GC)") {
+    // the r5 grace GC closes the query-vs-GC overlap: a compaction retires
+    // generations mid-query, but their files, the superseded pointer, and
+    // the folded tombstone files all stay on disk for gcGraceMs — a reader
+    // holding the pre-flip snapshot finishes cleanly instead of hitting
+    // FileNotFound on a just-deleted segment dir.
+    val dir = SparkTestSession.tempDir("graft-race-compact")
+    val conf = IndexConf(numBuckets = 4, autoCompactGenerations = 2)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 100L), dir, conf)
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    val url = CorpusGen.doc(CorpusGen.DefaultSeed, 7L, 100L).url
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (1 to 2).map { t =>
+      new Thread(() => {
+        try {
+          while (!stop.get()) {
+            val hits = engine.search(if (t == 1) "the" else "w00003", 5)
+              .collect()
+            assert(hits.forall(r =>
+              r.getLong(0) >= 0 && !r.getDouble(1).isNaN))
+            assert(engine.realtimeGet(url).collect().length == 1)
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      (0 until 4).foreach { i =>
+        IndexBuilder.append(spark,
+          CorpusGen.generate(spark, 10L, seed = 500L + i), dir, conf)
+        engine.invalidateCache() // post-compaction contract (CLAUDE.md)
+      }
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(120000))
+    }
+    assert(errs.isEmpty, s"racing query failed: ${Option(errs.peek())}")
+    // G=2 policy kept the live set folded while readers hammered it
+    assert(IndexLayout.current(spark, dir).get.size <= 3)
+    val after = new QueryEngine(spark, dir, conf.numBuckets)
+    assert(after.stats.n == 140L)
+  }
+
+  test("deletes issued after a compaction crash survive the resume") {
+    // the merged segment folds a SNAPSHOT of the tombstone files (recorded
+    // as folded-tombstones.txt before any data is written). A delete that
+    // lands between the crash and the resume is NOT in that snapshot; the
+    // pre-grace resume wiped the whole tombstones dir when it finished the
+    // merge, silently resurrecting exactly those deletes.
+    val dir = SparkTestSession.tempDir("graft-resume-resurrect")
+    val conf = IndexConf(numBuckets = 4)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 100L), dir, conf)
+    Deletes.delete(spark, dir, Seq(7L))
+    intercept[RuntimeException] {
+      Compaction.runInternal(spark, dir, conf, failBeforePublish = true)
+    }
+    Deletes.delete(spark, dir, Seq(12L)) // lands while the merge is "down"
+    val url12 = spark.read.parquet(IndexLayout.docsPaths(spark, dir): _*)
+      .filter($"docId" === 12L).select($"url").head().getString(0)
+    IndexBuilder.resume(spark,
+      spark.emptyDataset[graft.corpus.WebDoc], dir, conf)
+    val engine = new QueryEngine(spark, dir, conf.numBuckets)
+    assert(engine.stats.n == 99L) // the merge physically dropped only 7
+    assert(engine.realtimeGet(url12).count() == 0,
+      "delete issued after the crash was resurrected by the resume")
+    // the surviving tombstone is an ordinary file the NEXT merge folds
+    Compaction.run(spark, dir, conf)
+    IndexLayout.gcUnreferenced(spark, dir, graceMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    val engine2 = new QueryEngine(spark, dir, conf.numBuckets)
+    assert(engine2.stats.n == 98L)
+    assert(engine2.realtimeGet(url12).count() == 0)
   }
 
   test("racing publishers never install a torn pointer") {

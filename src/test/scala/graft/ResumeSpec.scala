@@ -267,7 +267,11 @@ class ResumeSpec extends AnyFunSuite {
 
   test("resume after a flip-complete compaction crash GCs superseded dirs") {
     val dir = SparkTestSession.tempDir("graft-resume-compactgc")
-    val c = IndexConf(numBuckets = 4, autoCompactGenerations = 0)
+    // gcGraceMs = 0: the faked leftover dir below has mtime "now", and this
+    // test asserts IMMEDIATE reaping; the grace path is covered in
+    // CompactionSpec ("compacted index == oracle...")
+    val c = IndexConf(numBuckets = 4, autoCompactGenerations = 0,
+      gcGraceMs = 0L)
     IndexBuilder.build(spark, CorpusGen.generate(spark, 80), dir, c)
     IndexBuilder.append(spark,
       CorpusGen.generate(spark, 40, seed = 7L), dir, c)
