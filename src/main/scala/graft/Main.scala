@@ -48,15 +48,24 @@ object MainCommon {
     */
   def resolveBuckets(spark: SparkSession, indexDir: String,
       flag: Option[String]): Int = {
+    import graft.index.IndexLayout.DetectedBuckets
     val detected = graft.index.IndexLayout.detectBuckets(spark, indexDir)
     (flag.map(_.toInt), detected) match {
-      case (Some(f), Some(d)) if f != d => throw new IllegalArgumentException(
-        s"--buckets $f contradicts the index's recorded bucket count $d " +
-          s"at $indexDir (omit --buckets; it is only needed for indexes " +
-          "that predate self-description)")
-      case (Some(f), _)    => f
-      case (None, Some(d)) => d
-      case (None, None)    => 32
+      case (Some(f), Some(DetectedBuckets(d, true))) if f != d =>
+        throw new IllegalArgumentException(
+          s"--buckets $f contradicts the index's recorded bucket count $d " +
+            s"at $indexDir (omit --buckets; it is only needed for indexes " +
+            "that predate self-description)")
+      // dir-count detection is a LOWER bound (empty buckets leave no dir):
+      // a flag below it is provably wrong, a flag at-or-above it may be the
+      // exact count the heuristic undercounted — trust the operator there
+      case (Some(f), Some(DetectedBuckets(d, false))) if f < d =>
+        throw new IllegalArgumentException(
+          s"--buckets $f cannot be right: the index at $indexDir has $d " +
+            "termBucket= dirs (more buckets than the flag claims exist)")
+      case (Some(f), _)                          => f
+      case (None, Some(DetectedBuckets(d, _)))   => d
+      case (None, None)                          => 32
     }
   }
 
@@ -95,12 +104,20 @@ object BuildIndex {
       flagNames = Set("--resume", "--append", "--skew"))
     val spark = MainCommon.session("graft-build")
     import spark.implicits._
-    // fresh build: the flag (or default) DEFINES the layout; append/resume
-    // continue an existing index, so the recorded count wins (a mismatched
-    // flag is rejected — mixed-bucket generations silently lose hits)
-    val incremental = flags.contains("--resume") || flags.contains("--append")
+    // fresh build: the flag (or default) DEFINES the layout. --append
+    // continues the PUBLISHED index, so its recorded count wins and a
+    // mismatched flag is rejected (mixed-bucket generations silently lose
+    // hits). --resume is different: it REPLAYS the crashed job's own
+    // job.txt bucket count regardless of this conf (IndexBuilder.resume),
+    // and the crashed job may legitimately differ from the published index
+    // (a rebuild under a new count) — so the flag passes through unchecked
+    // and only backstops pre-field orphans with no recorded count.
     val conf = IndexConf(numBuckets =
-      if (incremental) MainCommon.resolveBuckets(spark, indexDir, opts.get("--buckets"))
+      if (flags.contains("--append"))
+        MainCommon.resolveBuckets(spark, indexDir, opts.get("--buckets"))
+      else if (flags.contains("--resume"))
+        opts.get("--buckets").map(_.toInt).getOrElse(
+          MainCommon.resolveBuckets(spark, indexDir, None))
       else opts.getOrElse("--buckets", "32").toInt)
     val docs = opts.get("--input") match {
       case Some(p) => spark.read.parquet(p).as[graft.corpus.WebDoc]

@@ -98,11 +98,9 @@ object Compaction {
         fs.listStatus(tombPath).map(_.getPath.getName)
           .filter(n => !n.startsWith(".") && !n.startsWith("_")).toSeq
       else Seq.empty
-    val superSources = published
-      .map(sd => s"$indexDir/$sd/supersedes")
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     val tombSources =
-      foldedTombFiles.map(n => s"$indexDir/tombstones/$n") ++ superSources
+      foldedTombFiles.map(n => s"$indexDir/tombstones/$n") ++
+        IndexLayout.supersedesPaths(spark, indexDir, published)
     if (tombSources.isEmpty && gens.size == 1)
       return // nothing to fold or merge
     val tombs =

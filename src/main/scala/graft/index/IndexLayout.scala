@@ -180,7 +180,8 @@ object IndexLayout {
       val reap =
         if (SegRe.pattern.matcher(name).matches())
           !protectedSegs.contains(name) &&
-            now - st.getModificationTime >= graceMs
+            now - st.getModificationTime >= graceMs &&
+            segQuiesced(fs, st, now, graceMs)
         else if (pointerK(name).isDefined) !retainedNames.contains(name)
         else name.startsWith("current-") && name.endsWith(".tmp") &&
           now - st.getModificationTime >= tmpGraceMs
@@ -189,6 +190,37 @@ object IndexLayout {
         catch { case _: Exception => }
     }
     reapCondemnedTombstones(fs, indexDir, now, graceMs)
+  }
+
+  /** Whether an UNREFERENCED segment dir is provably not being written.
+    * A completed segment (manifest present — the commit barrier's last
+    * write) is retired data; its pointer-grace has expired, reap it. A
+    * manifest-less dir is either a crash orphan or a concurrent writer's
+    * in-flight segment — indistinguishable without a liveness signal, and
+    * the dir's own mtime is NOT one (it only advances when a DIRECT child
+    * is created; a long encode creates its direct children up front). So
+    * the liveness signal is a bounded-depth walk: an active parquet write
+    * churns file and task-dir mtimes deep in `postings/_temporary`, while
+    * a genuine orphan goes quiet everywhere the instant its job dies —
+    * quiet for graceMs at every depth → reap (same timing orphans always
+    * had; graceMs = 0 keeps the tests' immediate-deletion semantics).
+    */
+  private def segQuiesced(fs: FileSystem, st: org.apache.hadoop.fs.FileStatus,
+      now: Long, graceMs: Long): Boolean = {
+    if (graceMs <= 0) return true
+    val hasManifest =
+      try fs.exists(new Path(st.getPath, "manifest"))
+      catch { case _: Exception => false }
+    if (hasManifest) return true
+    def maxMtime(p: Path, depth: Int): Long = {
+      val kids = try fs.listStatus(p) catch { case _: Exception => return now }
+      kids.foldLeft(0L) { (m, k) =>
+        val own = math.max(m, k.getModificationTime)
+        if (k.isDirectory && depth < 6) math.max(own, maxMtime(k.getPath, depth + 1))
+        else own
+      }
+    }
+    now - math.max(st.getModificationTime, maxMtime(st.getPath, 0)) >= graceMs
   }
 
   /** Record that a completed FULL merge folded exactly the tombstone files
@@ -243,14 +275,22 @@ object IndexLayout {
           }
         } catch { case _: Exception => }
       }
-    // only write metadata (_SUCCESS) left? drop the dir itself
+    // only a leftover _SUCCESS marker? drop the dir — but NEVER recursively:
+    // a concurrent Deletes.delete writes through `_temporary`, which the old
+    // "metadata-only" test also matched, so a recursive delete here could
+    // wipe an in-flight delete job's committed task files (a lost delete —
+    // the resurrection class the condemnation protocol exists to prevent).
+    // Non-recursive rmdir fails harmlessly if a racer added ANYTHING between
+    // the list and the delete.
     val after =
       try fs.listStatus(tomb).map(_.getPath.getName)
       catch { case _: Exception => return }
-    if (!after.exists(n => !n.startsWith("_") && !n.startsWith(".")) &&
-        !after.exists(_.startsWith(".condemned-")))
-      try fs.delete(tomb, true)
-      catch { case _: Exception => }
+    if (after.forall(_ == "_SUCCESS")) {
+      try {
+        after.foreach(n => fs.delete(new Path(tomb, n), false))
+        fs.delete(tomb, false)
+      } catch { case _: Exception => }
+    }
   }
 
   // ----------------------------------------------------- job descriptors
@@ -291,21 +331,30 @@ object IndexLayout {
         kv.get("buckets").map(_.toInt).getOrElse(0))
   }
 
+  /** A bucket count detected from a live index: `recorded = true` when it
+    * came from a job.txt `buckets=` field (authoritative — reject a
+    * contradicting flag); `recorded = false` when it was inferred by
+    * counting `termBucket=` dirs (a LOWER BOUND only — exact iff every
+    * bucket is non-empty, so a flag above it may well be right and must
+    * not be rejected, while a flag below it is provably wrong).
+    */
+  final case class DetectedBuckets(n: Int, recorded: Boolean)
+
   /** The bucket count the live index was encoded with, from the newest
     * published segment that recorded one (job.txt `buckets=`); falls back to
-    * counting `termBucket=` dirs for pre-field segments (a lower bound that
-    * is exact whenever every bucket is non-empty — true for any real
-    * corpus). None when nothing is published. CLIs use this so an operator
-    * never has to repeat --buckets at query/compact time, and a WRONG
-    * explicit flag can be rejected loudly instead of silently pruning to
-    * the wrong termBucket dirs.
+    * counting `termBucket=` dirs for pre-field segments. None when nothing
+    * is published. CLIs use this so an operator never has to repeat
+    * --buckets at query/compact time, and a WRONG explicit flag can be
+    * rejected loudly instead of silently pruning postings scans to the
+    * wrong termBucket dirs.
     */
-  def detectBuckets(spark: SparkSession, indexDir: String): Option[Int] = {
+  def detectBuckets(spark: SparkSession,
+      indexDir: String): Option[DetectedBuckets] = {
     val segdirs = current(spark, indexDir).getOrElse(return None)
     val recorded = segdirs.reverseIterator
       .flatMap(sd => readJobDescriptor(spark, s"$indexDir/$sd"))
       .map(_.buckets).find(_ > 0)
-    recorded.orElse {
+    recorded.map(DetectedBuckets(_, recorded = true)).orElse {
       val fs = fsOf(spark, indexDir)
       val counts = segdirs.flatMap { sd =>
         val p = new Path(s"$indexDir/$sd/postings")
@@ -313,7 +362,8 @@ object IndexLayout {
         else Some(fs.listStatus(p)
           .count(_.getPath.getName.startsWith("termBucket=")))
       }.filter(_ > 0)
-      if (counts.isEmpty) None else Some(counts.max)
+      if (counts.isEmpty) None
+      else Some(DetectedBuckets(counts.max, recorded = false))
     }
   }
 
@@ -326,9 +376,20 @@ object IndexLayout {
   def tombstonePaths(spark: SparkSession, indexDir: String,
       segdirs: Seq[String]): Seq[String] = {
     val fs = fsOf(spark, indexDir)
-    val cands = s"$indexDir/tombstones" +:
-      segdirs.map(sd => s"$indexDir/$sd/supersedes")
-    cands.filter(p => fs.exists(new Path(p)))
+    Seq(s"$indexDir/tombstones").filter(p => fs.exists(new Path(p))) ++
+      supersedesPaths(spark, indexDir, segdirs)
+  }
+
+  /** Just the per-segment `supersedes/` half of [[tombstonePaths]] — for
+    * callers (compaction) that snapshot the global `tombstones/` dir as an
+    * explicit file list but still read the segment-immutable supersedes as
+    * dir paths. Kept here so the supersedes layout has ONE resolver.
+    */
+  def supersedesPaths(spark: SparkSession, indexDir: String,
+      segdirs: Seq[String]): Seq[String] = {
+    val fs = fsOf(spark, indexDir)
+    segdirs.map(sd => s"$indexDir/$sd/supersedes")
+      .filter(p => fs.exists(new Path(p)))
   }
 
   def postingsPaths(spark: SparkSession, indexDir: String): Seq[String] =

@@ -432,6 +432,74 @@ class CompactionSpec extends AnyFunSuite {
     assert(engine2.realtimeGet(url12).count() == 0)
   }
 
+  test("tombstones dir survives GC while a delete job is mid-write") {
+    // a Deletes.delete writes through tombstones/_temporary; the old reaper
+    // treated everything _-prefixed as removable metadata and recursively
+    // deleted the dir — wiping the in-flight job's committed task files
+    // (a silently lost delete). The reaper must remove only files it
+    // condemned, and the dir only when _SUCCESS alone remains (and then
+    // non-recursively, so any racer aborts the rmdir).
+    val dir = SparkTestSession.tempDir("graft-tomb-inflight")
+    val conf = IndexConf(numBuckets = 4)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 60L), dir, conf)
+    Deletes.delete(spark, dir, Seq(3L))
+    Compaction.run(spark, dir, conf) // full merge: condemns the folded files
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    assert(fs.exists(tomb))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tomb, "_temporary/0"))
+    IndexLayout.gcUnreferenced(spark, dir, graceMs = 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(tomb, "_temporary/0")),
+      "GC recursively deleted the tombstones dir over an in-flight writer")
+    // ...but the condemned data files themselves were reaped
+    assert(!fs.listStatus(tomb).exists { st =>
+      val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
+    })
+    fs.delete(new org.apache.hadoop.fs.Path(tomb, "_temporary"), true)
+    IndexLayout.gcUnreferenced(spark, dir, graceMs = 0L)
+    assert(!fs.exists(tomb), "quiet empty tombstones dir should be dropped")
+  }
+
+  test("GC spares a manifest-less segment whose deep files are fresh") {
+    // a segment dir's own mtime only advances when a DIRECT child is
+    // created — a long encode phase looks stale at the top while its
+    // parquet tasks churn files deep under postings/. The reaper must
+    // treat a manifest-less dir as in-flight while ANY nested mtime is
+    // within grace, and as a crash orphan (reap) only when the whole tree
+    // has been quiet for the grace period.
+    val dir = SparkTestSession.tempDir("graft-gc-inflight")
+    val conf = IndexConf(numBuckets = 4)
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 30L), dir, conf)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seg = new org.apache.hadoop.fs.Path(s"$dir/seg-000099")
+    val deep = new org.apache.hadoop.fs.Path(seg, "postings/termBucket=0")
+    fs.mkdirs(deep)
+    Seq(new org.apache.hadoop.fs.Path(seg, "job.txt"),
+        new org.apache.hadoop.fs.Path(deep, "part-0.parquet")).foreach { p =>
+      val out = fs.create(p, true); out.write(1); out.close()
+    }
+    // age every DIRECTORY past the grace; the deep file stays fresh
+    val old = System.currentTimeMillis() - 10L * 60 * 1000
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val kids = fs.listStatus(p).toSeq
+      kids ++ kids.filter(_.isDirectory).flatMap(s => walk(s.getPath))
+    }
+    walk(seg).filter(_.isDirectory).foreach(s => fs.setTimes(s.getPath, old, -1))
+    fs.setTimes(seg, old, -1)
+    val grace = 60L * 1000
+    IndexLayout.gcUnreferenced(spark, dir, graceMs = grace)
+    assert(fs.exists(seg), "in-flight (manifest-less) segment reaped mid-encode")
+    // now the whole tree goes quiet: a genuine orphan, reaped
+    walk(seg).foreach(s => fs.setTimes(s.getPath, old, -1))
+    fs.setTimes(seg, old, -1)
+    IndexLayout.gcUnreferenced(spark, dir, graceMs = grace)
+    assert(!fs.exists(seg), "quiet orphan must still be reaped after grace")
+    // a published segment is never touched
+    assert(IndexLayout.current(spark, dir).get == Seq("seg-000000"))
+  }
+
   test("racing publishers never install a torn pointer") {
     // pointer temps are per-writer unique: a shared tmp name let one racing
     // publisher truncate another's in-flight bytes and rename TORN content

@@ -484,13 +484,47 @@ class EngineSpec extends AnyFunSuite {
     df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
   test("index self-describes its bucket count; a mismatched engine fails loudly") {
-    assert(IndexLayout.detectBuckets(spark, indexDir).contains(conf.numBuckets))
+    assert(IndexLayout.detectBuckets(spark, indexDir)
+      .contains(IndexLayout.DetectedBuckets(conf.numBuckets, recorded = true)))
     // wrong numBuckets used to prune postings scans to the wrong termBucket
     // dirs — zero hits, no error; now the view build rejects it
     val e = intercept[IllegalArgumentException] {
       new QueryEngine(spark, indexDir, conf.numBuckets * 2)
     }
     assert(e.getMessage.contains("encoded with"))
+  }
+
+  test("dir-count bucket detection is a lower bound: flags at-or-above pass") {
+    // pre-self-description indexes (no job.txt buckets=) fall back to
+    // counting termBucket= dirs — a LOWER bound, since an empty bucket
+    // leaves no dir. The CLI resolver must reject only a flag BELOW the
+    // observed count (provably wrong) and trust one at-or-above it; the
+    // old equality check rejected the operator's CORRECT count and its
+    // "omit --buckets" advice then silently mis-pruned every scan.
+    val dir = SparkTestSession.tempDir("graft-lowerbound")
+    val c = graft.index.IndexConf(numBuckets = 8)
+    graft.index.IndexBuilder.build(spark, CorpusGen.generate(spark, 30L), dir, c)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // strip the recorded count, fabricating a pre-field index...
+    val job = new org.apache.hadoop.fs.Path(s"$dir/seg-000000/job.txt")
+    val txt = { val in = fs.open(job)
+      try new String(in.readAllBytes()) finally in.close() }
+    val out = fs.create(job, true)
+    try out.write(txt.linesIterator.filterNot(_.startsWith("buckets="))
+      .mkString("\n").getBytes("UTF-8")) finally out.close()
+    // ...with one empty bucket (undercount: 7 dirs, true count 8)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/seg-000000/postings/termBucket=7"), true)
+    assert(IndexLayout.detectBuckets(spark, dir)
+      .contains(IndexLayout.DetectedBuckets(7, recorded = false)))
+    assert(MainCommon.resolveBuckets(spark, dir, Some("8")) == 8,
+      "the true count must not be rejected on an undercounting fallback")
+    assert(MainCommon.resolveBuckets(spark, dir, None) == 7)
+    val e = intercept[IllegalArgumentException] {
+      MainCommon.resolveBuckets(spark, dir, Some("4"))
+    }
+    assert(e.getMessage.contains("termBucket"))
   }
 
   test("`+` is honored on ANY operand of an AND chain (ADVICE r3)") {
