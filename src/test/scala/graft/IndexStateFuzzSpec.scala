@@ -9,9 +9,9 @@ import graft.index._
 import graft.query.{QueryEngine, Deletes}
 
 /** State-machine fuzz over the incremental machinery: a seeded random
-  * sequence of append / upsert / delete / compact steps against a
-  * driver-side model of the live corpus, with invariants checked after
-  * EVERY step:
+  * sequence of append / upsert / delete / compact / hostile-GC (grace 0)
+  * steps against a driver-side model of the live corpus, with invariants
+  * checked after EVERY step:
   *
   *  - each live url realtime-gets exactly one row; deleted urls get none;
   *  - each url's CURRENT version token matches exactly one doc, and its
@@ -101,7 +101,7 @@ class IndexStateFuzzSpec extends AnyFunSuite {
 
     val steps = 12
     (0 until steps).foreach { s =>
-      rng.nextInt(4) match {
+      rng.nextInt(5) match {
         case 0 => // append a batch of fresh urls
           val batch = Seq.fill(2 + rng.nextInt(4))(freshDoc())
           batch.foreach(d => model(d.url) = d)
@@ -136,9 +136,16 @@ class IndexStateFuzzSpec extends AnyFunSuite {
           Deletes.delete(spark, dir, ids)
           picks.foreach { u => model.remove(u); deleted += u }
           checkInvariants(s"step$s-delete")
-        case _ => // explicit compaction (auto fires on its own too)
+        case 3 => // explicit compaction (auto fires on its own too)
           Compaction.run(spark, dir, conf)
           checkInvariants(s"step$s-compact")
+        case _ => // hostile GC: grace 0 reaps everything unreferenced NOW —
+          // retired generations, superseded pointers, condemned tombstone
+          // files. After any append/merge history this must never disturb
+          // the published snapshot (non-condemned tombstones, supersedes,
+          // live segdirs all survive; the engine re-resolves per query).
+          IndexLayout.gcUnreferenced(spark, dir, graceMs = 0L)
+          checkInvariants(s"step$s-gc0")
       }
     }
 
