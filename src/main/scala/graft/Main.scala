@@ -211,14 +211,25 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--facet field] [--delete] [--exhaustive] [--distributed]")
+    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--facet field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed]")
     val indexDir = args(0)
     val query = args(1)
     val (opts, flags) = MainCommon.parseArgs(args.drop(2).toSeq,
-      valued = Set("--k", "--buckets", "--df", "--facet"),
-      flagNames = Set("--delete", "--exhaustive", "--distributed"))
+      valued = Set("--k", "--buckets", "--df", "--facet", "--after"),
+      flagNames = Set("--delete", "--delete-all", "--exhaustive",
+        "--distributed"))
     val k = opts.getOrElse("--k", "10").toInt
     val df = opts.getOrElse("--df", "text") // Solr's df= default field
+    // deep-pagination anchor (Solr cursorMark analog): the cursor= line a
+    // previous page printed. Double.toString round-trips exactly, so the
+    // anchor score is bit-identical to the engine's.
+    val after = opts.get("--after").map { s =>
+      val i = s.lastIndexOf(',')
+      require(i > 0 && i < s.length - 1,
+        s"--after expects <score>,<docId> (a printed cursor=), got '$s'")
+      graft.query.Wand.Scored(s.substring(i + 1).toLong,
+        s.substring(0, i).toDouble)
+    }
     val spark = MainCommon.session("graft-search")
     val buckets = MainCommon.resolveBuckets(spark, indexDir, opts.get("--buckets"))
     // --distributed forces the windowed plan (driver fast path off) — the
@@ -231,12 +242,19 @@ object Search {
       else new QueryEngine(spark, indexDir, buckets)
     val t0 = System.nanoTime()
     val res =
-      (if (flags.contains("--exhaustive")) engine.searchExhaustive(query, k, df)
-       else engine.search(query, k, df)).collect()
+      (if (flags.contains("--exhaustive"))
+         engine.searchExhaustive(query, k, df, after)
+       else engine.search(query, k, df, after)).collect()
     val ms = (System.nanoTime() - t0) / 1e6
     println(f"[graft] query='$query' hits=${res.length} latencyMs=$ms%.1f")
     res.zipWithIndex.foreach { case (r, i) =>
       println(f"  ${i + 1}%2d. docId=${r.getLong(0)}%8d score=${r.getDouble(1)}%.6f")
+    }
+    // next-page anchor: pass back verbatim as --after (full page ⇒ more may
+    // exist; Double.toString round-trips, %.6f above does not)
+    if (res.length == k && res.nonEmpty) {
+      val last = res.last
+      println(s"[graft] cursor=${last.getDouble(1)},${last.getLong(0)}")
     }
     opts.get("--facet").foreach { field =>
       println(s"[graft] facet field='$field' (over ALL matches)")
@@ -247,6 +265,12 @@ object Search {
     if (flags.contains("--delete") && res.nonEmpty) {
       graft.query.Deletes.delete(spark, indexDir, res.map(_.getLong(0)).toSeq)
       println(s"[graft] tombstoned ${res.length} docs")
+    }
+    // delete EVERY match by cursor paging (the reference's rows=100000
+    // search-then-delete without the cap or the giant page)
+    if (flags.contains("--delete-all")) {
+      val n = engine.deleteAllByQuery(query, df)
+      println(s"[graft] tombstoned $n docs (all matches)")
     }
     spark.stop()
   }

@@ -246,7 +246,9 @@ object SparkEntry {
         "'(^|[^a-z0-9])data[^a-z0-9]+group([^a-z0-9]|$)')"),
     "q_phrase_slop" ->
       ("SELECT doc_id FROM documents WHERE regexp_matches(lower(text), " +
-        "'(^|[^a-z0-9])data([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+group([^a-z0-9]|$)')"),
+        "'(^|[^a-z0-9])data([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+group([^a-z0-9]|$)') " +
+        "OR regexp_matches(lower(text), " +
+        "'(^|[^a-z0-9])group[^a-z0-9]+data([^a-z0-9]|$)')"),
     "q_event_window" ->
       ("SELECT date_trunc('hour', ts) AS ws, event_type, " +
         "count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value " +

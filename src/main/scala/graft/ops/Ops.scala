@@ -143,15 +143,20 @@ object Ops {
         .rlike("(^|[^a-z0-9])data[^a-z0-9]+group([^a-z0-9]|$)"))
       .select("doc_id")
 
-  /** Q3 phrase slop (r4): `"data group"~2` as a bounded-gap in-order
-    * predicate — ≤ 2 intervening tokens under the engine tokenizer, the
-    * exact bigram reading of the engine's slop semantics (span ≤ 1+slop,
-    * order required). Superset of [[phraseMatch]].
+  /** Q3 phrase slop: `"data group"~2` under Lucene edit-distance slop (r5 —
+    * the engine's [[graft.query.Wand.phraseMatch]] semantics) as a regex
+    * predicate over the engine tokenizer's token stream. For a bigram at
+    * slop 2 the match set is exactly: in-order with ≤ 2 intervening tokens
+    * (adjusted span = gap − 1 ≤ 2), OR transposed ADJACENT ("group data",
+    * adjusted span = gap + 1 ≤ 2 forces gap = 1). Superset of
+    * [[phraseMatch]].
     */
   def phraseSlop(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .filter(lower(col("text")).rlike(
-        "(^|[^a-z0-9])data([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+group([^a-z0-9]|$)"))
+        "(^|[^a-z0-9])data([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+group([^a-z0-9]|$)") ||
+        lower(col("text")).rlike(
+          "(^|[^a-z0-9])group[^a-z0-9]+data([^a-z0-9]|$)"))
       .select("doc_id")
 
   /** A8/Q5: top-k with deterministic tiebreak (TakeOrderedAndProject). */

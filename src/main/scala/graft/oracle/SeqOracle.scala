@@ -97,10 +97,18 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     }
   }
 
-  /** Top-k for a parsed query; tiebreak (-score, docId). */
-  def topK(query: String, k: Int, df: String = "text"): Seq[(Long, Double)] = {
+  /** Top-k for a parsed query; tiebreak (-score, docId). `after` = the
+    * searchAfter anchor: the page of k results ranking strictly after it.
+    */
+  def topK(query: String, k: Int, df: String = "text",
+      after: Option[(Long, Double)] = None): Seq[(Long, Double)] = {
     val ast = QueryParser.parse(query, df)
-    candidates(ast).take(k)
+    val all = candidates(ast)
+    after match {
+      case None => all.take(k)
+      case Some((aId, aScore)) => all.filter { case (id, s) =>
+        s < aScore || (s == aScore && id > aId) }.take(k)
+    }
   }
 
   private def resolve(ast: QueryAst): ResolvedQuery =

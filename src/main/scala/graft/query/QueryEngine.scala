@@ -238,8 +238,18 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) <= 0
 
-  def search(q: String, k: Int, df: String = "text"): DataFrame =
-    searchWand(q, k, df)
+  /** @param after deep-pagination anchor (Lucene searchAfter / Solr
+    *              cursorMark): return the k docs ranking strictly after
+    *              (score, docId) in (-score, docId) order. Scores are
+    *              bit-identical across paths and parallelism, so a page
+    *              boundary from any path anchors any other; paging with a
+    *              constant k touches O(k) driver memory per page where the
+    *              reference's `rows=100000` (searchindex.py:98) heaps the
+    *              whole result — the 100× shape for scan-all-matches.
+    */
+  def search(q: String, k: Int, df: String = "text",
+      after: Option[Wand.Scored] = None): DataFrame =
+    searchWand(q, k, df, after)
 
   /** Library-call form: top-k as driver-side values. For small posting sets
     * this is one (cached) scan with zero result-side Spark jobs — the
@@ -360,7 +370,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
   // ---------------------------------------------------------------- WAND
 
-  def searchWand(q: String, k: Int, df: String = "text"): DataFrame = {
+  def searchWand(q: String, k: Int, df: String = "text",
+      after: Option[Wand.Scored] = None): DataFrame = {
     refreshIfStale()
     val v = view // ONE capture: every read below sees the same snapshot
     val ast = QueryParser.parse(q, df)
@@ -408,7 +419,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
               (denyIds.isEmpty || java.util.Arrays.binarySearch(denyIds, id) < 0)
             }
           val top = Wand.topK(byTerm, dfByTerm, scoring, clauses,
-            n, avgdls, k, 0L, Long.MaxValue, allowFn, rq.boosts)
+            n, avgdls, k, 0L, Long.MaxValue, allowFn, rq.boosts, after)
           return top.toSeq.toDS().toDF()
         case _ => // fall through to the distributed path
       }
@@ -439,6 +450,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val avgdlsB = avgdls
     val kB = k
     val boostsB = rq.boosts
+    val afterB = after
 
     // per-window BLOCK slices, not whole segments: a segment spanning many
     // windows ships each window only the bytes of its overlapping blocks
@@ -477,7 +489,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
           val byTerm = it.map(_._2).toSeq.groupBy(_.term)
           val lo = rid * rangeLen
           Wand.topK(byTerm, bDf.value, scoringB, clausesB,
-            n, avgdlsB, kB, lo, lo + rangeLen, None, boostsB).iterator
+            n, avgdlsB, kB, lo, lo + rangeLen, None, boostsB,
+            afterB).iterator
         }
       case Some(fr) =>
         // cogroup: each window task gets its own filter slice as a
@@ -512,7 +525,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
                 }
               val byTerm = segsHere.groupBy(_.term)
               Wand.topK(byTerm, bDf.value, scoringB, clausesB,
-                n, avgdlsB, kB, lo, hi, allowFn, boostsB).iterator
+                n, avgdlsB, kB, lo, hi, allowFn, boostsB, afterB).iterator
             }
         }
     }
@@ -524,11 +537,18 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
   // ---------------------------------------------------------- exhaustive
 
-  def searchExhaustive(q: String, k: Int, df: String = "text"): DataFrame = {
+  def searchExhaustive(q: String, k: Int, df: String = "text",
+      after: Option[Wand.Scored] = None): DataFrame = {
     refreshIfStale()
     val ast = QueryParser.parse(q, df)
-    scoredCandidates(ast, view)
-      .orderBy(desc("score"), asc("docId")).limit(k)
+    var cands = scoredCandidates(ast, view)
+    // searchAfter anchor: scores are bit-identical across paths, so the
+    // double-equality branch of the rank comparison is exact here too
+    after.foreach { a =>
+      cands = cands.filter($"score" < a.score ||
+        ($"score" === a.score && $"docId" > a.docId))
+    }
+    cands.orderBy(desc("score"), asc("docId")).limit(k)
   }
 
   /** All matching (docId, score) as a DataFrame — the pure-Catalyst match
@@ -734,6 +754,33 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val ids = search(q, k).select($"docId").as[Long].collect()
     Deletes.delete(spark, indexDir, ids)
     ids.length.toLong
+  }
+
+  /** Delete EVERY match — the reference's real intent behind
+    * `rows=100000` (searchindex.py:98: one giant page, then per-hit
+    * deletes; it silently misses matches beyond the cap). Cursor-pages
+    * through the ranking with [[search]]'s `after` anchor and tombstones
+    * each page, so driver memory is O(pageSize) at ANY match count — the
+    * 100×-safe shape. Later pages rank strictly after the anchor, so the
+    * per-page tombstone writes can never re-surface or skip a match
+    * regardless of when the engine picks them up. Returns docs deleted.
+    */
+  def deleteAllByQuery(q: String, df: String = "text",
+      pageSize: Int = 10000): Long = {
+    var total = 0L
+    var after: Option[Wand.Scored] = None
+    var done = false
+    while (!done) {
+      val page = search(q, pageSize, df, after).collect()
+        .map(r => Wand.Scored(r.getLong(0), r.getDouble(1)))
+      if (page.nonEmpty) {
+        Deletes.delete(spark, indexDir, page.map(_.docId).toSeq)
+        total += page.length
+      }
+      if (page.length < pageSize) done = true
+      else after = Some(page.last)
+    }
+    total
   }
 }
 

@@ -25,13 +25,16 @@ final case class ExactLit(key: String) extends TermLit
   */
 final case class PrefixLit(key: String) extends TermLit
 
-/** One positional phrase constraint. `slop` is the number of EXTRA positions
-  * the matching window may stretch by (Lucene `"a b"~N` surface,
-  * searchindex.py:98): the phrase matches iff its terms occur IN ORDER at
-  * strictly increasing positions spanning ≤ (len-1) + slop. slop=0 is the
-  * exact consecutive phrase. Documented divergence: Lucene's edit-distance
-  * slop also admits term transposition at slop ≥ 2; this engine requires
-  * order (the common "within-N words, in order" reading).
+/** One positional phrase constraint. `slop` is Lucene's edit-distance slop
+  * (the `"a b"~N` surface, searchindex.py:98): the phrase matches iff there
+  * are distinct positions p_i, one per term, with
+  * max(p_i - i) - min(p_i - i) ≤ slop — the total number of single-position
+  * token moves needed to align the document with the phrase. slop=0 is the
+  * exact consecutive in-order phrase; a transposition of adjacent terms
+  * costs 2 (`"b a"~2` matches the text "a b"). In-order matches reduce to
+  * span ≤ (len-1) + slop, so slop also reads as "at most N fillers" when
+  * order is kept. Full Lucene parity since r5 (the r4 engine required
+  * order at every slop); semantics live in ONE place — [[Wand.phraseMatch]].
   */
 final case class PhraseQ(terms: Seq[String], slop: Int)
 

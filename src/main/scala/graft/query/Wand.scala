@@ -55,22 +55,78 @@ object Wand {
     def result(): Array[Scored] = pq.dequeueAll.reverse.toArray
   }
 
-  /** True iff the doc's per-term position lists admit the phrase within a
-    * slop-stretched window: exist strictly increasing positions p_0 < p_1 <
-    * … < p_{m-1}, in term order, with span p_{m-1} - p_0 ≤ (m-1) + slop.
-    * slop=0 degenerates to the exact consecutive phrase (p_i = p_0 + i).
+  /** True iff the doc's per-term position lists admit the phrase under
+    * Lucene's sloppy-phrase (edit-distance) semantics: exist pairwise-distinct
+    * positions p_0 … p_{m-1} (p_i drawn from term i's list) whose ADJUSTED
+    * values a_i = p_i - i satisfy max(a) - min(a) ≤ slop. Intuition: a_i is
+    * where the phrase "starts" if term i is in place; the span of starts is
+    * the total number of single-position token moves needed to align the doc
+    * with the phrase. slop=0 forces all a_i equal — the exact consecutive
+    * in-order phrase — and a transposition of adjacent terms costs 2
+    * (`"b a"~2` matches the text "a b"), matching Lucene's documented
+    * semantics (r5 — replaces the in-order-only window rule; for in-order
+    * assignments the two rules coincide, so this strictly ADDS the
+    * out-of-order matches that need slop ≥ 2).
     *
-    * For a fixed start p_0, greedily taking the SMALLEST valid next position
-    * per term minimizes the final span (each greedy choice dominates any
-    * alternative by induction), so scanning all starts of the first term is
-    * exact. Position lists are ascending (codec invariant) — binary search.
+    * Distinctness is over raw positions globally: equal terms at two phrase
+    * offsets must consume two occurrences ("a a" never matches a single 'a'),
+    * and in a real document two DIFFERENT terms never share a position, so
+    * the global rule equals Lucene's per-term-occurrence rule on real input.
+    *
+    * Exactness: any valid assignment has min(a) equal to some adjusted value
+    * v present in a list, and lies inside the window [v, v+slop]; for each
+    * candidate v the existence of a pairwise-distinct assignment is a tiny
+    * bipartite matching (offsets × candidate positions, ≤ m·(slop+1) edges),
+    * solved exactly with Kuhn's augmenting paths. Position lists are
+    * ascending (codec invariant) — binary search for window bounds.
     */
   def phraseMatch(positionsPerTerm: Seq[Array[Int]], slop: Int = 0): Boolean = {
     if (positionsPerTerm.isEmpty) return true
     if (positionsPerTerm.exists(_.isEmpty)) return false
     val m = positionsPerTerm.length
     if (m == 1) return true
-    val first = positionsPerTerm.head
+    val lists = positionsPerTerm.toIndexedSeq
+    // Zero-allocation fast path: in-order assignments. For strictly
+    // increasing p the adjusted span equals (p_{m-1} - p_0) - (m-1), so the
+    // greedy smallest-next scan decides the in-order case of the Lucene rule
+    // exactly — and it is the common case (every slop-0 match, every
+    // "within N words, in order" match). An assignment with ANY inversion
+    // (i < j but p_i > p_j) has a_i - a_j = (p_i - p_j) + (j - i) ≥ 2, so
+    // slop < 2 needs no out-of-order search at all.
+    if (inOrderMatch(lists, slop)) return true
+    if (slop < 2) return false
+    // Out-of-order fallback: candidate window anchors are every adjusted
+    // value present in any list (a valid assignment's min(a) is one).
+    var total = 0
+    var i = 0
+    while (i < m) { total += lists(i).length; i += 1 }
+    val anchors = new Array[Int](total)
+    var n = 0
+    i = 0
+    while (i < m) {
+      val arr = lists(i)
+      var j = 0
+      while (j < arr.length) { anchors(n) = arr(j) - i; n += 1; j += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(anchors)
+    var a = 0
+    while (a < anchors.length) {
+      if ((a == 0 || anchors(a) != anchors(a - 1)) &&
+          windowAssignable(lists, anchors(a), slop)) return true
+      a += 1
+    }
+    false
+  }
+
+  /** The r4 in-order rule: strictly increasing positions in term order with
+    * span ≤ (m-1) + slop. Greedy smallest-valid-next per term minimizes the
+    * final span for a fixed start, so scanning all starts of the first term
+    * is exact. Position lists are ascending (codec invariant).
+    */
+  private def inOrderMatch(lists: IndexedSeq[Array[Int]], slop: Int): Boolean = {
+    val m = lists.length
+    val first = lists.head
     val maxSpan = (m - 1) + slop
     var i = 0
     while (i < first.length) {
@@ -79,7 +135,7 @@ object Wand {
       var ok = true
       var t = 1
       while (ok && t < m) {
-        val arr = positionsPerTerm(t)
+        val arr = lists(t)
         var idx = java.util.Arrays.binarySearch(arr, prev + 1)
         if (idx < 0) idx = -idx - 1 // insertion point = first > prev
         if (idx >= arr.length) ok = false
@@ -90,6 +146,37 @@ object Wand {
       i += 1
     }
     false
+  }
+
+  /** Exists a pairwise-distinct choice p_i ∈ lists(i) with
+    * v ≤ p_i - i ≤ v + slop for every i — Kuhn's bipartite matching over
+    * the ≤ slop+1 in-window candidates per offset.
+    */
+  private def windowAssignable(lists: IndexedSeq[Array[Int]], v: Int,
+      slop: Int): Boolean = {
+    val m = lists.length
+    val cand = new Array[Array[Int]](m)
+    var i = 0
+    while (i < m) {
+      val arr = lists(i)
+      var lo = java.util.Arrays.binarySearch(arr, v + i)
+      if (lo < 0) lo = -lo - 1
+      var hi = lo
+      while (hi < arr.length && arr(hi) <= v + i + slop) hi += 1
+      if (hi == lo) return false // offset i has no position in the window
+      cand(i) = java.util.Arrays.copyOfRange(arr, lo, hi)
+      i += 1
+    }
+    val ownerOf = mutable.HashMap.empty[Int, Int] // raw position -> offset
+    def tryAssign(off: Int, visited: mutable.HashSet[Int]): Boolean =
+      cand(off).exists { p =>
+        visited.add(p) && (ownerOf.get(p) match {
+          case None => ownerOf(p) = off; true
+          case Some(holder) =>
+            tryAssign(holder, visited) && { ownerOf(p) = off; true }
+        })
+      }
+    (0 until m).forall(off => tryAssign(off, mutable.HashSet.empty[Int]))
   }
 
   /** @param segsByTerm   posting segments grouped by term (only segments
@@ -108,6 +195,14 @@ object Wand {
     *                     r5) — folded into each cursor's idf, so curScore,
     *                     upperBound and blockMax all scale together and
     *                     pruning stays exact
+    * @param after        deep-pagination anchor (Lucene searchAfter / Solr
+    *                     cursorMark, r5): only docs ranking strictly AFTER
+    *                     (score, docId) in (-score, docId) order enter the
+    *                     heap. Applied at offer time, so per-window
+    *                     top-k-after-anchor merges to the exact global page
+    *                     (filter-then-top-k ≡ top-k-of-filtered); block-max
+    *                     pruning stays exact because the heap threshold only
+    *                     ever underestimates the true page floor
     */
   def topK(
       segsByTerm: Map[String, Seq[PostingSegment]],
@@ -117,7 +212,8 @@ object Wand {
       n: Long, avgdlOf: String => Double, k: Int,
       lo: Long, hi: Long,
       allow: Option[Long => Boolean] = None,
-      boosts: Map[String, Double] = Map.empty): Array[Scored] = {
+      boosts: Map[String, Double] = Map.empty,
+      after: Option[Scored] = None): Array[Scored] = {
 
     // clauses whose required structure cannot be satisfied by the index are
     // dead; terms absent from the index are pruned out of their groups
@@ -198,6 +294,16 @@ object Wand {
     }
 
     val heap = new TopKHeap(k)
+    // searchAfter gate: a doc is page-eligible iff it ranks strictly after
+    // the anchor in (-score, docId) order
+    val aftScore = after.map(_.score).getOrElse(Double.MaxValue)
+    val aftDoc = after.map(_.docId).getOrElse(Long.MinValue)
+    def pageEligible(score: Double, docId: Long): Boolean =
+      score < aftScore || (score == aftScore && docId > aftDoc)
+    def offer(docId: Long): Unit = {
+      val s = scoreAt(docId)
+      if (pageEligible(s, docId)) heap.offer(Scored(docId, s))
+    }
 
     // terms required by EVERY clause (singleton must-group in each) drive a
     // leapfrog intersection — the fast path for plain AND / phrase queries
@@ -224,7 +330,7 @@ object Wand {
         }
         if (!done && aligned) {
           if (allowed(candidate) && clausesOk(candidate))
-            heap.offer(Scored(candidate, scoreAt(candidate)))
+            offer(candidate)
           // advance the first required cursor past the candidate
           req(0).next()
           if (req(0).exhausted) done = true
@@ -284,7 +390,7 @@ object Wand {
               while (j <= pEnd) { bmSum += arr(j).currentBlockMax; j += 1 }
               if (bmSum > theta) {
                 if (allowed(pivotDoc) && clausesOk(pivotDoc))
-                  heap.offer(Scored(pivotDoc, scoreAt(pivotDoc)))
+                  offer(pivotDoc)
               }
               // consume every cursor at pivotDoc, repositioning one at a
               // time (after each step the new head is the next smallest)

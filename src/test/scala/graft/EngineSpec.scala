@@ -199,6 +199,80 @@ class EngineSpec extends AnyFunSuite {
     // slop=0 is exactly the consecutive phrase
     assert(eng.search("\"alpha beta\"~0", 10).collect().map(_.getLong(0))
       .toSeq == phraseHits.toSeq)
+
+    // Lucene edit-distance slop (r5): the adjacent TRANSPOSED bigram
+    // ("beta alpha …", doc /2) costs 2 moves — excluded at ~1, admitted
+    // at ~2, on engine, exhaustive, and oracle alike
+    val doc2 = eng.docs.filter($"url".endsWith("/2")).head().getLong(0)
+    val slop2 = eng.search("\"alpha beta\"~2", 10).collect().map(_.getLong(0))
+    assert(slop2.contains(doc2), "slop 2 must admit the transposed bigram")
+    assert(slop2.length == 4)
+    assert(slop2.toSeq == orc.topK("\"alpha beta\"~2", 10).map(_._1))
+    assert(eng.searchExhaustive("\"alpha beta\"~2", 10).collect()
+      .map(_.getLong(0)).toSeq == slop2.toSeq)
+  }
+
+  test("searchAfter: pages concatenate to the full ranking on every path") {
+    val distEngine = new QueryEngine(spark, indexDir, conf.numBuckets,
+      driverWandMaxSegments = 0)
+    val pageSize = 50
+    def pageThrough(fetch: Option[graft.query.Wand.Scored] => Seq[(Long, Double)])
+        : Seq[(Long, Double)] = {
+      val acc = scala.collection.mutable.Buffer.empty[(Long, Double)]
+      var after: Option[graft.query.Wand.Scored] = None
+      var done = false
+      while (!done) {
+        val page = fetch(after)
+        acc ++= page
+        if (page.length < pageSize || acc.size > 2 * NDocs) done = true
+        else after = Some(graft.query.Wand.Scored(page.last._1, page.last._2))
+      }
+      acc.toSeq
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // "the" pages through ~the whole corpus (many boundaries, score ties);
+    // the others cross 1–3 boundaries with filters/phrases in play
+    Seq("the", "w00017 OR w00342 OR w00343", "\"of the\"~2 w00017",
+        "url:host3. the").foreach { q =>
+      val full = oracle.topK(q, NDocs.toInt)
+      val drv = pageThrough(a => rows(engine.search(q, pageSize, "text", a)))
+      assertRankIdentical(drv, full, s"page-driver q='$q'")
+      val dst = pageThrough(a =>
+        rows(distEngine.search(q, pageSize, "text", a)))
+      assertRankIdentical(dst, full, s"page-dist q='$q'")
+      val exh = pageThrough(a =>
+        rows(engine.searchExhaustive(q, pageSize, "text", a)))
+      assertRankIdentical(exh, full, s"page-exh q='$q'")
+      // the oracle's own paging agrees with its full ranking
+      val orcPaged = pageThrough(a => oracle.topK(q, pageSize, "text",
+        a.map(s => (s.docId, s.score))))
+      assertRankIdentical(orcPaged, full, s"page-oracle q='$q'")
+    }
+  }
+
+  test("deleteAllByQuery: cursor-paged delete reaches every match") {
+    def mk(url: String, text: String): WebDoc = WebDoc(url,
+      new java.sql.Timestamp(1704067200000L),
+      s"<html><head><title>t</title></head><body>$text</body></html>"
+        .getBytes(UTF_8),
+      text, "en")
+    val corpus = (0 until 23).map(i => mk(s"https://d.example.org/$i",
+      if (i % 3 == 0) s"keeper item number $i words"
+      else s"victim marker item number $i words"))
+    val dir = SparkTestSession.tempDir("graft-delall")
+    IndexBuilder.build(spark, spark.createDataset(corpus),
+      dir, IndexConf(numBuckets = 4))
+    val eng = new QueryEngine(spark, dir, 4)
+    val matches = eng.search("marker", 100).collect().length
+    assert(matches == 15)
+    // pageSize 4 forces 4 page boundaries with deletes between pages
+    val deleted = eng.deleteAllByQuery("marker", pageSize = 4)
+    assert(deleted == 15L)
+    eng.invalidateCache()
+    assert(eng.search("marker", 100).collect().isEmpty)
+    // untouched docs still searchable
+    assert(eng.search("keeper", 100).collect().length == 8)
   }
 
   test("facet counts over all matches equal oracle") {

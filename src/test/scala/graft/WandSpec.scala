@@ -196,39 +196,54 @@ class WandSpec extends AnyFunSuite {
     assert(Wand.phraseMatch(Seq.empty))
   }
 
-  test("phraseMatch slop: in-order within a (len-1)+slop window") {
-    // gap of one filler: span 2 → needs slop ≥ 1
+  test("phraseMatch slop: Lucene edit-distance (moves) semantics") {
+    // gap of one filler: adjusted span 1 → needs slop ≥ 1
     assert(!Wand.phraseMatch(Seq(Array(3), Array(5)), 0))
     assert(Wand.phraseMatch(Seq(Array(3), Array(5)), 1))
-    // order is still required at any slop (documented divergence vs Lucene)
-    assert(!Wand.phraseMatch(Seq(Array(4), Array(3)), 5))
-    // three terms, one gap after the first: span 3 → slop ≥ 1
+    // adjacent transposition costs 2 ("b a"~2 matches the text 'a b'): here
+    // term0 sits at 4, term1 at 3 → adjusted (4, 2), span 2
+    assert(!Wand.phraseMatch(Seq(Array(4), Array(3)), 1))
+    assert(Wand.phraseMatch(Seq(Array(4), Array(3)), 2))
+    // reversed with one filler: adjusted (5, 2), span 3 → slop ≥ 3
+    assert(!Wand.phraseMatch(Seq(Array(5), Array(3)), 2))
+    assert(Wand.phraseMatch(Seq(Array(5), Array(3)), 3))
+    // distinctness: a repeated term never matches ONE occurrence
+    assert(!Wand.phraseMatch(Seq(Array(7), Array(7)), 5))
+    // three terms over the text 'c a b': adjusted (1, 1, -2), span 3
+    assert(!Wand.phraseMatch(Seq(Array(1), Array(2), Array(0)), 2))
+    assert(Wand.phraseMatch(Seq(Array(1), Array(2), Array(0)), 3))
+    // three terms in order, one gap after the first: adjusted span 1
     assert(!Wand.phraseMatch(Seq(Array(0), Array(2), Array(3)), 0))
     assert(Wand.phraseMatch(Seq(Array(0), Array(2), Array(3)), 1))
-    // greedy start choice: first=Array(0,10) — start 0 fails (b at 12),
-    // start 10 succeeds within slop 2
+    // anchor choice: start 0 fails (term1 at 12), start 10 works at slop 1
     assert(Wand.phraseMatch(Seq(Array(0, 10), Array(12)), 2))
     // repeated term with stretch: "a a"~1 over positions {2,4}
     assert(Wand.phraseMatch(Seq(Array(2, 4), Array(2, 4)), 1))
     assert(!Wand.phraseMatch(Seq(Array(2, 4), Array(2, 4)), 0))
+    // the matching case Kuhn handles and a one-pass greedy would miss:
+    // offset0 ∈ {1,2}, offset1 ∈ {1} — offset0 must yield position 1 and
+    // take 2 (out of order, adjusted (2, 0), span 2)
+    assert(Wand.phraseMatch(Seq(Array(1, 2), Array(1)), 2))
   }
 
   test("phraseMatch slop == brute force over position tuples (property)") {
-    // brute force: any strictly-increasing in-order assignment with span
-    // ≤ (m-1)+slop
+    // ground truth: exists a pairwise-DISTINCT assignment p_i ∈ lists(i)
+    // with max(p_i - i) - min(p_i - i) ≤ slop (full enumeration)
     def brute(lists: Seq[Array[Int]], slop: Int): Boolean = {
-      def rec(t: Int, prev: Int, start: Int): Boolean =
-        if (t == lists.length) true
-        else lists(t).exists(p => p > prev &&
-          p - start <= (lists.length - 1) + slop && rec(t + 1, p, start))
-      lists.head.exists(p0 => rec(1, p0, p0))
+      val m = lists.length
+      def rec(t: Int, chosen: List[Int]): Boolean =
+        if (t == m) {
+          val adj = chosen.reverse.zipWithIndex.map { case (p, i) => p - i }
+          adj.max - adj.min <= slop
+        } else lists(t).exists(p => !chosen.contains(p) && rec(t + 1, p :: chosen))
+      rec(0, Nil)
     }
     val rng = new Random(42)
-    for (_ <- 1 to 500) {
+    for (_ <- 1 to 800) {
       val m = 2 + rng.nextInt(3)
       val lists = Seq.fill(m)(
         Array.fill(1 + rng.nextInt(5))(rng.nextInt(15)).distinct.sorted)
-      val slop = rng.nextInt(4)
+      val slop = rng.nextInt(5)
       assert(Wand.phraseMatch(lists, slop) == brute(lists, slop),
         s"lists=${lists.map(_.toSeq)} slop=$slop")
       // slop=0 ≡ the exact consecutive-position semantics
