@@ -224,11 +224,17 @@ object Search {
     // previous page printed. Double.toString round-trips exactly, so the
     // anchor score is bit-identical to the engine's.
     val after = opts.get("--after").map { s =>
-      val i = s.lastIndexOf(',')
-      require(i > 0 && i < s.length - 1,
-        s"--after expects <score>,<docId> (a printed cursor=), got '$s'")
-      graft.query.Wand.Scored(s.substring(i + 1).toLong,
-        s.substring(0, i).toDouble)
+      try {
+        val i = s.lastIndexOf(',')
+        require(i > 0 && i < s.length - 1)
+        graft.query.Wand.Scored(s.substring(i + 1).toLong,
+          s.substring(0, i).toDouble)
+      } catch {
+        case _: IllegalArgumentException => // require + NumberFormat
+          throw new IllegalArgumentException(
+            s"--after expects <score>,<docId> (a printed cursor= line), " +
+              s"got '$s'")
+      }
     }
     val spark = MainCommon.session("graft-search")
     val buckets = MainCommon.resolveBuckets(spark, indexDir, opts.get("--buckets"))

@@ -95,8 +95,14 @@ object Wand {
     // slop < 2 needs no out-of-order search at all.
     if (inOrderMatch(lists, slop)) return true
     if (slop < 2) return false
-    // Out-of-order fallback: candidate window anchors are every adjusted
-    // value present in any list (a valid assignment's min(a) is one).
+    // Bigram shortcut (the dominant phrase shape, zero allocation): with
+    // in-order exhausted, only reversed assignments p1 < p0 remain —
+    // adjusted span = p0 - (p1 - 1) ≤ slop, distinctness gives p0 > p1, so
+    // the question is: exists x ∈ L0, y ∈ L1 with 1 ≤ x − y ≤ slop − 1.
+    if (m == 2) return reversedPairMatch(lists(0), lists(1), slop)
+    // Out-of-order fallback (m ≥ 3): candidate window anchors are every
+    // adjusted value present in any list (a valid assignment's min(a) is
+    // one).
     var total = 0
     var i = 0
     while (i < m) { total += lists(i).length; i += 1 }
@@ -148,14 +154,37 @@ object Wand {
     false
   }
 
+  /** Sorted-merge scan for the reversed bigram: any x ∈ l0, y ∈ l1 with
+    * x − y in [1, slop−1]. For a fixed y the difference grows with x, so
+    * the classic two-pointer walk is exhaustive: d < 1 means this x can
+    * never work (later y only shrink d) — advance x; d > slop−1 means this
+    * y is dead for all later x — advance y.
+    */
+  private def reversedPairMatch(l0: Array[Int], l1: Array[Int],
+      slop: Int): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < l0.length && j < l1.length) {
+      val d = l0(i) - l1(j)
+      if (d < 1) i += 1
+      else if (d > slop - 1) j += 1
+      else return true
+    }
+    false
+  }
+
   /** Exists a pairwise-distinct choice p_i ∈ lists(i) with
     * v ≤ p_i - i ≤ v + slop for every i — Kuhn's bipartite matching over
-    * the ≤ slop+1 in-window candidates per offset.
+    * the ≤ slop+1 in-window candidates per offset. All scratch state is
+    * primitive arrays (CLAUDE.md rule 8: no boxed collections in per-doc
+    * paths); an augmentation visits each distinct in-window position at
+    * most once, so `visited` is bounded by m·(slop+1).
     */
   private def windowAssignable(lists: IndexedSeq[Array[Int]], v: Int,
       slop: Int): Boolean = {
     val m = lists.length
-    val cand = new Array[Array[Int]](m)
+    val loIdx = new Array[Int](m)
+    val hiIdx = new Array[Int](m)
     var i = 0
     while (i < m) {
       val arr = lists(i)
@@ -164,19 +193,50 @@ object Wand {
       var hi = lo
       while (hi < arr.length && arr(hi) <= v + i + slop) hi += 1
       if (hi == lo) return false // offset i has no position in the window
-      cand(i) = java.util.Arrays.copyOfRange(arr, lo, hi)
+      loIdx(i) = lo; hiIdx(i) = hi
       i += 1
     }
-    val ownerOf = mutable.HashMap.empty[Int, Int] // raw position -> offset
-    def tryAssign(off: Int, visited: mutable.HashSet[Int]): Boolean =
-      cand(off).exists { p =>
-        visited.add(p) && (ownerOf.get(p) match {
-          case None => ownerOf(p) = off; true
-          case Some(holder) =>
-            tryAssign(holder, visited) && { ownerOf(p) = off; true }
-        })
+    val mPos = new Array[Int](m) // matched raw position
+    val mOwn = new Array[Int](m) // its current owner offset
+    var nMatched = 0
+    val visited = new Array[Int](m * (slop + 1))
+    var nVisited = 0
+    def tryAssign(off: Int): Boolean = {
+      val arr = lists(off)
+      var idx = loIdx(off)
+      while (idx < hiIdx(off)) {
+        val p = arr(idx)
+        var seen = false
+        var k = 0
+        while (k < nVisited) {
+          if (visited(k) == p) { seen = true; k = nVisited } else k += 1
+        }
+        if (!seen) {
+          visited(nVisited) = p; nVisited += 1
+          var holder = -1
+          k = 0
+          while (k < nMatched) {
+            if (mPos(k) == p) { holder = k; k = nMatched } else k += 1
+          }
+          if (holder < 0) {
+            mPos(nMatched) = p; mOwn(nMatched) = off; nMatched += 1
+            return true
+          } else if (tryAssign(mOwn(holder))) {
+            mOwn(holder) = off
+            return true
+          }
+        }
+        idx += 1
       }
-    (0 until m).forall(off => tryAssign(off, mutable.HashSet.empty[Int]))
+      false
+    }
+    var off = 0
+    while (off < m) {
+      nVisited = 0
+      if (!tryAssign(off)) return false
+      off += 1
+    }
+    true
   }
 
   /** @param segsByTerm   posting segments grouped by term (only segments
@@ -295,8 +355,12 @@ object Wand {
 
     val heap = new TopKHeap(k)
     // searchAfter gate: a doc is page-eligible iff it ranks strictly after
-    // the anchor in (-score, docId) order
-    val aftScore = after.map(_.score).getOrElse(Double.MaxValue)
+    // the anchor in (-score, docId) order. The no-anchor sentinel is
+    // (+Inf, Long.MinValue) — everything ranks after it INCLUDING a
+    // +Inf-scored doc (an absurd `term^1e999` boost overflows to Inf;
+    // Double.MaxValue as the sentinel would silently drop such docs here
+    // while searchExhaustive kept them, breaking rank identity).
+    val aftScore = after.map(_.score).getOrElse(Double.PositiveInfinity)
     val aftDoc = after.map(_.docId).getOrElse(Long.MinValue)
     def pageEligible(score: Double, docId: Long): Boolean =
       score < aftScore || (score == aftScore && docId > aftDoc)

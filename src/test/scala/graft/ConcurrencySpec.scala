@@ -59,6 +59,10 @@ class ConcurrencySpec extends AnyFunSuite {
     val engine = new QueryEngine(spark, dir, conf.numBuckets)
     val errors = new ConcurrentLinkedQueue[Throwable]()
     val writerDone = new AtomicBoolean(false)
+    // per-reader evidence the loop actually overlapped the publishes:
+    // highest appended batch (≥ 1) a reader saw BECOME visible mid-loop
+    val sawAppended = new java.util.concurrent.atomic.AtomicIntegerArray(3)
+    val iters = new java.util.concurrent.atomic.AtomicIntegerArray(3)
 
     val readers = (0 until 3).map { r =>
       val t = new Thread(() => {
@@ -66,17 +70,22 @@ class ConcurrencySpec extends AnyFunSuite {
           val rng = new java.util.Random(100L + r)
           val seen = Array.fill(NBatches + 1)(false)
           seen(0) = true
-          var iter = 0
-          while (!writerDone.get && iter < 500) {
-            iter += 1
+          val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+          // loop until the WRITER finishes (no iteration cap — a cap can
+          // expire during the first append and never race a merge); the
+          // deadline is a hang backstop only
+          while (!writerDone.get && System.nanoTime() < deadline) {
+            iters.incrementAndGet(r)
             val b = rng.nextInt(NBatches + 1)
             val hits = engine.search(s"bt$b", 1000).collect().length
             assert(hits == 0 || hits == BatchSize,
               s"reader$r: batch $b PARTIALLY visible: $hits of $BatchSize")
-            if (hits == BatchSize) seen(b) = true
-            else assert(!seen(b),
+            if (hits == BatchSize) {
+              seen(b) = true
+              if (b > sawAppended.get(r)) sawAppended.set(r, b)
+            } else assert(!seen(b),
               s"reader$r: batch $b visibility regressed (was seen, now 0)")
-            if (iter % 4 == 0) {
+            if (iters.get(r) % 4 == 0) {
               // every doc of every batch contains 'marker': any snapshot
               // yields a whole-batch multiple
               val c = engine.search("marker", 5000).collect().length
@@ -98,9 +107,19 @@ class ConcurrencySpec extends AnyFunSuite {
         IndexBuilder.append(spark, spark.createDataset(batch(b)), dir, conf)
       }
     } finally writerDone.set(true)
-    readers.foreach(_.join(120000L))
+    readers.foreach(_.join(330000L))
     assert(readers.forall(!_.isAlive), "reader thread hung")
     if (!errors.isEmpty) throw errors.peek()
+    // the race was real: every reader kept querying through the writes, and
+    // appended batches became visible WHILE readers were looping (not just
+    // in the quiesced checks below). autoCompactGenerations=3 over 5
+    // appends fires ≥1 merge inside the raced window.
+    (0 until 3).foreach { r =>
+      assert(iters.get(r) >= 10, s"reader$r only ran ${iters.get(r)} iters")
+    }
+    val bestSeen = (0 until 3).map(sawAppended.get).max
+    assert(bestSeen >= 3,
+      s"readers only saw batches up to $bestSeen mid-loop — no real overlap")
 
     // quiesced: everything visible, engine picks it up without an explicit
     // invalidate (per-query staleness guard), auto-compaction has bounded

@@ -220,10 +220,15 @@ class WandSpec extends AnyFunSuite {
     // repeated term with stretch: "a a"~1 over positions {2,4}
     assert(Wand.phraseMatch(Seq(Array(2, 4), Array(2, 4)), 1))
     assert(!Wand.phraseMatch(Seq(Array(2, 4), Array(2, 4)), 0))
-    // the matching case Kuhn handles and a one-pass greedy would miss:
-    // offset0 ∈ {1,2}, offset1 ∈ {1} — offset0 must yield position 1 and
-    // take 2 (out of order, adjusted (2, 0), span 2)
+    // the matching case a one-pass greedy would miss: offset0 ∈ {1,2},
+    // offset1 ∈ {1} — offset0 must yield position 1 and take 2 (out of
+    // order, adjusted (2, 0), span 2; bigram shortcut path)
     assert(Wand.phraseMatch(Seq(Array(1, 2), Array(1)), 2))
+    // same shape at m=3 (the Kuhn fallback path): offset0 must yield 1 to
+    // offset1 via an augmenting path — assignment (2, 1, 3), adjusted
+    // (2, 0, 1), span 2
+    assert(Wand.phraseMatch(Seq(Array(1, 2), Array(1), Array(3)), 2))
+    assert(!Wand.phraseMatch(Seq(Array(1, 2), Array(1), Array(3)), 1))
   }
 
   test("phraseMatch slop == brute force over position tuples (property)") {
