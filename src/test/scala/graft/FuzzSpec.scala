@@ -136,4 +136,36 @@ class FuzzSpec extends AnyFunSuite {
     // the generator must be producing real work, not 60 zero-hit queries
     assert(nonEmpty >= 30, s"only $nonEmpty/60 queries matched anything")
   }
+
+  test("searchAfter paging over generated queries: page concat == full " +
+      "ranking, driver path vs oracle pager") {
+    // fresh deterministic sub-stream; small pages force many boundaries
+    // (incl. inside score-tie runs on stopword queries)
+    val queries = Iterator.continually(genQuery()).distinct.take(12).toSeq
+    val pageSize = 9
+    var pagedQueries = 0
+    queries.foreach { q =>
+      val full = oracle.topK(q, NDocs.toInt)
+      val acc = scala.collection.mutable.Buffer.empty[(Long, Double)]
+      val orcAcc = scala.collection.mutable.Buffer.empty[(Long, Double)]
+      var after: Option[graft.query.Wand.Scored] = None
+      var done = false
+      while (!done) {
+        val page = ids(engine.search(q, pageSize, "text", after))
+        val orcPage = oracle.topK(q, pageSize, "text",
+          after.map(s => (s.docId, s.score)))
+        assertSame(page, orcPage, s"page q='$q' after=$after")
+        acc ++= page
+        orcAcc ++= orcPage
+        if (page.length < pageSize || acc.size > 2 * NDocs) done = true
+        else after = Some(graft.query.Wand.Scored(page.last._1, page.last._2))
+      }
+      if (acc.size > pageSize) pagedQueries += 1
+      assertSame(acc.toSeq, full, s"page-concat q='$q'")
+      assertSame(orcAcc.toSeq, full, s"oracle-page-concat q='$q'")
+    }
+    // the set must actually cross page boundaries, not fit in page one
+    assert(pagedQueries >= 4,
+      s"only $pagedQueries/12 queries spanned multiple pages")
+  }
 }
