@@ -10,8 +10,8 @@ import graft.query.{QueryEngine, Deletes}
 
 /** State-machine fuzz over the incremental machinery: a seeded random
   * sequence of append / upsert / delete / compact / hostile-GC (grace 0)
-  * steps against a driver-side model of the live corpus, with invariants
-  * checked after EVERY step:
+  * / paged delete-all-by-query steps against a driver-side model of the
+  * live corpus, with invariants checked after EVERY step:
   *
   *  - each live url realtime-gets exactly one row; deleted urls get none;
   *  - each url's CURRENT version token matches exactly one doc, and its
@@ -101,7 +101,7 @@ class IndexStateFuzzSpec extends AnyFunSuite {
 
     val steps = 12
     (0 until steps).foreach { s =>
-      rng.nextInt(5) match {
+      rng.nextInt(6) match {
         case 0 => // append a batch of fresh urls
           val batch = Seq.fill(2 + rng.nextInt(4))(freshDoc())
           batch.foreach(d => model(d.url) = d)
@@ -139,13 +139,25 @@ class IndexStateFuzzSpec extends AnyFunSuite {
         case 3 => // explicit compaction (auto fires on its own too)
           Compaction.run(spark, dir, conf)
           checkInvariants(s"step$s-compact")
-        case _ => // hostile GC: grace 0 reaps everything unreferenced NOW —
+        case 4 => // hostile GC: grace 0 reaps everything unreferenced NOW —
           // retired generations, superseded pointers, condemned tombstone
           // files. After any append/merge history this must never disturb
           // the published snapshot (non-condemned tombstones, supersedes,
           // live segdirs all survive; the engine re-resolves per query).
           IndexLayout.gcUnreferenced(spark, dir, graceMs = 0L)
           checkInvariants(s"step$s-gc0")
+        case _ => // paged delete-all by query (r5): the searchAfter cursor
+          // walk must reach EXACTLY the model's matching live docs, with
+          // page-2+ anchors computed while page-1 tombstones are already
+          // on disk, against whatever upsert/merge history came before
+          val t = Seq("w00005", "w00017", "w00099")(rng.nextInt(3))
+          val expect = model.collect { case (u, d)
+            if Analysis.tokenize(d.text).contains(t) => u }.toSeq
+          val n = engine.deleteAllByQuery(t, pageSize = 3)
+          assert(n == expect.size.toLong,
+            s"step$s-delall('$t'): engine deleted $n, model says ${expect.size}")
+          expect.foreach { u => model.remove(u); deleted += u }
+          checkInvariants(s"step$s-delall")
       }
     }
 
