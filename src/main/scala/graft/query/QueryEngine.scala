@@ -759,27 +759,34 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   /** Delete EVERY match — the reference's real intent behind
     * `rows=100000` (searchindex.py:98: one giant page, then per-hit
     * deletes; it silently misses matches beyond the cap). Cursor-pages
-    * through the ranking with [[search]]'s `after` anchor and tombstones
-    * each page, so driver memory is O(pageSize) at ANY match count — the
-    * 100×-safe shape. Later pages rank strictly after the anchor, so the
-    * per-page tombstone writes can never re-surface or skip a match
-    * regardless of when the engine picks them up. Returns docs deleted.
+    * through the ranking with [[search]]'s `after` anchor, so driver
+    * memory is O(max(pageSize, flushEvery)) at ANY match count — the
+    * 100×-safe shape. Page anchors depend only on the ranking, never on
+    * the tombstones written so far, so ids are buffered and flushed as ONE
+    * tombstone file per `flushEvery` docs: a 100M-match delete writes
+    * ~100 files, not one tiny file per page for every later query's
+    * tombstone scan to union (compaction folds them regardless).
+    * Returns docs deleted.
     */
   def deleteAllByQuery(q: String, df: String = "text",
-      pageSize: Int = 10000): Long = {
+      pageSize: Int = 10000, flushEvery: Int = 1 << 20): Long = {
     var total = 0L
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
     var after: Option[Wand.Scored] = None
     var done = false
     while (!done) {
       val page = search(q, pageSize, df, after).collect()
         .map(r => Wand.Scored(r.getLong(0), r.getDouble(1)))
-      if (page.nonEmpty) {
-        Deletes.delete(spark, indexDir, page.map(_.docId).toSeq)
-        total += page.length
+      buf ++= page.map(_.docId)
+      total += page.length
+      if (buf.length >= flushEvery) {
+        Deletes.delete(spark, indexDir, buf.toSeq)
+        buf.clear()
       }
       if (page.length < pageSize) done = true
       else after = Some(page.last)
     }
+    if (buf.nonEmpty) Deletes.delete(spark, indexDir, buf.toSeq)
     total
   }
 }
@@ -800,7 +807,12 @@ object Deletes {
   def delete(spark: SparkSession, indexDir: String, docIds: Seq[Long]): Unit = {
     import spark.implicits._
     if (docIds.nonEmpty)
-      docIds.toDS().toDF("docId")
+      // coalesce(1): a driver-side id list parallelizes across default
+      // parallelism and would write one TINY part file per core per call
+      // (32 files for a 1k-id delete) — every query's tombstone scan
+      // unions this directory, so each delete call should land ONE file
+      // (bounded: deleteAllByQuery flushes at most once per flushEvery ids)
+      docIds.toDS().coalesce(1).toDF("docId")
         .write.mode(SaveMode.Append).parquet(s"$indexDir/tombstones")
   }
 }

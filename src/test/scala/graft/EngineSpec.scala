@@ -266,8 +266,9 @@ class EngineSpec extends AnyFunSuite {
     val eng = new QueryEngine(spark, dir, 4)
     val matches = eng.search("marker", 100).collect().length
     assert(matches == 15)
-    // pageSize 4 forces 4 page boundaries with deletes between pages
-    val deleted = eng.deleteAllByQuery("marker", pageSize = 4)
+    // pageSize 4 forces 4 page boundaries; flushEvery 5 staggers tombstone
+    // flushes against them (flush mid-walk, not aligned to pages)
+    val deleted = eng.deleteAllByQuery("marker", pageSize = 4, flushEvery = 5)
     assert(deleted == 15L)
     eng.invalidateCache()
     assert(eng.search("marker", 100).collect().isEmpty)

@@ -148,12 +148,13 @@ class IndexStateFuzzSpec extends AnyFunSuite {
           checkInvariants(s"step$s-gc0")
         case _ => // paged delete-all by query (r5): the searchAfter cursor
           // walk must reach EXACTLY the model's matching live docs, with
-          // page-2+ anchors computed while page-1 tombstones are already
-          // on disk, against whatever upsert/merge history came before
+          // later anchors computed while earlier flushes' tombstones are
+          // already on disk (flushEvery=4 forces mid-walk flushes),
+          // against whatever upsert/merge history came before
           val t = Seq("w00005", "w00017", "w00099")(rng.nextInt(3))
           val expect = model.collect { case (u, d)
             if Analysis.tokenize(d.text).contains(t) => u }.toSeq
-          val n = engine.deleteAllByQuery(t, pageSize = 3)
+          val n = engine.deleteAllByQuery(t, pageSize = 3, flushEvery = 4)
           assert(n == expect.size.toLong,
             s"step$s-delall('$t'): engine deleted $n, model says ${expect.size}")
           expect.foreach { u => model.remove(u); deleted += u }
