@@ -399,19 +399,30 @@ object IndexBuilder {
               return BuildReport(0, 0, 0, 0, conf.numBuckets, 0)
             return build(spark, docs, indexDir, conf)
         }
-        // REPLAY the recorded bucket count (like kind/idOffset/publish):
-        // resume must finish the job with the buckets it was STARTED with —
-        // rebuilding the missing buckets under a different count would
-        // produce a segment whose termBucket layout disagrees with its
-        // completed buckets (silent query misses). 0 = pre-field descriptor;
-        // fall back to the caller's conf.
-        val rconf =
-          if (desc.buckets > 0) conf.copy(numBuckets = desc.buckets) else conf
         val done: Set[Int] =
           try spark.read.parquet(s"$segPath/manifest")
             .filter($"status" === "complete")
             .select($"partitionId").as[Int].collect().toSet
           catch { case _: Exception => Set.empty }
+        // REPLAY the recorded bucket count (like kind/idOffset/publish):
+        // resume must finish the job with the buckets it was STARTED with —
+        // rebuilding the missing buckets under a different count would
+        // produce a segment whose termBucket layout disagrees with its
+        // completed buckets (silent query misses). 0 = pre-field descriptor;
+        // fall back to the caller's conf — but the orphan's own completed
+        // buckets are a hard LOWER BOUND on the true count: finishing a
+        // 32-bucket orphan under --buckets 16 would publish a mixed
+        // mod-16/mod-32 layout that silently loses hits. Reject loudly,
+        // same policy as MainCommon.resolveBuckets.
+        val rconf =
+          if (desc.buckets > 0) conf.copy(numBuckets = desc.buckets)
+          else {
+            require(done.isEmpty || conf.numBuckets > done.max,
+              s"--buckets ${conf.numBuckets} contradicts orphan segment $sd: " +
+              s"its manifest records completed termBucket ${done.max} " +
+              s"(pre-field job.txt has no count; pass at least ${done.max + 1})")
+            conf
+          }
         val missing = (0 until rconf.numBuckets).filterNot(done).toSet
 
         desc.kind match {

@@ -271,6 +271,15 @@ object IndexLayout {
               try fs.delete(new Path(tomb, n), false)
               catch { case _: Exception => }
             }
+            // retire the snapshot too: once its files are reaped, a resume
+            // replaying condemnFoldedTombstones would otherwise recreate
+            // the marker (fresh ts, phantom file names) and resurrect an
+            // empty tombstones/ dir on EVERY later resume — a churn loop,
+            // not a data bug. With the snapshot gone the replay is a no-op.
+            val seg = m.getPath.getName.stripPrefix(".condemned-")
+            try fs.delete(new Path(s"$indexDir/$seg/folded-tombstones.txt"),
+              false)
+            catch { case _: Exception => }
             fs.delete(m.getPath, false)
           }
         } catch { case _: Exception => }

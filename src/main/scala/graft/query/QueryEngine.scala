@@ -771,22 +771,24 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   def deleteAllByQuery(q: String, df: String = "text",
       pageSize: Int = 10000, flushEvery: Int = 1 << 20): Long = {
     var total = 0L
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // primitive accumulator: ArrayBuffer[Long] boxes every id into Object[]
+    // (CLAUDE.md rule 8 — 8× the driver pages per flush window)
+    val buf = new graft.index.LongBuf(math.min(flushEvery, 1 << 16))
     var after: Option[Wand.Scored] = None
     var done = false
     while (!done) {
       val page = search(q, pageSize, df, after).collect()
         .map(r => Wand.Scored(r.getLong(0), r.getDouble(1)))
-      buf ++= page.map(_.docId)
+      page.foreach(p => buf.add(p.docId))
       total += page.length
       if (buf.length >= flushEvery) {
-        Deletes.delete(spark, indexDir, buf.toSeq)
+        Deletes.delete(spark, indexDir, buf.toArray.toSeq)
         buf.clear()
       }
       if (page.length < pageSize) done = true
       else after = Some(page.last)
     }
-    if (buf.nonEmpty) Deletes.delete(spark, indexDir, buf.toSeq)
+    if (buf.length > 0) Deletes.delete(spark, indexDir, buf.toArray.toSeq)
     total
   }
 }

@@ -48,6 +48,16 @@ class CompactionSpec extends AnyFunSuite {
     // grace 0 = reap now: condemned files + dir, retired seg, old pointers
     IndexLayout.gcUnreferenced(spark, dir, graceMs = 0L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    // the reap also retires the merge's folded-tombstones.txt snapshot, so
+    // a later resume replaying the condemn step is a no-op: without this, a
+    // replay recreated the marker (fresh ts, phantom file names) and
+    // resurrected an empty tombstones/ dir on EVERY later resume
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/$live/folded-tombstones.txt")),
+      "reap must retire the folded snapshot with its files")
+    IndexLayout.condemnFoldedTombstones(spark, dir, live) // replay = no-op
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+      "condemn replay after reap must not resurrect tombstones/")
     assert(ls().filter(_.startsWith("seg-")) == Seq(live))
     assert(ls().count(_.matches("current-\\d{6}\\.txt")) == 1)
     assert(IndexLayout.current(spark, dir).get == Seq(live))

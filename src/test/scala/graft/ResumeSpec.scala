@@ -285,4 +285,29 @@ class ResumeSpec extends AnyFunSuite {
     assert(!fs.exists(orphan),
       "resume over a flip-complete compaction must GC unreferenced dirs")
   }
+
+  test("pre-field orphan: --buckets below a completed bucket rejects loudly") {
+    // job.txt written before the buckets= field existed (buckets=0): resume
+    // falls back to the caller's count — but the orphan's own manifest is a
+    // hard LOWER BOUND. Finishing a 6-bucket orphan under --buckets 2 would
+    // publish a mixed mod-2/mod-6 termBucket layout (silent query misses).
+    val dir = SparkTestSession.tempDir("graft-resume-prefield")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = IndexLayout.segDirName(0)
+    fs.mkdirs(new Path(s"$dir/$orphan"))
+    IndexLayout.writeJobDescriptor(spark, s"$dir/$orphan",
+      JobDescriptor("build", 0L, Seq(orphan), buckets = 0))
+    Seq(ManifestRow(5, "a", "z", 1L, 1L, 1L, 1L, Array.empty[String], 0L,
+      "complete")).toDS().coalesce(1).write.parquet(s"$dir/$orphan/manifest")
+    val docs = CorpusGen.generate(spark, 30)
+    val err = intercept[IllegalArgumentException] {
+      IndexBuilder.resume(spark, docs, dir, IndexConf(numBuckets = 2))
+    }
+    assert(err.getMessage.contains("contradicts orphan segment"))
+    // a count above the recorded maximum passes the gate and finishes the job
+    val r = IndexBuilder.resume(spark, docs, dir, IndexConf(numBuckets = 6))
+    assert(r.buckets == 6)
+    assert(IndexLayout.current(spark, dir).get == Seq(orphan),
+      "resume must publish the orphan's own recorded publish set")
+  }
 }
