@@ -25,6 +25,7 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, d) => Ops.corpusStats(s, d)),
     "q_bm25_topk" -> ((s, d) => Ops.bm25TopK(s, d)),
     "q_bm25_boosted" -> ((s, d) => Ops.bm25Boosted(s, d)),
+    "q_fuzzy_topk" -> ((s, d) => Ops.fuzzyTopK(s, d)),
     "q_topk_orders" -> ((s, d) => Ops.topkOrders(s, d)),
     // extraction / validation / join analogs (SURVEY.md §2.3–§2.5)
     "q_id_sanitize" -> ((s, d) => Ops.idSanitize(s, d)),
@@ -120,6 +121,21 @@ object SparkEntry {
         "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
         "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
         "WHERE tf.term IN ('spark','window') " +
+        "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
+    "q_fuzzy_topk" ->
+      (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
+        "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +
+        "dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), " +
+        // `spark~2`: DuckDB's damerau_levenshtein is the same full
+        // (Lowrance-Wagner) metric as graft.query.Fuzzy — probed
+        // bit-compatible on 20k random pairs; sort-and-cap mirrors
+        // QueryResolve.MaxPrefixExpansion
+        "vocab AS (SELECT DISTINCT term FROM tf " +
+        "WHERE damerau_levenshtein(term, 'spark') <= 2 ORDER BY term LIMIT 512) " +
+        "SELECT tf.doc_id, round(sum(ln(1 + (s.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf / " +
+        "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
+        "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
+        "WHERE tf.term IN (SELECT term FROM vocab) " +
         "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
     "q_topk_orders" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +

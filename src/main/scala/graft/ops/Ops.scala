@@ -107,6 +107,30 @@ object Ops {
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)
 
+  /** Q3 fuzzy (r5): the SQL-analog twin of `spark~2` — expand the query
+    * term against the distinct token vocabulary under full
+    * Damerau-Levenshtein ≤ 2 ([[graft.query.Fuzzy]], the SAME function the
+    * engine's dictionary expansion uses — lockstep by construction), then
+    * BM25 top-10 over the expansion as a synonym group. Oracled in DuckDB
+    * via its `damerau_levenshtein` (probed bit-compatible with Fuzzy on 20k
+    * random pairs), so the expansion rule itself is hash-checked.
+    *
+    * The vocabulary collect is bounded by distinct-token count (not corpus
+    * size) and further by the shared sort-and-cap; at 100 TB the real
+    * engine path answers from the prebuilt dictionary instead.
+    */
+  def fuzzyTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expanded = tokens(spark, dir).select("term").distinct()
+      .as[String]
+      .filter(t => graft.query.Fuzzy.within(t, "spark", 2))
+      .collect().toSeq.sorted
+      .take(graft.query.QueryResolve.MaxPrefixExpansion)
+    bm25Scored(spark, dir, expanded)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
   /** Q2: fielded stored-field filter on a scored query — the driver-table
     * analog of the engine's `url:<v> terms` (filter gates candidates; corpus
     * stats stay corpus-wide, matching Solr fq semantics).

@@ -112,7 +112,7 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
   }
 
   private def resolve(ast: QueryAst): ResolvedQuery =
-    QueryResolve.resolve(ast, QueryResolve.dictExpand(postings.keys.toSeq))
+    QueryResolve.resolve(ast, QueryResolve.dictExpander(postings.keys.toSeq))
 
   /** All matching (docId, score), ordered — the match set behind topK and
     * facet (Solr facets count over every match, not the page). Match =

@@ -90,7 +90,10 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
             e: java.util.Map.Entry[String, Array[Long]]): Boolean = size() > 64
       }
 
-    /** Bounded LRU of prefix → expansion (dictionary terms). */
+    /** Bounded LRU of prefix/fuzzy literal → expansion (dictionary terms).
+      * Fuzzy entries key as `key + "~" + maxEdits` — '~' never appears in a
+      * term key, so the two families cannot collide.
+      */
     val prefixCache =
       new java.util.LinkedHashMap[String, Seq[String]](16, 0.75f, true) {
         override def removeEldestEntry(
@@ -315,6 +318,57 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     terms
   }
 
+  private[query] def expandFuzzy(key: String, maxEdits: Int): Seq[String] =
+    expandFuzzy(view, key, maxEdits)
+
+  /** Lucene `term~N` dictionary expansion: distinct same-field terms within
+    * Damerau-Levenshtein maxEdits of the key's token, sorted, capped \u2014
+    * [[QueryResolve.dictFuzzy]] is the in-memory twin; both sides must stay
+    * in lockstep or rank-identity breaks.
+    *
+    * Plan shape: Lucene intersects a Levenshtein automaton with its term
+    * FST; the Spark analog is one column-pruned distinct scan of the term
+    * dictionary with the distance predicate evaluated distributedly. A
+    * field-qualified key pushes its `title:` range to parquet; a bare key
+    * scans the full dictionary (edits can change the first character, so no
+    * range prunes) \u2014 bounded by vocabulary size, not corpus size, and the
+    * length window cuts the distinct shuffle before the matrix runs.
+    */
+  private def expandFuzzy(v: IndexView, key: String, maxEdits: Int)
+      : Seq[String] = {
+    val cacheKey = key + "~" + maxEdits
+    v.prefixCache.synchronized(Option(v.prefixCache.get(cacheKey))) match {
+      case Some(hit) => return hit
+      case None      =>
+    }
+    val colon = key.indexOf(':')
+    val (fieldPfx, base) =
+      if (colon >= 0) (key.substring(0, colon + 1), key.substring(colon + 1))
+      else ("", key)
+    var scan = v.postings
+    scan =
+      if (fieldPfx.isEmpty) scan.filter(!$"term".contains(":"))
+      else scan.filter($"term".startsWith(fieldPfx))
+    scan = scan.filter(length($"term")
+      .between(fieldPfx.length + base.length - maxEdits,
+        fieldPfx.length + base.length + maxEdits))
+    val pfxLen = fieldPfx.length
+    val terms = scan.select($"term").distinct().as[String]
+      .filter(t => Fuzzy.within(t.substring(pfxLen), base, maxEdits))
+      .orderBy($"term").limit(QueryResolve.MaxPrefixExpansion)
+      .collect().toSeq
+    v.prefixCache.synchronized(v.prefixCache.put(cacheKey, terms))
+    terms
+  }
+
+  /** The two dictionary-expansion rules over one index snapshot. */
+  private def expander(v: IndexView): QueryResolve.Expander =
+    new QueryResolve.Expander {
+      def prefix(key: String): Seq[String] = expandPrefix(v, key)
+      def fuzzy(key: String, maxEdits: Int): Seq[String] =
+        expandFuzzy(v, key, maxEdits)
+    }
+
   // ------------------------------------------------------- filter predicates
 
   /** Stored-field predicate over the docs table (SeqOracle.fieldFilterOk is
@@ -375,7 +429,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     refreshIfStale()
     val v = view // ONE capture: every read below sees the same snapshot
     val ast = QueryParser.parse(q, df)
-    val rq = QueryResolve.resolve(ast, expandPrefix(v, _))
+    val rq = QueryResolve.resolve(ast, expander(v))
     val scoring = rq.scoringTerms // distinct + sorted by resolve
     val clauses = rq.clauses
     val not = clauses.flatMap(_.notTerms).distinct.sorted
@@ -562,7 +616,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * collecting UDF path, the slow regression anchor.
     */
   private def scoredCandidates(ast: QueryAst, v: IndexView): DataFrame = {
-    val rq = QueryResolve.resolve(ast, expandPrefix(v, _))
+    val rq = QueryResolve.resolve(ast, expander(v))
     val scoring = rq.scoringTerms
     val clauses = rq.clauses
     if (scoring.isEmpty || clauses.isEmpty) return emptyResult

@@ -24,6 +24,12 @@ final case class ExactLit(key: String) extends TermLit
   * posting keys) under one shared deterministic cap.
   */
 final case class PrefixLit(key: String) extends TermLit
+/** Lucene `term~N` fuzzy query (N ∈ 1..2; bare `term~` means 2): expanded
+  * against the live dictionary to every same-field term within full
+  * Damerau-Levenshtein distance N ([[Fuzzy]]), under the same deterministic
+  * sort-and-cap as prefixes. `term~0` parses to [[ExactLit]] directly.
+  */
+final case class FuzzyLit(key: String, maxEdits: Int) extends TermLit
 
 /** One positional phrase constraint. `slop` is Lucene's edit-distance slop
   * (the `"a b"~N` surface, searchindex.py:98): the phrase matches iff there
@@ -122,17 +128,32 @@ object QueryResolve {
     */
   val MaxPrefixExpansion = 512
 
-  /** @param expand prefix key → matching dictionary terms, SORTED ascending
-    *   and capped at [[MaxPrefixExpansion]]. For a bare (text-field) prefix
-    *   the expansion must exclude field-qualified keys (those containing
-    *   ':'); [[dictExpand]] implements the rule for an in-memory dictionary.
+  /** Dictionary expansion for multi-term literals. Both methods return
+    * matching dictionary terms SORTED ascending and capped at
+    * [[MaxPrefixExpansion]]; for a bare (text-field) literal the expansion
+    * must exclude field-qualified keys (those containing ':'), for a
+    * field-qualified one it must stay within that field. [[dictExpander]]
+    * implements both rules for an in-memory dictionary; the engine's
+    * DataFrame twin must order and cap identically.
     */
-  def resolve(ast: QueryAst, expand: String => Seq[String]): ResolvedQuery = {
-    val cache = mutable.HashMap.empty[String, Seq[String]]
-    def exp(p: String): Seq[String] = cache.getOrElseUpdate(p, expand(p))
+  trait Expander {
+    /** Trailing-`*` prefix: dictionary terms starting with `key`. */
+    def prefix(key: String): Seq[String]
+    /** Lucene fuzzy: same-field terms whose token is within full
+      * Damerau-Levenshtein `maxEdits` of `key`'s token ([[Fuzzy.within]]),
+      * including the exact term itself when present.
+      */
+    def fuzzy(key: String, maxEdits: Int): Seq[String]
+  }
+
+  def resolve(ast: QueryAst, expander: Expander): ResolvedQuery = {
+    val cache = mutable.HashMap.empty[(String, Int), Seq[String]]
     def terms(l: TermLit): Seq[String] = l match {
-      case ExactLit(k)  => Seq(k)
-      case PrefixLit(p) => exp(p)
+      case ExactLit(k) => Seq(k)
+      case PrefixLit(p) =>
+        cache.getOrElseUpdate((p, -1), expander.prefix(p))
+      case FuzzyLit(k, e) =>
+        cache.getOrElseUpdate((k, e), expander.fuzzy(k, e))
     }
     val clauses = ast.clauses.flatMap { c =>
       val groups = c.pos.map(terms)
@@ -166,6 +187,32 @@ object QueryResolve {
       .filter(k => k.startsWith(prefix) &&
         (prefix.contains(":") || !k.contains(":")))
       .toSeq.sorted.take(MaxPrefixExpansion)
+
+  /** Fuzzy twin of [[dictExpand]]: same-field dictionary terms within
+    * Damerau-Levenshtein `maxEdits` of `key`'s token part, sorted, capped.
+    */
+  def dictFuzzy(dict: Iterable[String])(key: String, maxEdits: Int)
+      : Seq[String] = {
+    val colon = key.indexOf(':')
+    val (fieldPfx, base) =
+      if (colon >= 0) (key.substring(0, colon + 1), key.substring(colon + 1))
+      else ("", key)
+    dict.iterator
+      .filter { k =>
+        (if (fieldPfx.isEmpty) !k.contains(":") else k.startsWith(fieldPfx)) &&
+          Fuzzy.within(k.substring(fieldPfx.length), base, maxEdits)
+      }
+      .toSeq.sorted.take(MaxPrefixExpansion)
+  }
+
+  /** Both expansion rules over one in-memory dictionary (the sequential
+    * oracle; tests).
+    */
+  def dictExpander(dict: Iterable[String]): Expander = new Expander {
+    def prefix(key: String): Seq[String] = dictExpand(dict)(key)
+    def fuzzy(key: String, maxEdits: Int): Seq[String] =
+      dictFuzzy(dict)(key, maxEdits)
+  }
 }
 
 object QueryParser {
@@ -203,6 +250,34 @@ object QueryParser {
       val base = v.substring(0, ix)
       if (base.contains("^")) (v, 1.0) // a^2^3 — reject whole, loud later
       else (base, parseBoostLiteral(v.substring(ix + 1), s"'$v'"))
+    }
+  }
+
+  /** Strips a trailing Lucene fuzzy marker: `term~` (maxEdits 2), `term~N`
+    * with N ∈ 0..2. Runs AFTER [[splitBoost]] (Lucene order: `term~1^2`).
+    * Any other use of '~' on an indexed term is malformed and rejected HERE,
+    * loudly — classic float similarity (`term~0.8`) included, matching
+    * modern Lucene which dropped it.
+    */
+  private def splitFuzzy(v: String): (String, Option[Int]) = {
+    val ix = v.lastIndexOf('~')
+    if (ix < 0) (v, None)
+    else {
+      def bad(what: String): Nothing = throw new IllegalArgumentException(
+        s"unsupported fuzzy syntax in '$v': $what")
+      if (ix == 0) bad("'~' must follow a term")
+      val base = v.substring(0, ix)
+      if (base.contains("~")) bad("multiple '~' markers")
+      val suffix = v.substring(ix + 1)
+      val edits =
+        if (suffix.isEmpty) 2
+        else if (suffix.forall(_.isDigit)) suffix.toInt
+        else bad("maxEdits must be an integer 0..2 " +
+          "(classic float similarity is unsupported)")
+      if (edits > Fuzzy.MaxSupportedEdits)
+        bad(s"maxEdits $edits exceeds the Lucene cap of " +
+          s"${Fuzzy.MaxSupportedEdits}")
+      (base, Some(edits))
     }
   }
 
@@ -547,13 +622,25 @@ object QueryParser {
             else if (ts.length == 1) Some(NTerm(ExactLit(ts.head)))
             else Some(NPhrase(ts, t.slop))
           } else {
-            val (bare, boost) = splitBoost(t.value)
+            val (afterBoost, boost) = splitBoost(t.value)
+            val (bare, fuzzy) = splitFuzzy(afterBoost)
             rejectUnsupported(bare)
             if (bare.endsWith("*")) {
+              require(fuzzy.isEmpty,
+                s"cannot combine fuzzy ~ with a * wildcard in '${t.value}'")
               val base = Analysis.tokenize(bare.dropRight(1))
               require(base.length == 1,
                 s"wildcard term '$bare' must be a single trailing-* prefix")
               Some(NTerm(boosted(PrefixLit(termKey(field, base(0))), boost)))
+            } else if (fuzzy.isDefined) {
+              val base = Analysis.tokenize(bare)
+              require(base.length == 1,
+                s"fuzzy term '${t.value}' must analyze to a single token")
+              val key = termKey(field, base(0))
+              // maxEdits 0 is an exact term query (Lucene parity)
+              val lit =
+                if (fuzzy.get == 0) ExactLit(key) else FuzzyLit(key, fuzzy.get)
+              Some(NTerm(boosted(lit, boost)))
             } else {
               val ts = Analysis.tokenize(bare).toSeq.map(termKey(field, _))
               if (ts.isEmpty) None
@@ -577,7 +664,10 @@ object QueryParser {
         s"unsupported query syntax in '$v': $what")
       if (v.contains("^"))
         bad("boost is only supported as a single trailing ^<number>")
-      if (v.contains("~")) bad("fuzzy (term~ / term~N) is not supported")
+      // splitFuzzy already peeled a well-formed trailing `~`/`~N`; anything
+      // still here is a non-trailing or repeated marker
+      if (v.contains("~")) bad("'~' is only supported as a single trailing " +
+        "fuzzy marker (term~ / term~N, N ≤ 2)")
       if (v.contains("?")) bad("single-character wildcard (?) is not supported")
       val stars = v.count(_ == '*')
       if (stars > 1 || (stars == 1 && !v.endsWith("*")))

@@ -71,7 +71,10 @@ class EngineSpec extends AnyFunSuite {
     "url:[https://host10 TO https://host12z] the",
     // boosts (round 5): term, fractional, phrase, prefix, title-fielded
     "w00017^2 OR w00342", "w00017 w00342^0.5", "\"the of\"^2 w00017",
-    "w0099*^3 the", "title:doc^2 AND w00017", "the^0.1 w00017")
+    "w0099*^3 the", "title:doc^2 AND w00017", "the^0.1 w00017",
+    // fuzzy (round 5): Damerau-Levenshtein dictionary expansion `term~N`
+    "w00017~1", "w00017~2 AND w00342", "the~1", "title:doc~1 w00017",
+    "w00017~1^2 w00342", "w00017 NOT w00342~1")
 
   private def assertRankIdentical(got: Seq[(Long, Double)],
       expect: Seq[(Long, Double)], ctx: String): Unit = {
@@ -429,10 +432,12 @@ class EngineSpec extends AnyFunSuite {
 
   test("parser fails loudly on unimplemented Lucene syntax (round 4)") {
     import graft.query.QueryParser
-    // each marker used to tokenize away into a silently-different query
-    intercept[IllegalArgumentException](QueryParser.parse("roam~"))   // fuzzy
-    intercept[IllegalArgumentException](QueryParser.parse("roam~2"))  // fuzzy
-    intercept[IllegalArgumentException](QueryParser.parse("title:roam~1"))
+    // each marker used to tokenize away into a silently-different query.
+    // fuzzy was promoted to a real surface in r5 (FuzzySpec); only its
+    // malformed forms stay loud
+    intercept[IllegalArgumentException](QueryParser.parse("roam~3"))  // cap
+    intercept[IllegalArgumentException](QueryParser.parse("roam~0.8")) // float
+    intercept[IllegalArgumentException](QueryParser.parse("ro~am"))   // infix
     intercept[IllegalArgumentException](QueryParser.parse("te?t"))    // ? wc
     intercept[IllegalArgumentException](QueryParser.parse("*ing"))    // leading
     intercept[IllegalArgumentException](QueryParser.parse("te*t"))    // infix
@@ -502,12 +507,12 @@ class EngineSpec extends AnyFunSuite {
       import graft.query.QueryResolve
       val dict = Seq("w00010", "w00017")
       val rq = QueryResolve.resolve(QueryParser.parse("w0001*^0.5 w00017"),
-        QueryResolve.dictExpand(dict))
+        QueryResolve.dictExpander(dict))
       assert(rq.boosts == Map("w00010" -> 0.5),
         s"bare w00017 must pin its boost at 1: ${rq.boosts}")
       // and an explicit boost still wins over the implicit 1
       val rq2 = QueryResolve.resolve(QueryParser.parse("w0001*^3 w00017"),
-        QueryResolve.dictExpand(dict))
+        QueryResolve.dictExpander(dict))
       assert(rq2.boosts == Map("w00010" -> 3.0, "w00017" -> 3.0))
     }
     // malformed boosts stay loud

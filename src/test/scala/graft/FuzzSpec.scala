@@ -60,6 +60,12 @@ class FuzzSpec extends AnyFunSuite {
   private def prefix(): String =
     pick(Seq("w00*", "w001*", "w0001*", "w12*", "w4999*"))
 
+  /** `term~N` fuzzy atoms: DL-1/2 neighborhoods of mid/rare terms (wNNNNN
+    * digit substitutions hit many dictionary neighbors) and of stopwords.
+    */
+  private def fuzzy(): String =
+    term() + pick(Seq("~1", "~2", "~"))
+
   private def phrase(): String = {
     val n = 2 + rng.nextInt(2)
     val ts = Seq.fill(n)(if (rng.nextBoolean())
@@ -71,7 +77,8 @@ class FuzzSpec extends AnyFunSuite {
   /** One positive atom (may carry a boost or a field qualifier). */
   private def atom(): String = {
     val base = rng.nextInt(10) match {
-      case 0 | 1 | 2 | 3 | 4 => term()
+      case 0 | 1 | 2 | 3     => term()
+      case 4                 => fuzzy()
       case 5 | 6             => phrase()
       case 7                 => prefix()
       case 8                 => "title:" + pick(Seq("doc", "1", "9",

@@ -86,7 +86,7 @@ class WandSpec extends AnyFunSuite {
   private def resolved(q: String,
       segs: Map[String, Seq[PostingSegment]]): ResolvedQuery =
     QueryResolve.resolve(QueryParser.parse(q),
-      QueryResolve.dictExpand(segs.keys.toSeq))
+      QueryResolve.dictExpander(segs.keys.toSeq))
 
   test("WAND == oracle on random corpora (single window + windowed merge)") {
     val rng = new Random(7)
