@@ -119,6 +119,25 @@ object Ops {
     * size) and further by the shared sort-and-cap; at 100 TB the real
     * engine path answers from the prebuilt dictionary instead.
     */
+  /** Q3 wildcard (r5): the SQL-analog twin of `s?a*` — expand the glob
+    * pattern against the distinct token vocabulary ([[graft.query.Glob]],
+    * the SAME matcher the engine's dictionary expansion uses), then BM25
+    * top-10 over the expansion as a synonym group. Oracled via DuckDB's
+    * GLOB operator (semantics pinned in WildcardSpec), so the expansion
+    * rule is hash-checked end to end.
+    */
+  def wildcardTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expanded = tokens(spark, dir).select("term").distinct()
+      .as[String]
+      .filter(t => graft.query.Glob.matches(t, "s?a*"))
+      .collect().toSeq.sorted
+      .take(graft.query.QueryResolve.MaxPrefixExpansion)
+    bm25Scored(spark, dir, expanded)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
   def fuzzyTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val expanded = tokens(spark, dir).select("term").distinct()

@@ -361,12 +361,49 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     terms
   }
 
-  /** The two dictionary-expansion rules over one index snapshot. */
+  private[query] def expandWildcard(key: String): Seq[String] =
+    expandWildcard(view, key)
+
+  /** Lucene wildcard (`te?t`, `t*st`, `*ing`) dictionary expansion —
+    * [[QueryResolve.dictWildcard]] is the in-memory twin. The pattern's
+    * literal prefix becomes a term-range pushdown exactly like a trailing-*
+    * prefix query; a leading-wildcard pattern scans the full (vocabulary-
+    * bounded) dictionary, the same cost Solr documents for its leading
+    * wildcards. Cache key is the pattern key itself: it contains '*'/'?',
+    * which no term key and no other cache family can.
+    */
+  private def expandWildcard(v: IndexView, key: String): Seq[String] = {
+    v.prefixCache.synchronized(Option(v.prefixCache.get(key))) match {
+      case Some(hit) => return hit
+      case None      =>
+    }
+    val colon = key.indexOf(':')
+    val (fieldPfx, pat) =
+      if (colon >= 0) (key.substring(0, colon + 1), key.substring(colon + 1))
+      else ("", key)
+    var scan = v.postings
+    scan =
+      if (fieldPfx.isEmpty) scan.filter(!$"term".contains(":"))
+      else scan.filter($"term".startsWith(fieldPfx))
+    val lit = fieldPfx + Glob.literalPrefix(pat)
+    if (lit.length > fieldPfx.length)
+      scan = scan.filter($"term" >= lit && $"term" < lit + "￿")
+    val pfxLen = fieldPfx.length
+    val terms = scan.select($"term").distinct().as[String]
+      .filter(t => Glob.matches(t.substring(pfxLen), pat))
+      .orderBy($"term").limit(QueryResolve.MaxPrefixExpansion)
+      .collect().toSeq
+    v.prefixCache.synchronized(v.prefixCache.put(key, terms))
+    terms
+  }
+
+  /** The three dictionary-expansion rules over one index snapshot. */
   private def expander(v: IndexView): QueryResolve.Expander =
     new QueryResolve.Expander {
       def prefix(key: String): Seq[String] = expandPrefix(v, key)
       def fuzzy(key: String, maxEdits: Int): Seq[String] =
         expandFuzzy(v, key, maxEdits)
+      def wildcard(key: String): Seq[String] = expandWildcard(v, key)
     }
 
   // ------------------------------------------------------- filter predicates

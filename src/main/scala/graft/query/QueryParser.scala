@@ -30,6 +30,13 @@ final case class PrefixLit(key: String) extends TermLit
   * sort-and-cap as prefixes. `term~0` parses to [[ExactLit]] directly.
   */
 final case class FuzzyLit(key: String, maxEdits: Int) extends TermLit
+/** Lucene wildcard query — any `?` or a non-trailing/multiple `*` (`te?t`,
+  * `t*st`, `*ing`, `a*b*`): expanded against the live dictionary by glob
+  * match ([[Glob]]) under the same deterministic sort-and-cap. The simple
+  * trailing-`*` form stays [[PrefixLit]] (pure range pushdown). `key` keeps
+  * the wildcard markers, field-qualified like every other key.
+  */
+final case class WildcardLit(key: String) extends TermLit
 
 /** One positional phrase constraint. `slop` is Lucene's edit-distance slop
   * (the `"a b"~N` surface, searchindex.py:98): the phrase matches iff there
@@ -144,6 +151,10 @@ object QueryResolve {
       * including the exact term itself when present.
       */
     def fuzzy(key: String, maxEdits: Int): Seq[String]
+    /** Lucene wildcard: same-field terms whose token glob-matches `key`'s
+      * pattern part ([[Glob.matches]]).
+      */
+    def wildcard(key: String): Seq[String]
   }
 
   def resolve(ast: QueryAst, expander: Expander): ResolvedQuery = {
@@ -152,6 +163,8 @@ object QueryResolve {
       case ExactLit(k) => Seq(k)
       case PrefixLit(p) =>
         cache.getOrElseUpdate((p, -1), expander.prefix(p))
+      case WildcardLit(p) =>
+        cache.getOrElseUpdate((p, -2), expander.wildcard(p))
       case FuzzyLit(k, e) =>
         cache.getOrElseUpdate((k, e), expander.fuzzy(k, e))
     }
@@ -205,13 +218,30 @@ object QueryResolve {
       .toSeq.sorted.take(MaxPrefixExpansion)
   }
 
-  /** Both expansion rules over one in-memory dictionary (the sequential
+  /** Wildcard twin of [[dictExpand]]: same-field dictionary terms whose
+    * token part glob-matches `key`'s pattern part, sorted, capped.
+    */
+  def dictWildcard(dict: Iterable[String])(key: String): Seq[String] = {
+    val colon = key.indexOf(':')
+    val (fieldPfx, pat) =
+      if (colon >= 0) (key.substring(0, colon + 1), key.substring(colon + 1))
+      else ("", key)
+    dict.iterator
+      .filter { k =>
+        (if (fieldPfx.isEmpty) !k.contains(":") else k.startsWith(fieldPfx)) &&
+          Glob.matches(k.substring(fieldPfx.length), pat)
+      }
+      .toSeq.sorted.take(MaxPrefixExpansion)
+  }
+
+  /** All three expansion rules over one in-memory dictionary (the sequential
     * oracle; tests).
     */
   def dictExpander(dict: Iterable[String]): Expander = new Expander {
     def prefix(key: String): Seq[String] = dictExpand(dict)(key)
     def fuzzy(key: String, maxEdits: Int): Seq[String] =
       dictFuzzy(dict)(key, maxEdits)
+    def wildcard(key: String): Seq[String] = dictWildcard(dict)(key)
   }
 }
 
@@ -625,13 +655,28 @@ object QueryParser {
             val (afterBoost, boost) = splitBoost(t.value)
             val (bare, fuzzy) = splitFuzzy(afterBoost)
             rejectUnsupported(bare)
-            if (bare.endsWith("*")) {
-              require(fuzzy.isEmpty,
-                s"cannot combine fuzzy ~ with a * wildcard in '${t.value}'")
+            val hasWildcard = bare.exists(c => c == '*' || c == '?')
+            if (hasWildcard && fuzzy.isDefined)
+              throw new IllegalArgumentException(
+                s"cannot combine fuzzy ~ with wildcards in '${t.value}'")
+            if (hasWildcard && bare.count(_ == '*') == 1 &&
+                bare.endsWith("*") && !bare.contains("?")) {
+              // simple trailing-* prefix: its own literal (range pushdown)
               val base = Analysis.tokenize(bare.dropRight(1))
               require(base.length == 1,
                 s"wildcard term '$bare' must be a single trailing-* prefix")
               Some(NTerm(boosted(PrefixLit(termKey(field, base(0))), boost)))
+            } else if (hasWildcard) {
+              // general glob: lowercase like the analyzer, but the markers
+              // bypass tokenization — validate the alphabet by hand
+              val pat = bare.toLowerCase
+              require(pat.forall(c => c == '*' || c == '?' ||
+                (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+                s"wildcard pattern '$bare' may contain only [a-z0-9], * and ?")
+              require(pat.exists(c => c != '*' && c != '?'),
+                s"wildcard pattern '$bare' has no literal characters — a " +
+                  "match-everything term query is unsupported")
+              Some(NTerm(boosted(WildcardLit(termKey(field, pat)), boost)))
             } else if (fuzzy.isDefined) {
               val base = Analysis.tokenize(bare)
               require(base.length == 1,
@@ -653,9 +698,10 @@ object QueryParser {
       }
     }
 
-    /** The rest of Lucene's classic multi-term surface is NOT implemented —
-      * fail loudly instead of tokenizing the marker characters away into a
-      * silently-different query (VERDICT r3 item 5). Applies only to
+    /** Malformed multi-term markers fail loudly instead of tokenizing away
+      * into a silently-different query (VERDICT r3 item 5). The WELL-FORMED
+      * surface is all implemented as of r5 (prefix, wildcard, fuzzy, boost);
+      * this guards what remains — misplaced `^`/`~`. Applies only to
       * indexed-field bare terms: url/lang filter values keep their raw
       * characters, and quoted phrases are analyzed verbatim.
       */
@@ -668,10 +714,9 @@ object QueryParser {
       // still here is a non-trailing or repeated marker
       if (v.contains("~")) bad("'~' is only supported as a single trailing " +
         "fuzzy marker (term~ / term~N, N ≤ 2)")
-      if (v.contains("?")) bad("single-character wildcard (?) is not supported")
-      val stars = v.count(_ == '*')
-      if (stars > 1 || (stars == 1 && !v.endsWith("*")))
-        bad("only a single trailing-* prefix wildcard is supported")
+      // '*' and '?' are handled by the prefix/wildcard branches of termNode
+      // (r5 — WildcardLit); malformed patterns reject there with their own
+      // messages
     }
 
     // ------------------------------------------------- normalization

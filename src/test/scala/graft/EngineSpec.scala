@@ -74,7 +74,10 @@ class EngineSpec extends AnyFunSuite {
     "w0099*^3 the", "title:doc^2 AND w00017", "the^0.1 w00017",
     // fuzzy (round 5): Damerau-Levenshtein dictionary expansion `term~N`
     "w00017~1", "w00017~2 AND w00342", "the~1", "title:doc~1 w00017",
-    "w00017~1^2 w00342", "w00017 NOT w00342~1")
+    "w00017~1^2 w00342", "w00017 NOT w00342~1",
+    // wildcards (round 5): glob dictionary expansion `?` / infix / leading *
+    "w0001?", "w*17", "*0017", "w00?1* AND the", "title:d?c AND w00017",
+    "w0001?^2 w00342", "w00017 NOT w0034?")
 
   private def assertRankIdentical(got: Seq[(Long, Double)],
       expect: Seq[(Long, Double)], ctx: String): Unit = {
@@ -433,15 +436,13 @@ class EngineSpec extends AnyFunSuite {
   test("parser fails loudly on unimplemented Lucene syntax (round 4)") {
     import graft.query.QueryParser
     // each marker used to tokenize away into a silently-different query.
-    // fuzzy was promoted to a real surface in r5 (FuzzySpec); only its
-    // malformed forms stay loud
+    // fuzzy and general wildcards were promoted to real surfaces in r5
+    // (FuzzySpec, WildcardSpec); only malformed forms stay loud
     intercept[IllegalArgumentException](QueryParser.parse("roam~3"))  // cap
     intercept[IllegalArgumentException](QueryParser.parse("roam~0.8")) // float
     intercept[IllegalArgumentException](QueryParser.parse("ro~am"))   // infix
-    intercept[IllegalArgumentException](QueryParser.parse("te?t"))    // ? wc
-    intercept[IllegalArgumentException](QueryParser.parse("*ing"))    // leading
-    intercept[IllegalArgumentException](QueryParser.parse("te*t"))    // infix
-    intercept[IllegalArgumentException](QueryParser.parse("a*b*"))    // multi
+    intercept[IllegalArgumentException](QueryParser.parse("*"))       // no literal
+    intercept[IllegalArgumentException](QueryParser.parse("te?t~1"))  // combo
     intercept[IllegalArgumentException](QueryParser.parse("\"a b\"~x")) // bad slop
     // url filter values keep raw characters (a '?' in a url is legitimate)
     assert(QueryParser.parse("url:h/p?q=1 w00017").urlFilter

@@ -66,6 +66,10 @@ class FuzzSpec extends AnyFunSuite {
   private def fuzzy(): String =
     term() + pick(Seq("~1", "~2", "~"))
 
+  /** Glob wildcard atoms: `?` single-char, infix/leading `*`. */
+  private def wildcard(): String =
+    pick(Seq("w0001?", "w?001", "w*17", "*017", "w00?1*", "w1?3*", "?he"))
+
   private def phrase(): String = {
     val n = 2 + rng.nextInt(2)
     val ts = Seq.fill(n)(if (rng.nextBoolean())
@@ -78,7 +82,7 @@ class FuzzSpec extends AnyFunSuite {
   private def atom(): String = {
     val base = rng.nextInt(10) match {
       case 0 | 1 | 2 | 3     => term()
-      case 4                 => fuzzy()
+      case 4                 => if (rng.nextBoolean()) fuzzy() else wildcard()
       case 5 | 6             => phrase()
       case 7                 => prefix()
       case 8                 => "title:" + pick(Seq("doc", "1", "9",
