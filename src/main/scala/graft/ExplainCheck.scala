@@ -32,6 +32,17 @@ object ExplainCheck {
       e.prefixScanPlan("w000").split("\n")
         .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
         .foreach(l => println("[plan] " + l.trim.take(1200)))
+      // fuzzy/wildcard dictionary scans (r5): the title: StartsWith and the
+      // wildcard literal prefix range must reach parquet as PushedFilters —
+      // only the distance/glob predicate itself runs as the typed filter
+      println("=== fuzzy dictionary scan (title:doc~1) ===")
+      e.fuzzyScanPlan("title:doc", 1).split("\n")
+        .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .foreach(l => println("[plan] " + l.trim.take(1200)))
+      println("=== wildcard dictionary scan (w00?1*) ===")
+      e.wildcardScanPlan("w00?1*").split("\n")
+        .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .foreach(l => println("[plan] " + l.trim.take(1200)))
       // realtimeGet is a point lookup on the docs tables: the url equality
       // must reach parquet as a pushed filter so row-group min/max on the
       // url-sorted docs files prunes the scan (VERDICT r4 missing #3) —

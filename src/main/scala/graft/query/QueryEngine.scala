@@ -318,6 +318,16 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     terms
   }
 
+  /** Plan-audit hooks (ExplainCheck): physical plans of the fuzzy and
+    * wildcard dictionary scans — a field-qualified fuzzy key must show its
+    * `title:` StartsWith pushed to parquet, a wildcard with a literal
+    * prefix must show the term-range pushdown, same as prefixScanPlan.
+    */
+  def fuzzyScanPlan(key: String, maxEdits: Int): String =
+    fuzzyScan(view, key, maxEdits)._1.queryExecution.executedPlan.toString
+  def wildcardScanPlan(key: String): String =
+    wildcardScan(view, key)._1.queryExecution.executedPlan.toString
+
   private[query] def expandFuzzy(key: String, maxEdits: Int): Seq[String] =
     expandFuzzy(view, key, maxEdits)
 
@@ -334,13 +344,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * range prunes) \u2014 bounded by vocabulary size, not corpus size, and the
     * length window cuts the distinct shuffle before the matrix runs.
     */
-  private def expandFuzzy(v: IndexView, key: String, maxEdits: Int)
-      : Seq[String] = {
-    val cacheKey = key + "~" + maxEdits
-    v.prefixCache.synchronized(Option(v.prefixCache.get(cacheKey))) match {
-      case Some(hit) => return hit
-      case None      =>
-    }
+  private def fuzzyScan(v: IndexView, key: String, maxEdits: Int)
+      : (Dataset[String], String) = {
     val colon = key.indexOf(':')
     val (fieldPfx, base) =
       if (colon >= 0) (key.substring(0, colon + 1), key.substring(colon + 1))
@@ -353,10 +358,20 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       .between(fieldPfx.length + base.length - maxEdits,
         fieldPfx.length + base.length + maxEdits))
     val pfxLen = fieldPfx.length
-    val terms = scan.select($"term").distinct().as[String]
+    (scan.select($"term").distinct().as[String]
       .filter(t => Fuzzy.within(t.substring(pfxLen), base, maxEdits))
-      .orderBy($"term").limit(QueryResolve.MaxPrefixExpansion)
-      .collect().toSeq
+      .orderBy($"term").limit(QueryResolve.MaxPrefixExpansion),
+      key + "~" + maxEdits)
+  }
+
+  private def expandFuzzy(v: IndexView, key: String, maxEdits: Int)
+      : Seq[String] = {
+    val (scan, cacheKey) = fuzzyScan(v, key, maxEdits)
+    v.prefixCache.synchronized(Option(v.prefixCache.get(cacheKey))) match {
+      case Some(hit) => return hit
+      case None      =>
+    }
+    val terms = scan.collect().toSeq
     v.prefixCache.synchronized(v.prefixCache.put(cacheKey, terms))
     terms
   }
@@ -372,11 +387,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * wildcards. Cache key is the pattern key itself: it contains '*'/'?',
     * which no term key and no other cache family can.
     */
-  private def expandWildcard(v: IndexView, key: String): Seq[String] = {
-    v.prefixCache.synchronized(Option(v.prefixCache.get(key))) match {
-      case Some(hit) => return hit
-      case None      =>
-    }
+  private def wildcardScan(v: IndexView, key: String)
+      : (Dataset[String], String) = {
     val colon = key.indexOf(':')
     val (fieldPfx, pat) =
       if (colon >= 0) (key.substring(0, colon + 1), key.substring(colon + 1))
@@ -389,11 +401,19 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     if (lit.length > fieldPfx.length)
       scan = scan.filter($"term" >= lit && $"term" < lit + "￿")
     val pfxLen = fieldPfx.length
-    val terms = scan.select($"term").distinct().as[String]
+    (scan.select($"term").distinct().as[String]
       .filter(t => Glob.matches(t.substring(pfxLen), pat))
-      .orderBy($"term").limit(QueryResolve.MaxPrefixExpansion)
-      .collect().toSeq
-    v.prefixCache.synchronized(v.prefixCache.put(key, terms))
+      .orderBy($"term").limit(QueryResolve.MaxPrefixExpansion), key)
+  }
+
+  private def expandWildcard(v: IndexView, key: String): Seq[String] = {
+    val (scan, cacheKey) = wildcardScan(v, key)
+    v.prefixCache.synchronized(Option(v.prefixCache.get(cacheKey))) match {
+      case Some(hit) => return hit
+      case None      =>
+    }
+    val terms = scan.collect().toSeq
+    v.prefixCache.synchronized(v.prefixCache.put(cacheKey, terms))
     terms
   }
 
