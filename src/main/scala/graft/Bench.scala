@@ -227,7 +227,9 @@ object Bench {
     // round-5 surface: boosts (term + fractional damping)
     "w00017^2 OR w00342", "the^0.1 w00017",
     // round-5 surface: fuzzy (DL dictionary expansion) + glob wildcards
-    "w00017~1", "w00017~2 AND w00342", "w0001?", "w*17 AND the")
+    "w00017~1", "w00017~2 AND w00342", "w0001?", "w*17 AND the",
+    // round-5 surface: term ranges (pure range-pushdown expansion)
+    "text:[w00015 TO w00020]", "text:{w0001 TO w0002] AND the")
 
   /** Stopword-heavy queries whose posting sets exceed the driver threshold —
     * timed against a driverWandMaxSegments=0 engine so the 100×-relevant

@@ -43,6 +43,13 @@ object ExplainCheck {
       e.wildcardScanPlan("w00?1*").split("\n")
         .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
         .foreach(l => println("[plan] " + l.trim.take(1200)))
+      // term-range dictionary scan (r5): BOTH bounds must reach parquet —
+      // the whole expansion is one pruned range scan, no driver matching
+      println("=== term-range dictionary scan (text:{w0001 TO w0002]) ===")
+      e.termRangeScanPlan("", Some("w0001"), Some("w0002"),
+          incLo = false, incHi = true).split("\n")
+        .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .foreach(l => println("[plan] " + l.trim.take(1200)))
       // realtimeGet is a point lookup on the docs tables: the url equality
       // must reach parquet as a pushed filter so row-group min/max on the
       // url-sorted docs files prunes the scan (VERDICT r4 missing #3) —

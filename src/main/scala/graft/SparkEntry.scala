@@ -27,6 +27,7 @@ object SparkEntry {
     "q_bm25_boosted" -> ((s, d) => Ops.bm25Boosted(s, d)),
     "q_fuzzy_topk" -> ((s, d) => Ops.fuzzyTopK(s, d)),
     "q_wildcard_topk" -> ((s, d) => Ops.wildcardTopK(s, d)),
+    "q_term_range" -> ((s, d) => Ops.termRangeTopK(s, d)),
     "q_topk_orders" -> ((s, d) => Ops.topkOrders(s, d)),
     // extraction / validation / join analogs (SURVEY.md §2.3–§2.5)
     "q_id_sanitize" -> ((s, d) => Ops.idSanitize(s, d)),
@@ -146,6 +147,20 @@ object SparkEntry {
         // to the same semantics); sort-and-cap mirrors MaxPrefixExpansion
         "vocab AS (SELECT DISTINCT term FROM tf " +
         "WHERE term GLOB 's?a*' ORDER BY term LIMIT 512) " +
+        "SELECT tf.doc_id, round(sum(ln(1 + (s.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf / " +
+        "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
+        "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
+        "WHERE tf.term IN (SELECT term FROM vocab) " +
+        "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
+    "q_term_range" ->
+      (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
+        "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +
+        "dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), " +
+        // `text:{spark TO sz]`: exclusive-lo/inclusive-hi lexicographic
+        // range, plain string compares on both sides; sort-and-cap mirrors
+        // QueryResolve.MaxPrefixExpansion
+        "vocab AS (SELECT DISTINCT term FROM tf " +
+        "WHERE term > 'spark' AND term <= 'sz' ORDER BY term LIMIT 512) " +
         "SELECT tf.doc_id, round(sum(ln(1 + (s.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf / " +
         "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
         "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +

@@ -138,6 +138,25 @@ object Ops {
       .limit(10)
   }
 
+  /** Q3 term range (r5): the SQL-analog twin of `text:{spark TO sz]` —
+    * expand the lexicographic term range against the distinct token
+    * vocabulary (exclusive lo / inclusive hi, exercising the bracket
+    * grammar), then BM25 top-10 over the expansion as a synonym group.
+    * Oracled in DuckDB with the same plain string comparisons, so the
+    * expansion rule (bounds, exclusivity, sort-and-cap) is hash-checked.
+    */
+  def termRangeTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expanded = tokens(spark, dir).select("term").distinct()
+      .as[String]
+      .filter(t => t > "spark" && t <= "sz")
+      .collect().toSeq.sorted
+      .take(graft.query.QueryResolve.MaxPrefixExpansion)
+    bm25Scored(spark, dir, expanded)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
   def fuzzyTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val expanded = tokens(spark, dir).select("term").distinct()

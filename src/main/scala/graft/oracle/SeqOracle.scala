@@ -83,16 +83,19 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     ast.langFilter.forall(l => docLang(id) == l) &&
     ast.urlFilter.forall(u => docUrl(id).contains(u)) &&
     ast.rangeFilters.forall {
-      case RangeFilter("warc_ts", lo, hi) =>
+      case RangeFilter("warc_ts", lo, hi, il, ih) =>
         val t = docTs(id)
-        lo.forall(v => t >= parseTs(v)) && hi.forall(v => t <= parseTs(v))
-      case RangeFilter("url", lo, hi) =>
+        lo.forall(v => if (il) t >= parseTs(v) else t > parseTs(v)) &&
+          hi.forall(v => if (ih) t <= parseTs(v) else t < parseTs(v))
+      case RangeFilter("url", lo, hi, il, ih) =>
         val u = docUrl(id)
-        lo.forall(v => u >= v) && hi.forall(v => u <= v)
-      case RangeFilter("lang", lo, hi) =>
+        lo.forall(v => if (il) u >= v else u > v) &&
+          hi.forall(v => if (ih) u <= v else u < v)
+      case RangeFilter("lang", lo, hi, il, ih) =>
         val l = docLang(id)
-        lo.forall(v => l >= v) && hi.forall(v => l <= v)
-      case RangeFilter(f, _, _) =>
+        lo.forall(v => if (il) l >= v else l > v) &&
+          hi.forall(v => if (ih) l <= v else l < v)
+      case RangeFilter(f, _, _, _, _) =>
         throw new IllegalArgumentException(s"unsupported range field $f")
     }
   }

@@ -417,13 +417,72 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     terms
   }
 
-  /** The three dictionary-expansion rules over one index snapshot. */
+  private[query] def expandTermRange(fieldPfx: String, lo: Option[String],
+      hi: Option[String], incLo: Boolean, incHi: Boolean): Seq[String] =
+    expandTermRange(view, fieldPfx, lo, hi, incLo, incHi)
+
+  /** Lucene term-range (`text:[aa TO ab]`) dictionary expansion —
+    * [[QueryResolve.dictRange]] is the in-memory twin. The purest pushdown
+    * of the four families: both bounds AND the field prefix are plain
+    * range/StartsWith predicates on the sorted term column, so the whole
+    * expansion is one pruned parquet range scan with no driver-side
+    * matching at all (Lucene's analog walks the term FST between the
+    * bounds).
+    */
+  private def rangeScan(v: IndexView, fieldPfx: String, lo: Option[String],
+      hi: Option[String], incLo: Boolean, incHi: Boolean)
+      : (Dataset[String], String) = {
+    var scan = v.postings
+    scan =
+      if (fieldPfx.isEmpty) scan.filter(!$"term".contains(":"))
+      else scan.filter($"term".startsWith(fieldPfx))
+    lo.foreach { b =>
+      val q = fieldPfx + b
+      scan = scan.filter(if (incLo) $"term" >= q else $"term" > q)
+    }
+    hi.foreach { b =>
+      val q = fieldPfx + b
+      scan = scan.filter(if (incHi) $"term" <= q else $"term" < q)
+    }
+    // cache key = the literal's canonical rendering (brackets + " TO "
+    // cannot appear in any other cache family's keys)
+    val cacheKey = fieldPfx + (if (incLo) "[" else "{") + lo.getOrElse("*") +
+      " TO " + hi.getOrElse("*") + (if (incHi) "]" else "}")
+    (scan.select($"term").distinct().orderBy($"term")
+      .limit(QueryResolve.MaxPrefixExpansion).as[String], cacheKey)
+  }
+
+  /** Plan-audit hook (ExplainCheck): the term-range dictionary scan must
+    * show both bounds pushed to parquet.
+    */
+  def termRangeScanPlan(fieldPfx: String, lo: Option[String],
+      hi: Option[String], incLo: Boolean, incHi: Boolean): String =
+    rangeScan(view, fieldPfx, lo, hi, incLo, incHi)
+      ._1.queryExecution.executedPlan.toString
+
+  private def expandTermRange(v: IndexView, fieldPfx: String,
+      lo: Option[String], hi: Option[String], incLo: Boolean,
+      incHi: Boolean): Seq[String] = {
+    val (scan, cacheKey) = rangeScan(v, fieldPfx, lo, hi, incLo, incHi)
+    v.prefixCache.synchronized(Option(v.prefixCache.get(cacheKey))) match {
+      case Some(hit) => return hit
+      case None      =>
+    }
+    val terms = scan.collect().toSeq
+    v.prefixCache.synchronized(v.prefixCache.put(cacheKey, terms))
+    terms
+  }
+
+  /** The four dictionary-expansion rules over one index snapshot. */
   private def expander(v: IndexView): QueryResolve.Expander =
     new QueryResolve.Expander {
       def prefix(key: String): Seq[String] = expandPrefix(v, key)
       def fuzzy(key: String, maxEdits: Int): Seq[String] =
         expandFuzzy(v, key, maxEdits)
       def wildcard(key: String): Seq[String] = expandWildcard(v, key)
+      def range(fieldPfx: String, lo: Option[String], hi: Option[String],
+          incLo: Boolean, incHi: Boolean): Seq[String] =
+        expandTermRange(v, fieldPfx, lo, hi, incLo, incHi)
     }
 
   // ------------------------------------------------------- filter predicates
@@ -439,8 +498,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       val c = col(rf.field)
       def b(v: String): Column =
         if (rf.field == "warc_ts") lit(v).cast("timestamp") else lit(v)
-      rf.lo.foreach(v => preds ::= (c >= b(v)))
-      rf.hi.foreach(v => preds ::= (c <= b(v)))
+      rf.lo.foreach(v => preds ::= (if (rf.incLo) c >= b(v) else c > b(v)))
+      rf.hi.foreach(v => preds ::= (if (rf.incHi) c <= b(v) else c < b(v)))
     }
     preds.reduceOption(_ && _)
   }

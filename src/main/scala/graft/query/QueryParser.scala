@@ -5,13 +5,15 @@ import scala.collection.mutable
 import graft.index.Analysis
 
 /** One stored-field range constraint `field:[lo TO hi]` (Lucene bracket
-  * syntax at the reference's search call-site, searchindex.py:98). Bounds are
-  * inclusive; `*` = open end. Fields: `url`, `lang` (lexicographic) and
-  * `warc_ts` (ISO-8601 instant, validated at parse time so the engine and
-  * the sequential oracle accept exactly the same literal grammar).
+  * syntax at the reference's search call-site, searchindex.py:98). `[`/`]`
+  * bounds are inclusive, `{`/`}` exclusive (Lucene classic; mixed forms like
+  * `[a TO b}` allowed); `*` = open end. Fields: `url`, `lang`
+  * (lexicographic) and `warc_ts` (ISO-8601 instant, validated at parse time
+  * so the engine and the sequential oracle accept exactly the same literal
+  * grammar).
   */
 final case class RangeFilter(field: String, lo: Option[String],
-    hi: Option[String])
+    hi: Option[String], incLo: Boolean = true, incHi: Boolean = true)
 
 /** A term literal after analysis. `key` is the field-qualified posting key:
   * bare tokens for the default `text` field, `"title:" + token` for the
@@ -37,6 +39,22 @@ final case class FuzzyLit(key: String, maxEdits: Int) extends TermLit
   * the wildcard markers, field-qualified like every other key.
   */
 final case class WildcardLit(key: String) extends TermLit
+/** Lucene term range on an INDEXED field — `text:[aa TO ab]`,
+  * `title:{d TO e}`, mixed brackets, `*` = open end (at most one): expanded
+  * against the live dictionary to every same-field term within the
+  * lexicographic bounds (`[`/`]` inclusive, `{`/`}` exclusive), under the
+  * same deterministic sort-and-cap as prefixes. Bounds are lowercased and
+  * restricted to the token alphabet `[a-z0-9]` at parse, so both expansion
+  * twins compare in plain token space. `fieldPfx` is `""` for text /
+  * `"title:"` for title; `key` is the canonical rendering — brackets and
+  * spaces cannot appear in term keys or other literal keys, so cache/boost
+  * identity cannot collide.
+  */
+final case class TermRangeLit(fieldPfx: String, lo: Option[String],
+    hi: Option[String], incLo: Boolean, incHi: Boolean) extends TermLit {
+  def key: String = fieldPfx + (if (incLo) "[" else "{") +
+    lo.getOrElse("*") + " TO " + hi.getOrElse("*") + (if (incHi) "]" else "}")
+}
 
 /** One positional phrase constraint. `slop` is Lucene's edit-distance slop
   * (the `"a b"~N` surface, searchindex.py:98): the phrase matches iff there
@@ -88,13 +106,17 @@ final case class BoolClause(pos: Seq[TermLit], neg: Seq[TermLit],
   *  - scoring: a matching document scores the sum of BM25 contributions of
   *    every DISTINCT positive query term it contains (term-sorted summation
   *    for bit determinism), independent of which clause matched;
-  *  - boosts (`term^2`, `"a b"~1^2`, `pre*^0.5`, round 5): a term's
-  *    contribution is multiplied by its boost, folded into idf so WAND
-  *    block-max pruning stays exact. Because scoring is per-distinct-term,
-  *    a term occurring with several boosts takes the MAX (unboosted = 1),
-  *    a phrase boost applies to each of the phrase's terms, and a prefix
-  *    boost applies to every expansion term (Lucene instead scores each
-  *    occurrence separately and rewrites prefixes constant-score);
+  *  - boosts (`term^2`, `"a b"~1^2`, `pre*^0.5`, group `(a b)^2`, round 5):
+  *    a term's contribution is multiplied by its boost, folded into idf so
+  *    WAND block-max pruning stays exact. A group boost multiplies the
+  *    boost of every positive occurrence inside the group (nested groups
+  *    compose multiplicatively, as in Lucene). Because scoring is
+  *    per-distinct-term, a term occurring with several boosts takes the
+  *    MAX of its occurrence boosts (unboosted = 1), a phrase boost applies
+  *    to each of the phrase's terms, and a prefix/fuzzy/wildcard boost
+  *    applies to every expansion term (Lucene instead scores each
+  *    occurrence separately and rewrites multi-term queries
+  *    constant-score);
   *  - prefix terms score like ordinary terms per expansion (Lucene rewrites
   *    them constant-score);
   *  - negated phrases are rejected with a parse error (ADVICE r2);
@@ -155,6 +177,11 @@ object QueryResolve {
       * pattern part ([[Glob.matches]]).
       */
     def wildcard(key: String): Seq[String]
+    /** Lucene term range: same-field terms within the lexicographic bounds
+      * (inclusive/exclusive per flag; `None` = open end).
+      */
+    def range(fieldPfx: String, lo: Option[String], hi: Option[String],
+        incLo: Boolean, incHi: Boolean): Seq[String]
   }
 
   def resolve(ast: QueryAst, expander: Expander): ResolvedQuery = {
@@ -167,6 +194,9 @@ object QueryResolve {
         cache.getOrElseUpdate((p, -2), expander.wildcard(p))
       case FuzzyLit(k, e) =>
         cache.getOrElseUpdate((k, e), expander.fuzzy(k, e))
+      case r: TermRangeLit =>
+        cache.getOrElseUpdate((r.key, -3),
+          expander.range(r.fieldPfx, r.lo, r.hi, r.incLo, r.incHi))
     }
     val clauses = ast.clauses.flatMap { c =>
       val groups = c.pos.map(terms)
@@ -234,7 +264,22 @@ object QueryResolve {
       .toSeq.sorted.take(MaxPrefixExpansion)
   }
 
-  /** All three expansion rules over one in-memory dictionary (the sequential
+  /** Term-range twin of [[dictExpand]]: same-field dictionary terms whose
+    * token part falls within the lexicographic bounds, sorted, capped.
+    */
+  def dictRange(dict: Iterable[String])(fieldPfx: String, lo: Option[String],
+      hi: Option[String], incLo: Boolean, incHi: Boolean): Seq[String] =
+    dict.iterator
+      .filter { k =>
+        (if (fieldPfx.isEmpty) !k.contains(":") else k.startsWith(fieldPfx)) && {
+          val t = k.substring(fieldPfx.length)
+          lo.forall(v => if (incLo) t >= v else t > v) &&
+            hi.forall(v => if (incHi) t <= v else t < v)
+        }
+      }
+      .toSeq.sorted.take(MaxPrefixExpansion)
+
+  /** All four expansion rules over one in-memory dictionary (the sequential
     * oracle; tests).
     */
   def dictExpander(dict: Iterable[String]): Expander = new Expander {
@@ -242,6 +287,9 @@ object QueryResolve {
     def fuzzy(key: String, maxEdits: Int): Seq[String] =
       dictFuzzy(dict)(key, maxEdits)
     def wildcard(key: String): Seq[String] = dictWildcard(dict)(key)
+    def range(fieldPfx: String, lo: Option[String], hi: Option[String],
+        incLo: Boolean, incHi: Boolean): Seq[String] =
+      dictRange(dict)(fieldPfx, lo, hi, incLo, incHi)
   }
 }
 
@@ -318,12 +366,15 @@ object QueryParser {
   private case object OrTok extends Tok
   private case object NotTok extends Tok
   private case object PlusTok extends Tok
-  private case object LParen extends Tok
-  private case object RParen extends Tok
+  /** `(` — `field` is set for a Lucene field-grouped `field:(...)` open. */
+  private final case class LParen(field: Option[String] = None) extends Tok
+  /** `)` — `boost` ≠ 1 for a Lucene group boost `(...)^B`. */
+  private final case class RParen(boost: Double = 1.0) extends Tok
   private final case class TermTok(field: Option[String], value: String,
       phrase: Boolean, slop: Int = 0, boost: Double = 1.0) extends Tok
-  private final case class RangeTok(field: String, lo: Option[String],
-      hi: Option[String]) extends Tok
+  private final case class RangeTok(field: Option[String], lo: Option[String],
+      hi: Option[String], incLo: Boolean = true, incHi: Boolean = true,
+      boost: Double = 1.0) extends Tok
 
   private def lex(q: String): Vector[Tok] = {
     val toks = Vector.newBuilder[Tok]
@@ -332,8 +383,22 @@ object QueryParser {
     while (i < s.length) {
       s.charAt(i) match {
         case c if c.isWhitespace => i += 1
-        case '(' => toks += LParen; i += 1
-        case ')' => toks += RParen; i += 1
+        case '(' => toks += LParen(None); i += 1
+        case ')' =>
+          i += 1
+          // optional group boost `(...)^B` (Lucene classic)
+          var gBoost = 1.0
+          if (i < s.length && s.charAt(i) == '^') {
+            var j = i + 1
+            while (j < s.length &&
+              (s.charAt(j).isDigit || s.charAt(j) == '.')) j += 1
+            gBoost = parseBoostLiteral(s.substring(i + 1, j), "group ')'")
+            require(j >= s.length || s.charAt(j).isWhitespace ||
+              s.charAt(j) == ')',
+              "malformed boost after group ')'")
+            i = j
+          }
+          toks += RParen(gBoost)
         case _ =>
           if (s.charAt(i) == '-') { toks += NotTok; i += 1 }
           else if (s.charAt(i) == '+') { toks += PlusTok; i += 1 }
@@ -376,22 +441,43 @@ object QueryParser {
                 i = j
               }
               toks += TermTok(field, body, phrase = true, slop, boost)
-            } else if (i < s.length && s.charAt(i) == '[') {
-              // range literal [lo TO hi] — only meaningful with a field
-              val end = s.indexOf(']', i + 1)
+            } else if (i < s.length &&
+                (s.charAt(i) == '[' || s.charAt(i) == '{')) {
+              // range literal: [lo TO hi] inclusive, {lo TO hi} exclusive,
+              // mixed brackets allowed (Lucene classic)
+              val incLo = s.charAt(i) == '['
+              val endIncl = s.indexOf(']', i + 1)
+              val endExcl = s.indexOf('}', i + 1)
+              val end = (endIncl, endExcl) match {
+                case (-1, e) => e
+                case (e, -1) => e
+                case (a, b)  => math.min(a, b)
+              }
+              val incHi = end >= 0 && s.charAt(end) == ']'
               val stop = if (end < 0) s.length else end
               val body = s.substring(i + 1, stop)
               i = if (end < 0) s.length else end + 1
               val parts = body.split("(?i)\\s+TO\\s+")
               require(parts.length == 2,
                 s"malformed range '[$body]' (expected '[lo TO hi]')")
-              val f = field.getOrElse(throw new IllegalArgumentException(
-                s"range '[$body]' requires a field prefix"))
               def bound(v: String): Option[String] = {
                 val t = v.trim
                 if (t == "*" || t.isEmpty) None else Some(t)
               }
-              toks += RangeTok(f, bound(parts(0)), bound(parts(1)))
+              // optional boost `field:[a TO b]^2` (same grammar as terms)
+              var boost = 1.0
+              if (i < s.length && s.charAt(i) == '^') {
+                var j = i + 1
+                while (j < s.length &&
+                  (s.charAt(j).isDigit || s.charAt(j) == '.')) j += 1
+                boost = parseBoostLiteral(s.substring(i + 1, j), s"[$body]")
+                require(j >= s.length || s.charAt(j).isWhitespace ||
+                  s.charAt(j) == ')',
+                  s"malformed boost after range [$body]")
+                i = j
+              }
+              toks += RangeTok(field, bound(parts(0)), bound(parts(1)),
+                incLo, incHi, boost)
             } else {
               var j = i
               while (j < s.length && !s.charAt(j).isWhitespace &&
@@ -405,14 +491,15 @@ object QueryParser {
                 case _ if w.nonEmpty =>
                   toks += TermTok(field, w, phrase = false)
                 case _ =>
-                  // reject-loudly: `title:(a b)` used to DROP the field
-                  // prefix (empty word before '(') and run the group
-                  // against the default field — Lucene field-grouping is
-                  // unsupported here, so say so instead of mis-scoping
-                  require(field.isEmpty,
-                    s"field-grouped query '${field.get}:(...)' is " +
-                      "unsupported — qualify each term instead " +
-                      s"(e.g. ${field.get}:a ${field.get}:b)")
+                  // empty word after a field prefix: `field:(...)` is a
+                  // Lucene field-grouped query (r5 — used to reject); the
+                  // field scopes every unqualified term of the group.
+                  // Anything else (e.g. `title:)`) is malformed — loud.
+                  if (field.isDefined && i < s.length && s.charAt(i) == '(') {
+                    toks += LParen(field); i += 1
+                  } else require(field.isEmpty,
+                    s"malformed field prefix '${field.get}:' — expected a " +
+                      "term, phrase, range, or group after ':'")
               }
             }
           }
@@ -455,15 +542,23 @@ object QueryParser {
     private var lang: Option[String] = None
     private var url: Option[String] = None
     private val ranges = mutable.ListBuffer.empty[RangeFilter]
-    // literal → boost; same literal occurring twice keeps the MAX across
-    // ALL its occurrences, unboosted counting as 1 (scoring is per-distinct-
-    // term, so there is no per-occurrence contribution to keep). The first
-    // occurrence must seed with ITS boost, not 1.0 — a lone damping boost
-    // (`a^0.5`) would otherwise be silently erased by the default.
-    private val boosts = mutable.HashMap.empty[TermLit, Double]
+    /** Innermost `field:(...)` group scope — unqualified terms inside the
+      * group resolve to it instead of defaultField; nested plain `(...)`
+      * inherit it (saved/restored around each group parse).
+      */
+    private var fieldScope: Option[String] = None
+    // per-OCCURRENCE boost registrations, reduced to per-distinct-literal
+    // MAX in run() (unboosted occurrence = 1; scoring is per-distinct-term,
+    // so there is no per-occurrence contribution to keep). Occurrences —
+    // not a literal-keyed map — because a group boost `(...)^B` multiplies
+    // exactly the occurrences INSIDE the group (Lucene nesting:
+    // `(a^2 b)^3` → a×6, b×3), which a flat map cannot express: every
+    // parse-time registration of 1.0 would clamp a damping group `(...)
+    // ^0.5` back up under the MAX rule.
+    private val boostRegs = mutable.ArrayBuffer.empty[(TermLit, Double)]
 
     private def boosted(l: TermLit, b: Double): TermLit = {
-      boosts(l) = math.max(b, boosts.getOrElse(l, b))
+      boostRegs += ((l, b))
       l
     }
 
@@ -487,8 +582,10 @@ object QueryParser {
             "pure-negative query branch is unscorable (every OR-branch " +
               "needs at least one positive term)")
       }
-      QueryAst(scoring.toSeq, nonEmpty, lang, url, ranges.toSeq,
-        boosts.toMap.filter(_._2 != 1.0))
+      val boosts = boostRegs.groupBy(_._1)
+        .map { case (l, rs) => l -> rs.map(_._2).max }
+        .filter(_._2 != 1.0)
+      QueryAst(scoring.toSeq, nonEmpty, lang, url, ranges.toSeq, boosts)
     }
 
     /** orList := seq (OR seq)* */
@@ -513,7 +610,7 @@ object QueryParser {
       var more = true
       while (more) {
         peek match {
-          case None | Some(OrTok) | Some(RParen) => more = false
+          case None | Some(OrTok) | Some(_: RParen) => more = false
           case _ => parseSeqItem(depth).foreach(items += _)
         }
       }
@@ -582,11 +679,46 @@ object QueryParser {
       val urlBefore = url
       val nRangesBefore = ranges.size
       val unit: Option[N] = peek match {
-        case Some(LParen) =>
+        case Some(LParen(groupField)) =>
           i += 1
           require(depth < 16, "query nesting too deep")
+          // Lucene field grouping `title:(a b)`: the field scopes every
+          // unqualified term inside (an explicit field still wins). Only
+          // indexed fields group — a grouped FILTER field (`lang:(en no)`)
+          // would silently collapse to last-wins on the single-valued
+          // global filter, the exact inversion of the OR the user wrote.
+          groupField.foreach { f =>
+            require(IndexedFields.contains(f),
+              s"field-grouped query '$f:(...)' supports only indexed " +
+                s"fields (${IndexedFields.mkString(", ")}) — filter " +
+                "fields are global single-valued conjuncts")
+          }
+          val savedScope = fieldScope
+          if (groupField.isDefined) fieldScope = groupField
+          val regsAtOpen = boostRegs.length
           val inner = parseOrList(depth + 1)
-          if (peek.contains(RParen)) i += 1 // tolerate unclosed at end
+          fieldScope = savedScope
+          val gBoost = peek match {
+            case Some(RParen(b)) => i += 1; b
+            case _               => 1.0 // tolerate unclosed at end
+          }
+          if (gBoost != 1.0) {
+            // group boost `(...)^B` MULTIPLIES the boost of every positive
+            // scoring occurrence inside the group (Lucene nesting:
+            // `(a^2 b)^3` → a×6, b×3; nested groups compose because the
+            // inner close already multiplied its own slice). NOT-side
+            // occurrences never score and keep their registration as-is.
+            // Across occurrences of one literal the per-distinct-term MAX
+            // still reduces at run().
+            val lits = mutable.LinkedHashSet.empty[TermLit]
+            collectScoring(inner, pos = true, lits)
+            var r = regsAtOpen
+            while (r < boostRegs.length) {
+              val (l, b) = boostRegs(r)
+              if (lits.contains(l)) boostRegs(r) = (l, b * gBoost)
+              r += 1
+            }
+          }
           Some(inner)
         case Some(t: TermTok) =>
           i += 1
@@ -596,26 +728,58 @@ object QueryParser {
           n
         case Some(r: RangeTok) =>
           i += 1
-          require(FilterFields.contains(r.field),
-            s"range on '${r.field}' unsupported (stored fields: ${FilterFields.mkString(", ")})")
-          if (r.field == "warc_ts") {
-            // validate bounds NOW so the engine and the oracle accept the
-            // same literal grammar (ADVICE r2: a malformed bound must fail
-            // fast, not become a silent null predicate)
-            (r.lo ++ r.hi).foreach { v =>
-              try java.time.Instant.parse(v)
-              catch {
-                case _: java.time.format.DateTimeParseException =>
-                  throw new IllegalArgumentException(
-                    s"warc_ts range bound '$v' is not an ISO-8601 instant")
+          // an unqualified range inherits the enclosing field-group scope
+          // (`title:([a TO b])`), same rule as terms
+          r.field.orElse(fieldScope) match {
+            case Some(f) if IndexedFields.contains(f) =>
+              // Lucene term range on an indexed field: a multi-term literal
+              // like prefix/fuzzy/wildcard — capped dictionary expansion
+              def tok(v: String): String = {
+                val t = v.toLowerCase
+                require(t.nonEmpty && t.forall(c =>
+                  (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+                  s"term-range bound '$v' must be a single [a-z0-9] token")
+                t
               }
-            }
+              val lo = r.lo.map(tok)
+              val hi = r.hi.map(tok)
+              require(lo.isDefined || hi.isDefined,
+                s"term range on '$f' needs at least one bound — " +
+                  "[* TO *] (match-everything) is unsupported")
+              val pfx = if (f == "text") "" else f + ":" // termKey's rule
+              Some(NTerm(boosted(
+                TermRangeLit(pfx, lo, hi, r.incLo, r.incHi), r.boost)))
+            case Some(f) if FilterFields.contains(f) =>
+              if (f == "warc_ts") {
+                // validate bounds NOW so the engine and the oracle accept
+                // the same literal grammar (ADVICE r2: a malformed bound
+                // must fail fast, not become a silent null predicate)
+                (r.lo ++ r.hi).foreach { v =>
+                  try java.time.Instant.parse(v)
+                  catch {
+                    case _: java.time.format.DateTimeParseException =>
+                      throw new IllegalArgumentException(
+                        s"warc_ts range bound '$v' is not an ISO-8601 instant")
+                  }
+                }
+              }
+              require(r.boost == 1.0,
+                s"boost on a stored-field filter range ($f) is meaningless " +
+                  "— filters never score")
+              ranges += RangeFilter(f, r.lo, r.hi, r.incLo, r.incHi)
+              filterCaptured = true
+              None
+            case Some(f) =>
+              throw new IllegalArgumentException(
+                s"range on '$f' unsupported (indexed: " +
+                  s"${IndexedFields.mkString(", ")}; stored: " +
+                  s"${FilterFields.mkString(", ")})")
+            case None =>
+              throw new IllegalArgumentException(
+                "range literal requires a field prefix (field:[lo TO hi])")
           }
-          ranges += RangeFilter(r.field, r.lo, r.hi)
-          filterCaptured = true
-          None
         case Some(AndTok) | Some(OrTok) => i += 1; None // dangling operator
-        case Some(RParen) | None => None
+        case Some(_: RParen) | None => None
         case Some(NotTok) | Some(PlusTok) => None // unreachable
       }
       // reject-loudly: "-lang:en" used to DROP the '-' and filter TO
@@ -635,9 +799,12 @@ object QueryParser {
       * analysis, phrase/prefix forms.
       */
     private def termNode(t: TermTok): Option[N] = {
-      t.field match {
-        case Some("lang") => lang = Some(t.value.toLowerCase); None
-        case Some("url")  => url = Some(t.value); None
+      // an explicit per-term field always beats the enclosing group scope
+      // (Lucene: `title:(a text:b)` scopes only `a` to title)
+      t.field.orElse(fieldScope) match {
+        case Some("lang") if t.field.isDefined =>
+          lang = Some(t.value.toLowerCase); None
+        case Some("url") if t.field.isDefined => url = Some(t.value); None
         case other =>
           val field = other match {
             case Some(f) if IndexedFields.contains(f) => f

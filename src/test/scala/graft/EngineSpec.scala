@@ -77,7 +77,22 @@ class EngineSpec extends AnyFunSuite {
     "w00017~1^2 w00342", "w00017 NOT w00342~1",
     // wildcards (round 5): glob dictionary expansion `?` / infix / leading *
     "w0001?", "w*17", "*0017", "w00?1* AND the", "title:d?c AND w00017",
-    "w0001?^2 w00342", "w00017 NOT w0034?")
+    "w0001?^2 w00342", "w00017 NOT w0034?",
+    // field groups (round 5): title:(...) scopes unqualified terms
+    "title:(doc 9) w00017", "title:(doc AND 1)", "text:(w00017 w00342)",
+    "title:(d?c 9~1) AND w00017",
+    // group boosts (round 5)
+    "(w00017 OR w00342)^2 w00343", "title:(doc 9)^0.5 w00017",
+    "(w00017^5 w00342)^2 the",
+    // term ranges on indexed fields (round 5): [incl] / {excl} / mixed /
+    // open ends / boost / group-scope-inherited / negated
+    "text:[w00015 TO w00020]", "text:{w00017 TO w00020] AND the",
+    "title:[1 TO 3} w00017", "text:[w0034 TO w00345}^2 w00017",
+    "text:[* TO w00002} the", "title:([1 TO 2] doc)",
+    "w00017 NOT text:[w00340 TO w00345]",
+    // exclusive bounds on stored-field filter ranges (round 5)
+    "warc_ts:{2024-01-01T00:00:00Z TO 2024-01-01T02:00:00Z] the",
+    "url:[https://host10 TO https://host12z} the")
 
   private def assertRankIdentical(got: Seq[(Long, Double)],
       expect: Seq[(Long, Double)], ctx: String): Unit = {
@@ -479,8 +494,89 @@ class EngineSpec extends AnyFunSuite {
       QueryParser.parse("w1 -warc_ts:[2020-01-01T00:00:00Z TO *]"))
     // '+' on a filter is a harmless restatement and stays allowed
     assert(QueryParser.parse("w1 +lang:en").langFilter.contains("en"))
-    // "title:(a b)" used to silently drop the field prefix
-    intercept[IllegalArgumentException](QueryParser.parse("title:(w1 w2)"))
+  }
+
+  test("field-grouped queries: title:(a b) scopes unqualified terms (r5)") {
+    import graft.query.{QueryParser, ExactLit, PrefixLit, FuzzyLit}
+    // group field applies to every unqualified term (used to reject)
+    assert(QueryParser.parse("title:(w1 w2)").scoringLits ==
+      Seq(ExactLit("title:w1"), ExactLit("title:w2")))
+    // ...through operators, and an explicit field wins over the scope
+    val m = QueryParser.parse("title:(w1 AND text:w2 OR w3)")
+    assert(m.scoringLits.toSet ==
+      Set(ExactLit("title:w1"), ExactLit("w2"), ExactLit("title:w3")))
+    // nested plain parens inherit; multi-term literals qualify too
+    assert(QueryParser.parse("title:(w1 (w2 w3))").scoringLits.toSet ==
+      Set(ExactLit("title:w1"), ExactLit("title:w2"), ExactLit("title:w3")))
+    assert(QueryParser.parse("title:(w0* w1~1)").scoringLits.toSet ==
+      Set(PrefixLit("title:w0"), FuzzyLit("title:w1", 1)))
+    // scope ENDS at the group
+    assert(QueryParser.parse("title:(w1) w2").scoringLits ==
+      Seq(ExactLit("title:w1"), ExactLit("w2")))
+    // filter fields inside a group stay global filters (explicit field)
+    assert(QueryParser.parse("title:(w1 lang:en)").langFilter.contains("en"))
+    // grouped FILTER fields reject: lang:(en no) is an OR the single-valued
+    // global filter cannot express — last-wins would invert the request
+    intercept[IllegalArgumentException](QueryParser.parse("lang:(en no)"))
+    intercept[IllegalArgumentException](QueryParser.parse("url:(a b)"))
+    intercept[IllegalArgumentException](QueryParser.parse("foo:(a b)"))
+    // group boosts (a b)^2 / title:(...)^0.5 — per-distinct-literal MAX,
+    // phrases inside boost their terms, NOT-terms are unscored → unboosted
+    assert(QueryParser.parse("(w1 w2)^2").boosts ==
+      Map(ExactLit("w1") -> 2.0, ExactLit("w2") -> 2.0))
+    assert(QueryParser.parse("title:(w1 \"w2 w3\")^0.5").boosts ==
+      Map(ExactLit("title:w1") -> 0.5, ExactLit("title:w2") -> 0.5,
+        ExactLit("title:w3") -> 0.5))
+    // Lucene nesting: group boost MULTIPLIES inner occurrence boosts;
+    // NOT-side occurrences never score and stay unboosted
+    assert(QueryParser.parse("(w1^5 w2 NOT w3)^2").boosts ==
+      Map(ExactLit("w1") -> 10.0, ExactLit("w2") -> 2.0))
+    // nested groups compose multiplicatively; MAX applies across distinct
+    // occurrences of one literal elsewhere in the query
+    assert(QueryParser.parse("((w1^2)^3 w2)^2").boosts ==
+      Map(ExactLit("w1") -> 12.0, ExactLit("w2") -> 2.0))
+    assert(QueryParser.parse("w1^5 (w1 w2)^2").boosts ==
+      Map(ExactLit("w1") -> 5.0, ExactLit("w2") -> 2.0))
+    intercept[IllegalArgumentException](QueryParser.parse("(w1 w2)^x"))
+  }
+
+  test("term ranges: bracket grammar, scoping, rejection (r5)") {
+    import graft.query.{QueryParser, QueryResolve, TermRangeLit, ExactLit}
+    // inclusive / exclusive / mixed brackets, open ends, lowercase bounds
+    assert(QueryParser.parse("text:[aa TO ab]").scoringLits ==
+      Seq(TermRangeLit("", Some("aa"), Some("ab"), true, true)))
+    assert(QueryParser.parse("title:{D TO e}").scoringLits ==
+      Seq(TermRangeLit("title:", Some("d"), Some("e"), false, false)))
+    assert(QueryParser.parse("text:[aa TO ab}").scoringLits ==
+      Seq(TermRangeLit("", Some("aa"), Some("ab"), true, false)))
+    assert(QueryParser.parse("text:[* TO ab}").scoringLits ==
+      Seq(TermRangeLit("", None, Some("ab"), true, false)))
+    // boost folds like every other multi-term literal
+    assert(QueryParser.parse("text:[aa TO ab]^2").boosts ==
+      Map(TermRangeLit("", Some("aa"), Some("ab"), true, true) -> 2.0))
+    // a field group scopes an unqualified range
+    assert(QueryParser.parse("title:([1 TO 2] doc)").scoringLits.toSet ==
+      Set(TermRangeLit("title:", Some("1"), Some("2"), true, true),
+        ExactLit("title:doc")))
+    // exclusive bounds reach stored-field filters
+    val f = QueryParser.parse("w1 url:[a TO b}").rangeFilters.head
+    assert(!f.incHi && f.incLo && f.field == "url")
+    // rejections: no field, [* TO *], non-token bounds, unknown field,
+    // boost on a filter range
+    intercept[IllegalArgumentException](QueryParser.parse("[a TO b]"))
+    intercept[IllegalArgumentException](QueryParser.parse("text:[* TO *]"))
+    intercept[IllegalArgumentException](QueryParser.parse("text:[a! TO b]"))
+    intercept[IllegalArgumentException](QueryParser.parse("foo:[a TO b]"))
+    intercept[IllegalArgumentException](
+      QueryParser.parse("w1 warc_ts:[2024-01-01T00:00:00Z TO *]^2"))
+    // the dict twin honors field scoping, bounds, exclusivity, and the cap
+    val dict = Seq("aa", "ab", "ac", "title:aa", "title:ab")
+    assert(QueryResolve.dictRange(dict)("", Some("aa"), Some("ab"),
+      true, true) == Seq("aa", "ab"))
+    assert(QueryResolve.dictRange(dict)("", Some("aa"), Some("ac"),
+      false, false) == Seq("ab"))
+    assert(QueryResolve.dictRange(dict)("title:", Some("aa"), None,
+      false, true) == Seq("title:ab"))
   }
 
   test("boost parses on terms/phrases/prefixes; malformed forms reject") {

@@ -70,6 +70,12 @@ class FuzzSpec extends AnyFunSuite {
   private def wildcard(): String =
     pick(Seq("w0001?", "w?001", "w*17", "*017", "w00?1*", "w1?3*", "?he"))
 
+  /** Term-range atoms: incl/excl/mixed brackets, open ends, both fields. */
+  private def termRange(): String =
+    pick(Seq("text:[w00015 TO w00020]", "text:{w0001 TO w0002]",
+      "text:[w12 TO w123}", "text:[* TO a]", "text:{w4999 TO *}",
+      "title:[1 TO 3}", "title:{doc TO e]"))
+
   private def phrase(): String = {
     val n = 2 + rng.nextInt(2)
     val ts = Seq.fill(n)(if (rng.nextBoolean())
@@ -82,11 +88,15 @@ class FuzzSpec extends AnyFunSuite {
   private def atom(): String = {
     val base = rng.nextInt(10) match {
       case 0 | 1 | 2 | 3     => term()
-      case 4                 => if (rng.nextBoolean()) fuzzy() else wildcard()
+      case 4                 => rng.nextInt(3) match {
+        case 0 => fuzzy()
+        case 1 => wildcard()
+        case _ => termRange()
+      }
       case 5 | 6             => phrase()
       case 7                 => prefix()
       case 8                 => "title:" + pick(Seq("doc", "1", "9",
-        "\"doc 1\"", "\"doc 9\"~1"))
+        "\"doc 1\"", "\"doc 9\"~1", "(doc 9)", "(doc AND 1)", "(d?c 9~1)"))
       case _                 => "text:" + term()
     }
     if (rng.nextInt(4) == 0) base + boost() else base
