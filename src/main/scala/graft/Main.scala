@@ -211,11 +211,12 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--facet field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed]")
+    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--facet field] [--facet-range start,end,gapSec] [--sort field:asc|desc] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed]")
     val indexDir = args(0)
     val query = args(1)
     val (opts, flags) = MainCommon.parseArgs(args.drop(2).toSeq,
-      valued = Set("--k", "--buckets", "--df", "--facet", "--after"),
+      valued = Set("--k", "--buckets", "--df", "--facet", "--facet-range",
+        "--sort", "--after"),
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
         "--distributed"))
     val k = opts.getOrElse("--k", "10").toInt
@@ -246,21 +247,49 @@ object Search {
       if (flags.contains("--distributed"))
         new QueryEngine(spark, indexDir, buckets, driverWandMaxSegments = 0)
       else new QueryEngine(spark, indexDir, buckets)
-    val t0 = System.nanoTime()
-    val res =
-      (if (flags.contains("--exhaustive"))
-         engine.searchExhaustive(query, k, df, after)
-       else engine.search(query, k, df, after)).collect()
-    val ms = (System.nanoTime() - t0) / 1e6
-    println(f"[graft] query='$query' hits=${res.length} latencyMs=$ms%.1f")
-    res.zipWithIndex.foreach { case (r, i) =>
-      println(f"  ${i + 1}%2d. docId=${r.getLong(0)}%8d score=${r.getDouble(1)}%.6f")
-    }
-    // next-page anchor: pass back verbatim as --after (full page ⇒ more may
-    // exist; Double.toString round-trips, %.6f above does not)
-    if (res.length == k && res.nonEmpty) {
-      val last = res.last
-      println(s"[graft] cursor=${last.getDouble(1)},${last.getLong(0)}")
+    // Solr sort= analog: --sort field[:asc|desc] orders the page by a
+    // stored field instead of score (docId-ascending tiebreak). Both
+    // branches yield the page rows (docId first) so --delete works on
+    // either ordering.
+    val page: Array[org.apache.spark.sql.Row] = opts.get("--sort") match {
+      case Some(spec) =>
+        val (field, ascending) = spec.split(":", 2) match {
+          case Array(f)          => (f, true)
+          case Array(f, "asc")   => (f, true)
+          case Array(f, "desc")  => (f, false)
+          case Array(f, d) => throw new IllegalArgumentException(
+            s"--sort $f:$d — direction must be asc or desc")
+        }
+        require(after.isEmpty, "--after applies to score-ordered pages only")
+        val t0 = System.nanoTime()
+        val rows = engine.searchSorted(query, field, ascending, k, df)
+          .collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"[graft] query='$query' sort=$field:" +
+          s"${if (ascending) "asc" else "desc"} hits=${rows.length} " +
+          f"latencyMs=$ms%.1f")
+        rows.zipWithIndex.foreach { case (r, i) =>
+          println(f"  ${i + 1}%2d. docId=${r.getLong(0)}%8d $field=${r.get(1)}")
+        }
+        rows
+      case None =>
+        val t0 = System.nanoTime()
+        val res =
+          (if (flags.contains("--exhaustive"))
+             engine.searchExhaustive(query, k, df, after)
+           else engine.search(query, k, df, after)).collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"[graft] query='$query' hits=${res.length} latencyMs=$ms%.1f")
+        res.zipWithIndex.foreach { case (r, i) =>
+          println(f"  ${i + 1}%2d. docId=${r.getLong(0)}%8d score=${r.getDouble(1)}%.6f")
+        }
+        // next-page anchor: pass back verbatim as --after (full page ⇒ more
+        // may exist; Double.toString round-trips, %.6f above does not)
+        if (res.length == k && res.nonEmpty) {
+          val last = res.last
+          println(s"[graft] cursor=${last.getDouble(1)},${last.getLong(0)}")
+        }
+        res
     }
     opts.get("--facet").foreach { field =>
       println(s"[graft] facet field='$field' (over ALL matches)")
@@ -268,9 +297,20 @@ object Search {
         println(f"  ${r.get(0)}%-12s ${r.getLong(1)}%8d")
       }
     }
-    if (flags.contains("--delete") && res.nonEmpty) {
-      graft.query.Deletes.delete(spark, indexDir, res.map(_.getLong(0)).toSeq)
-      println(s"[graft] tombstoned ${res.length} docs")
+    // Solr facet.range analog: --facet-range start,end,gapSec over warc_ts
+    opts.get("--facet-range").foreach { spec =>
+      val parts = spec.split(",")
+      require(parts.length == 3,
+        "--facet-range expects <startIso>,<endIso>,<gapSec>")
+      println(s"[graft] facet.range warc_ts [$spec) (over ALL matches)")
+      engine.facetRange(query, parts(0), parts(1), parts(2).toLong, df)
+        .collect().foreach { r =>
+          println(f"  ${r.get(0)}%-24s ${r.getLong(1)}%8d")
+        }
+    }
+    if (flags.contains("--delete") && page.nonEmpty) {
+      graft.query.Deletes.delete(spark, indexDir, page.map(_.getLong(0)).toSeq)
+      println(s"[graft] tombstoned ${page.length} docs")
     }
     // delete EVERY match by cursor paging (the reference's rows=100000
     // search-then-delete without the cap or the giant page)

@@ -28,6 +28,7 @@ object SparkEntry {
     "q_fuzzy_topk" -> ((s, d) => Ops.fuzzyTopK(s, d)),
     "q_wildcard_topk" -> ((s, d) => Ops.wildcardTopK(s, d)),
     "q_term_range" -> ((s, d) => Ops.termRangeTopK(s, d)),
+    "q_sorted_match" -> ((s, d) => Ops.sortedMatchTopk(s, d)),
     "q_topk_orders" -> ((s, d) => Ops.topkOrders(s, d)),
     // extraction / validation / join analogs (SURVEY.md §2.3–§2.5)
     "q_id_sanitize" -> ((s, d) => Ops.idSanitize(s, d)),
@@ -152,6 +153,11 @@ object SparkEntry {
         "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
         "WHERE tf.term IN (SELECT term FROM vocab) " +
         "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
+    // Solr sort=: term match ordered by a stored column, not score
+    "q_sorted_match" ->
+      (s"$TfCte SELECT d.doc_id, d.n_chars FROM documents d " +
+        "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark') " +
+        "ORDER BY d.n_chars DESC, d.doc_id LIMIT 20"),
     "q_term_range" ->
       (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
         "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +

@@ -169,6 +169,19 @@ object Ops {
       .limit(10)
   }
 
+  /** Solr sort= (r5): the SQL-analog twin of
+    * [[graft.query.QueryEngine.searchSorted]] — docs matching a term,
+    * ordered by a stored column instead of score (doc_id-ascending
+    * tiebreak), top 20. Match set → join stored columns →
+    * TakeOrderedAndProject: the same plan shape the engine path uses.
+    */
+  def sortedMatchTopk(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir).filter(col("term") === "spark")
+      .select("doc_id").distinct()
+      .join(t(spark, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+      .orderBy(desc("n_chars"), asc("doc_id"))
+      .limit(20)
+
   /** Q2: fielded stored-field filter on a scored query — the driver-table
     * analog of the engine's `url:<v> terms` (filter gates candidates; corpus
     * stats stay corpus-wide, matching Solr fq semantics).

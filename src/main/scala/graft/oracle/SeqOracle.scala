@@ -114,6 +114,42 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     }
   }
 
+  /** Solr sort= twin of [[graft.query.QueryEngine.searchSorted]]: matching
+    * docIds ordered by a stored field with a docId-ASCENDING tiebreak in
+    * both directions (pre-sort by docId, then a stable sort by the field).
+    */
+  def topKSorted(query: String, sortField: String, ascending: Boolean,
+      k: Int, df: String = "text"): Seq[Long] = {
+    val ids = candidates(QueryParser.parse(query, df)).map(_._1).sorted
+    def by[T](key: Long => T)(implicit o: Ordering[T]): Seq[Long] =
+      ids.sortBy(key)(if (ascending) o else o.reverse)
+    val sorted = sortField match {
+      case "url"      => by(docUrl)
+      case "lang"     => by(docLang)
+      case "warc_ts"  => by(docTs)
+      case "doclen"   => by(doclen)
+      case "titleLen" => by(titleLen)
+      case f => throw new IllegalArgumentException(s"unsupported sort field $f")
+    }
+    sorted.take(k)
+  }
+
+  /** Solr facet.range twin of [[graft.query.QueryEngine.facetRange]]:
+    * (bucketStartMillis, count) per non-empty gap-second bucket within
+    * `[start, end)`, bucket-ordered.
+    */
+  def facetRange(query: String, startIso: String, endIso: String,
+      gapSec: Long, df: String = "text"): Seq[(Long, Long)] = {
+    val startMs = parseTs(startIso)
+    val endMs = parseTs(endIso)
+    candidates(QueryParser.parse(query, df)).map(_._1)
+      .map(docTs)
+      .filter(t => t >= startMs && t < endMs)
+      .groupBy(t => (t - startMs) / (gapSec * 1000L))
+      .map { case (b, ts) => (startMs + b * gapSec * 1000L, ts.size.toLong) }
+      .toSeq.sortBy(_._1)
+  }
+
   private def resolve(ast: QueryAst): ResolvedQuery =
     QueryResolve.resolve(ast, QueryResolve.dictExpander(postings.keys.toSeq))
 

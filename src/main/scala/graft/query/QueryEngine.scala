@@ -860,6 +860,60 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       .limit(topN)
   }
 
+  /** Query-time sort by a stored field — the Solr `sort=field asc|desc`
+    * analog (score ordering is the default `search`; this is the other
+    * half of that surface). Match set → join to the docs table →
+    * TakeOrderedAndProject on (field, docId) — top-k never materializes
+    * the full sorted match set, so the plan scales with matches, not with
+    * a global sort. docId-ascending tiebreak in BOTH directions keeps the
+    * page deterministic under ties (SeqOracle.topKSorted is the twin).
+    */
+  def searchSorted(q: String, sortField: String, ascending: Boolean, k: Int,
+      df: String = "text"): DataFrame = {
+    require(QueryEngine.SortableFields.contains(sortField),
+      s"sort field '$sortField' unsupported (stored: " +
+        s"${QueryEngine.SortableFields.mkString(", ")})")
+    refreshIfStale()
+    val v = view
+    val ast = QueryParser.parse(q, df)
+    val dir = if (ascending) asc(sortField) else desc(sortField)
+    scoredCandidates(ast, v)
+      .select($"docId")
+      .join(v.docs.select($"docId", col(sortField)), Seq("docId"))
+      .orderBy(dir, asc("docId"))
+      .limit(k)
+  }
+
+  /** Query-time range facet over `warc_ts` — the Solr `facet.range` analog:
+    * counts of matching docs per `[start + i*gap, start + (i+1)*gap)`
+    * bucket within `[start, end)`; empty buckets are omitted (Solr
+    * mincount=1). One groupBy over the match set; the bucket index is
+    * integer arithmetic on the pushed-down timestamp column.
+    */
+  def facetRange(q: String, startIso: String, endIso: String, gapSec: Long,
+      df: String = "text"): DataFrame = {
+    require(gapSec > 0, "facet.range gap must be positive")
+    val startMs = java.time.Instant.parse(startIso).toEpochMilli
+    val endMs = java.time.Instant.parse(endIso).toEpochMilli
+    require(endMs > startMs, "facet.range end must be after start")
+    refreshIfStale()
+    val v = view
+    val ast = QueryParser.parse(q, df)
+    scoredCandidates(ast, v)
+      .select($"docId")
+      .join(v.docs.select($"docId", $"warc_ts"), Seq("docId"))
+      .withColumn("ts_ms", unix_millis($"warc_ts"))
+      .filter($"ts_ms" >= startMs && $"ts_ms" < endMs)
+      .withColumn("bucket",
+        floor(($"ts_ms" - startMs) / (gapSec * 1000L)).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket_start",
+        timestamp_millis($"bucket" * (gapSec * 1000L) + startMs))
+      .select($"bucket_start", $"cnt")
+      .orderBy($"bucket_start")
+  }
+
   /** Real-time get by url — the Solr `/get?id=` analog the reference calls
     * at indexdata.py:1529–1533. Solr's RTG sees documents BEFORE commit;
     * the analog here: consult the newest ON-DISK segment's docs table even
@@ -969,6 +1023,10 @@ object QueryEngine {
     * distributed windowed plan. 4M ids = 32 MB.
     */
   val MaxDriverFilterDocs: Int = 1 << 22
+
+  /** Stored docs-table columns `searchSorted` may order by (Solr sort=). */
+  val SortableFields: Set[String] =
+    Set("url", "warc_ts", "lang", "doclen", "titleLen")
 }
 
 /** Delete-by-id as tombstones (reference: solrc.delete(id=…) at

@@ -579,6 +579,37 @@ class EngineSpec extends AnyFunSuite {
       false, true) == Seq("title:ab"))
   }
 
+  test("searchSorted: stored-field order matches oracle, both directions (r5)") {
+    val qs = Seq("w00017", "the", "w00017 AND w00342", "w0099*",
+      "lang:no AND w00099")
+    val fields = Seq("warc_ts" -> true, "warc_ts" -> false, "url" -> true,
+      "lang" -> false, "doclen" -> false, "titleLen" -> true)
+    for (q <- qs; (f, asc) <- fields) {
+      val got = engine.searchSorted(q, f, asc, 10)
+        .collect().map(_.getLong(0)).toSeq
+      val exp = oracle.topKSorted(q, f, asc, 10)
+      assert(got == exp, s"[$q sort=$f asc=$asc]\n got=$got\n exp=$exp")
+    }
+    // only stored docs columns sort; score order is the default search
+    intercept[IllegalArgumentException](
+      engine.searchSorted("w1", "text", ascending = true, 5))
+  }
+
+  test("facetRange: hour buckets over the match set equal oracle (r5)") {
+    for (q <- Seq("the", "w00017", "lang:no AND the")) {
+      val got = engine.facetRange(q, "2024-01-01T00:00:00Z",
+          "2024-01-02T00:00:00Z", 3600)
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
+      val exp = oracle.facetRange(q, "2024-01-01T00:00:00Z",
+        "2024-01-02T00:00:00Z", 3600)
+      assert(got == exp, s"[$q facet.range]\n got=$got\n exp=$exp")
+      assert(got.nonEmpty, s"[$q] degenerate fixture: no buckets")
+    }
+    intercept[IllegalArgumentException](
+      engine.facetRange("the", "2024-01-01T00:00:00Z",
+        "2024-01-01T00:00:00Z", 3600)) // empty interval
+  }
+
   test("boost parses on terms/phrases/prefixes; malformed forms reject") {
     import graft.query.{QueryParser, ExactLit, PrefixLit}
     // trailing ^N on a bare term (the r4 loud-reject, now implemented)
