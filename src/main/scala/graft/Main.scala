@@ -211,12 +211,12 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--facet field] [--facet-range start,end,gapSec] [--sort field:asc|desc] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed]")
+    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--facet field] [--facet-range start,end,gapSec] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed]")
     val indexDir = args(0)
     val query = args(1)
     val (opts, flags) = MainCommon.parseArgs(args.drop(2).toSeq,
       valued = Set("--k", "--buckets", "--df", "--facet", "--facet-range",
-        "--sort", "--after"),
+        "--sort", "--stats", "--group", "--after"),
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
         "--distributed"))
     val k = opts.getOrElse("--k", "10").toInt
@@ -295,6 +295,21 @@ object Search {
       println(s"[graft] facet field='$field' (over ALL matches)")
       engine.facet(query, field, df = df).collect().foreach { r =>
         println(f"  ${r.get(0)}%-12s ${r.getLong(1)}%8d")
+      }
+    }
+    // Solr stats component analog: --stats doclen|titleLen over ALL matches
+    opts.get("--stats").foreach { field =>
+      println(s"[graft] stats field='$field' (over ALL matches)")
+      engine.statsField(query, field, df).collect().foreach { r =>
+        println(s"  count=${r.get(0)} min=${r.get(1)} max=${r.get(2)} " +
+          s"sum=${r.get(3)} mean=${r.get(4)}")
+      }
+    }
+    // Solr result grouping analog: --group field, --k = group.limit
+    opts.get("--group").foreach { field =>
+      println(s"[graft] group field='$field' limit=$k")
+      engine.searchGrouped(query, field, k, df).collect().foreach { r =>
+        println(f"  ${r.get(0)}%-12s #${r.getInt(1)}%-3d docId=${r.getLong(2)}%8d score=${r.getDouble(3)}%.6f")
       }
     }
     // Solr facet.range analog: --facet-range start,end,gapSec over warc_ts

@@ -150,6 +150,50 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       .toSeq.sortBy(_._1)
   }
 
+  /** Solr stats.field twin of [[graft.query.QueryEngine.statsField]]:
+    * (count, min, max, sum, mean) of a numeric stored field over all
+    * matches. Returns None when nothing matches (the engine returns a
+    * null-filled aggregate row there).
+    */
+  def statsField(query: String, field: String, df: String = "text")
+      : Option[(Long, Long, Long, Long, Double)] = {
+    val key: Long => Long = field match {
+      case "doclen"   => doclen
+      case "titleLen" => titleLen
+      case f => throw new IllegalArgumentException(s"unsupported stats field $f")
+    }
+    val vs = candidates(QueryParser.parse(query, df)).map(c => key(c._1))
+    if (vs.isEmpty) None
+    else Some((vs.size.toLong, vs.min, vs.max, vs.sum,
+      vs.sum.toDouble / vs.size))
+  }
+
+  /** Solr result-grouping twin of [[graft.query.QueryEngine.searchGrouped]]:
+    * (fieldValue, rank, docId, score) — top-k by (-score, docId) within
+    * every distinct field value, ordered (fieldValue asc, rank asc).
+    */
+  def topKGrouped(query: String, field: String, kPerGroup: Int,
+      df: String = "text"): Seq[(String, Int, Long, Double)] = {
+    val key: Long => String = field match {
+      case "lang"     => docLang
+      case "url"      => docUrl
+      case "warc_ts"  => id => docTs(id).toString
+      case "doclen"   => id => doclen(id).toString
+      case "titleLen" => id => titleLen(id).toString
+      case f => throw new IllegalArgumentException(s"unsupported group field $f")
+    }
+    candidates(QueryParser.parse(query, df))
+      .groupBy(c => key(c._1))
+      .toSeq.sortBy(_._1)
+      .flatMap { case (v, cs) =>
+        // candidates() is already (-score, docId)-ordered; stable groupBy
+        // preserves it within the group
+        cs.take(kPerGroup).zipWithIndex.map { case ((id, s), i) =>
+          (v, i + 1, id, s)
+        }
+      }
+  }
+
   private def resolve(ast: QueryAst): ResolvedQuery =
     QueryResolve.resolve(ast, QueryResolve.dictExpander(postings.keys.toSeq))
 

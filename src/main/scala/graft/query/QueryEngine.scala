@@ -914,6 +914,59 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       .orderBy($"bucket_start")
   }
 
+  /** Solr stats-component analog (`stats.field=<numeric>`): count / min /
+    * max / sum / mean of a stored numeric column over ALL matching docs.
+    * One aggregation over the match-set join — no sort, no window.
+    */
+  def statsField(q: String, field: String, df: String = "text"): DataFrame = {
+    require(QueryEngine.NumericFields.contains(field),
+      s"stats field '$field' unsupported (numeric stored: " +
+        s"${QueryEngine.NumericFields.mkString(", ")})")
+    refreshIfStale()
+    val v = view
+    val ast = QueryParser.parse(q, df)
+    scoredCandidates(ast, v)
+      .select($"docId")
+      .join(v.docs.select($"docId", col(field)), Seq("docId"))
+      .agg(count(lit(1)).as("cnt"), min(field).as("min"),
+        max(field).as("max"), sum(field).as("sum"), avg(field).as("mean"))
+  }
+
+  /** Solr result-grouping analog (`group.field=F&group.limit=k`): the top-k
+    * docs by (-score, docId) within EVERY distinct value of a stored field.
+    * Two-phase windowing keeps it scale-clean for low-cardinality fields
+    * (lang): phase 1 ranks within (field, docId-salt) so no single task
+    * ever sorts a whole group's match set; phase 2 ranks the ≤ k×S
+    * survivors per group. One value of `field` therefore costs O(matches/S)
+    * per task, not O(matches) — the same reasoning as the salted segment
+    * encode (SURVEY.md skew note).
+    */
+  def searchGrouped(q: String, field: String, kPerGroup: Int,
+      df: String = "text"): DataFrame = {
+    require(QueryEngine.SortableFields.contains(field),
+      s"group field '$field' unsupported (stored: " +
+        s"${QueryEngine.SortableFields.mkString(", ")})")
+    require(kPerGroup > 0, "group.limit must be positive")
+    refreshIfStale()
+    val v = view
+    val ast = QueryParser.parse(q, df)
+    val salts = 32
+    import org.apache.spark.sql.expressions.Window
+    val joined = scoredCandidates(ast, v)
+      .join(v.docs.select($"docId", col(field)), Seq("docId"))
+    val w1 = Window.partitionBy(col(field), pmod($"docId", lit(salts)))
+      .orderBy(desc("score"), asc("docId"))
+    val w2 = Window.partitionBy(col(field))
+      .orderBy(desc("score"), asc("docId"))
+    joined
+      .withColumn("rnSalt", row_number().over(w1))
+      .filter($"rnSalt" <= kPerGroup).drop("rnSalt")
+      .withColumn("rank", row_number().over(w2))
+      .filter($"rank" <= kPerGroup)
+      .select(col(field), $"rank", $"docId", $"score")
+      .orderBy(asc(field), asc("rank"))
+  }
+
   /** Real-time get by url — the Solr `/get?id=` analog the reference calls
     * at indexdata.py:1529–1533. Solr's RTG sees documents BEFORE commit;
     * the analog here: consult the newest ON-DISK segment's docs table even
@@ -1027,6 +1080,9 @@ object QueryEngine {
   /** Stored docs-table columns `searchSorted` may order by (Solr sort=). */
   val SortableFields: Set[String] =
     Set("url", "warc_ts", "lang", "doclen", "titleLen")
+
+  /** Numeric stored columns `statsField` may aggregate (Solr stats.field). */
+  val NumericFields: Set[String] = Set("doclen", "titleLen")
 }
 
 /** Delete-by-id as tombstones (reference: solrc.delete(id=…) at

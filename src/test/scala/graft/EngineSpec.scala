@@ -610,6 +610,35 @@ class EngineSpec extends AnyFunSuite {
         "2024-01-01T00:00:00Z", 3600)) // empty interval
   }
 
+  test("statsField: match-set numeric stats equal oracle (r5)") {
+    for (q <- Seq("the", "w00017", "w00017 AND w00342", "lang:no AND the");
+         f <- Seq("doclen", "titleLen")) {
+      val r = engine.statsField(q, f).collect().head
+      val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+      val exp = oracle.statsField(q, f).get
+      assert(got._1 == exp._1 && got._2 == exp._2 && got._3 == exp._3 &&
+        got._4 == exp._4 && math.abs(got._5 - exp._5) < 1e-9,
+        s"[$q stats=$f] got=$got exp=$exp")
+    }
+    intercept[IllegalArgumentException](engine.statsField("w1", "lang"))
+  }
+
+  test("searchGrouped: per-group top-k equals oracle (r5)") {
+    for (q <- Seq("the", "w00017", "w0099* OR w00017"); k <- Seq(1, 3)) {
+      val got = engine.searchGrouped(q, "lang", k).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      val exp = oracle.topKGrouped(q, "lang", k)
+      assert(got.map(t => (t._1, t._2, t._3)) ==
+        exp.map(t => (t._1, t._2, t._3)), s"[$q group.limit=$k]\n got=$got\n exp=$exp")
+      got.zip(exp).foreach { case (g, e) =>
+        assert(math.abs(g._4 - e._4) < 1e-9, s"[$q] score ${g._4} != ${e._4}")
+      }
+    }
+    intercept[IllegalArgumentException](engine.searchGrouped("w1", "nope", 3))
+  }
+
   test("boost parses on terms/phrases/prefixes; malformed forms reject") {
     import graft.query.{QueryParser, ExactLit, PrefixLit}
     // trailing ^N on a bare term (the r4 loud-reject, now implemented)

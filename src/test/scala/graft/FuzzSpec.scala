@@ -158,6 +158,23 @@ class FuzzSpec extends AnyFunSuite {
     assert(nonEmpty >= 30, s"only $nonEmpty/60 queries matched anything")
   }
 
+  test("sorted search over generated queries: stored-field order matches " +
+      "oracle both directions") {
+    val queries = Iterator.continually(genQuery()).distinct.take(12).toSeq
+    val fields = Seq("warc_ts", "url", "lang", "doclen")
+    var nonEmpty = 0
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val f = fields(i % fields.length)
+      val asc = i % 2 == 0
+      val got = engine.searchSorted(q, f, asc, 10)
+        .collect().map(_.getLong(0)).toSeq
+      val exp = oracle.topKSorted(q, f, asc, 10)
+      if (exp.nonEmpty) nonEmpty += 1
+      assert(got == exp, s"[q='$q' sort=$f asc=$asc]\n got=$got\n exp=$exp")
+    }
+    assert(nonEmpty >= 6, s"only $nonEmpty/12 sorted queries matched anything")
+  }
+
   test("searchAfter paging over generated queries: page concat == full " +
       "ranking, driver path vs oracle pager") {
     // fresh deterministic sub-stream; small pages force many boundaries
