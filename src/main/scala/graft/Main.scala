@@ -138,6 +138,40 @@ object BuildIndex {
   }
 }
 
+/** Spellcheck/suggest + terms-component CLI (Solr spellcheck & /terms
+  * analogs). A trailing-`*` input lists dictionary terms by prefix with
+  * their df; anything else returns fuzzy "did you mean" suggestions ranked
+  * (distance asc, df desc, term asc).
+  *   runMain graft.Suggest <indexDir> <term | prefix*> [--n N] [--df text|title]
+  */
+object Suggest {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: Suggest <indexDir> <term | prefix*> [--n N] [--df text|title]")
+    val indexDir = args(0)
+    val input = args(1)
+    val (opts, _) = MainCommon.parseArgs(args.drop(2).toSeq,
+      valued = Set("--n", "--df", "--buckets"), flagNames = Set.empty)
+    val n = opts.getOrElse("--n", "10").toInt
+    val df = opts.getOrElse("--df", "text")
+    val spark = MainCommon.session("graft-suggest")
+    val buckets = MainCommon.resolveBuckets(spark, indexDir, opts.get("--buckets"))
+    val engine = new QueryEngine(spark, indexDir, buckets)
+    if (input.endsWith("*")) {
+      println(s"[graft] terms prefix='$input' n=$n df=$df")
+      engine.termsByPrefix(input.dropRight(1), n, df).foreach {
+        case (t, c) => println(f"  $t%-24s df=$c")
+      }
+    } else {
+      println(s"[graft] suggest term='$input' n=$n df=$df")
+      engine.suggest(input, n, df).foreach {
+        case (t, d, c) => println(f"  $t%-24s dist=$d df=$c")
+      }
+    }
+    spark.stop()
+  }
+}
+
 /** Maintenance main: fold tombstones/upsert victims and merge generations
   * (the background-merge work Solr does internally; here an explicit
   * spark-submit job an operator schedules).

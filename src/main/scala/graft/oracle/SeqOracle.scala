@@ -194,6 +194,34 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       }
   }
 
+  /** Suggest twin of [[graft.query.QueryEngine.suggest]]: dictionary terms
+    * within DL ≤ 2, ranked (distance asc, df desc, term asc), top n.
+    */
+  def suggest(term: String, n: Int = 5, field: String = "text")
+      : Seq[(String, Int, Long)] = {
+    val toks = Analysis.tokenize(term)
+    require(toks.length == 1, s"suggest input '$term' must be one token")
+    val key = if (field == "text") toks(0) else s"$field:${toks(0)}"
+    val pfxLen = key.length - toks(0).length
+    QueryResolve.dictFuzzy(postings.keys.toSeq)(key, 2)
+      .map { k =>
+        val t = k.substring(pfxLen)
+        (t, graft.query.Fuzzy.distance(t, toks(0)), df(k))
+      }
+      .sortBy { case (t, d, c) => (d, -c, t) }.take(n)
+  }
+
+  /** Terms-component twin of [[graft.query.QueryEngine.termsByPrefix]]. */
+  def termsByPrefix(prefix: String, n: Int = 20, field: String = "text")
+      : Seq[(String, Long)] = {
+    val toks = Analysis.tokenize(prefix)
+    require(toks.length == 1, s"terms prefix '$prefix' must be one token")
+    val key = if (field == "text") toks(0) else s"$field:${toks(0)}"
+    val pfxLen = key.length - toks(0).length
+    QueryResolve.dictExpand(postings.keys.toSeq)(key).take(n)
+      .map(k => (k.substring(pfxLen), df(k)))
+  }
+
   private def resolve(ast: QueryAst): ResolvedQuery =
     QueryResolve.resolve(ast, QueryResolve.dictExpander(postings.keys.toSeq))
 

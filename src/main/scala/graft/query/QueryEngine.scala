@@ -967,6 +967,57 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       .orderBy(asc(field), asc("rank"))
   }
 
+  /** Solr spellcheck/suggest analog: live dictionary terms within
+    * Damerau-Levenshtein ≤ 2 of the analyzed input, ranked
+    * (distance asc, df desc, term asc) — "did you mean", frequency-first
+    * like Solr's DirectSolrSpellChecker. Candidates come from the shared
+    * fuzzy expansion (sort-and-cap-512); df comes from SEGMENT METADATA
+    * only (column-pruned sum(count), the same trick compaction's hot-df
+    * uses) — no posting decode, so the cost is one pruned dictionary scan
+    * + one tiny agg regardless of corpus size.
+    */
+  def suggest(term: String, n: Int = 5, df: String = "text")
+      : Seq[(String, Int, Long)] = {
+    val toks = Analysis.tokenize(term)
+    require(toks.length == 1,
+      s"suggest input '$term' must analyze to a single token")
+    refreshIfStale()
+    val v = view
+    val key = QueryParser.termKey(df, toks(0))
+    val pfxLen = key.length - toks(0).length
+    val cands = expandFuzzy(v, key, 2)
+    if (cands.isEmpty) return Seq.empty
+    val dfs = v.postings.filter($"term".isin(cands: _*))
+      .groupBy($"term").agg(sum($"count").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cands.map { k =>
+      val t = k.substring(pfxLen)
+      (t, Fuzzy.distance(t, toks(0)), dfs.getOrElse(k, 0L))
+    }.sortBy { case (t, d, c) => (d, -c, t) }.take(n)
+  }
+
+  /** Solr /terms analog: live dictionary terms starting with `prefix`
+    * (analyzed, field-scoped) with their document frequencies, term-sorted,
+    * capped by the shared expansion rule. Same metadata-only df as
+    * [[suggest]].
+    */
+  def termsByPrefix(prefix: String, n: Int = 20, df: String = "text")
+      : Seq[(String, Long)] = {
+    val toks = Analysis.tokenize(prefix)
+    require(toks.length == 1,
+      s"terms prefix '$prefix' must analyze to a single token")
+    refreshIfStale()
+    val v = view
+    val key = QueryParser.termKey(df, toks(0))
+    val pfxLen = key.length - toks(0).length
+    val cands = expandPrefix(v, key).take(n)
+    if (cands.isEmpty) return Seq.empty
+    val dfs = v.postings.filter($"term".isin(cands: _*))
+      .groupBy($"term").agg(sum($"count").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cands.map(k => (k.substring(pfxLen), dfs.getOrElse(k, 0L)))
+  }
+
   /** Real-time get by url — the Solr `/get?id=` analog the reference calls
     * at indexdata.py:1529–1533. Solr's RTG sees documents BEFORE commit;
     * the analog here: consult the newest ON-DISK segment's docs table even

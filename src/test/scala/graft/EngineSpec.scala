@@ -639,6 +639,23 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](engine.searchGrouped("w1", "nope", 3))
   }
 
+  test("suggest + terms component equal oracle ranking (r5)") {
+    // fuzzy "did you mean": misspelled mid-freq word, stopword, title token
+    for (t <- Seq("w0001", "teh", "w00342"); f <- Seq("text", "title")) {
+      assert(engine.suggest(t, 8, f) == oracle.suggest(t, 8, f),
+        s"suggest('$t', df=$f)")
+    }
+    for (p <- Seq("w000", "th", "doc"); f <- Seq("text", "title")) {
+      assert(engine.termsByPrefix(p, 10, f) == oracle.termsByPrefix(p, 10, f),
+        s"terms('$p*', df=$f)")
+    }
+    // suggestions must actually rank by (distance, -df): the stopword's own
+    // exact form (distance 0) comes first when present
+    val s = engine.suggest("the", 3)
+    assert(s.nonEmpty && s.head._1 == "the" && s.head._2 == 0)
+    intercept[IllegalArgumentException](engine.suggest("two words", 3))
+  }
+
   test("boost parses on terms/phrases/prefixes; malformed forms reject") {
     import graft.query.{QueryParser, ExactLit, PrefixLit}
     // trailing ^N on a bare term (the r4 loud-reject, now implemented)
