@@ -639,6 +639,24 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](engine.searchGrouped("w1", "nope", 3))
   }
 
+  test("sort/stats/group plan shapes: top-k sort, no UDF when phrase-free (r5)") {
+    // Solr sort=: the page must come from TakeOrderedAndProject (top-k over
+    // the match set), never a global Sort of all matches
+    val sortedPlan = engine.searchSorted("the", "warc_ts", ascending = false, 10)
+      .queryExecution.executedPlan.toString
+    assert(sortedPlan.contains("TakeOrderedAndProject"), sortedPlan.take(600))
+    // phrase-free queries keep the whole match-set machinery UDF-free in
+    // every new consumer (the r5 facet fix must not regress via reuse)
+    for (plan <- Seq(
+        engine.statsField("the AND w00017", "doclen"),
+        engine.searchGrouped("the AND w00017", "lang", 3),
+        engine.facetRange("the AND w00017", "2024-01-01T00:00:00Z",
+          "2024-01-02T00:00:00Z", 3600))) {
+      val p = plan.queryExecution.executedPlan.toString
+      assert(!p.contains("ScalaUDF"), p.take(600))
+    }
+  }
+
   test("suggest + terms component equal oracle ranking (r5)") {
     // fuzzy "did you mean": misspelled mid-freq word, stopword, title token
     for (t <- Seq("w0001", "teh", "w00342"); f <- Seq("text", "title")) {
