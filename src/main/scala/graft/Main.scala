@@ -295,6 +295,11 @@ object Search {
             s"--sort $f:$d — direction must be asc or desc")
         }
         require(after.isEmpty, "--after applies to score-ordered pages only")
+        // --exhaustive selects between the two SCORE-ordered physical paths;
+        // accepting-and-ignoring it here would let an operator believe the
+        // cross-check ran when it did not (review r5)
+        require(!flags.contains("--exhaustive"),
+          "--exhaustive applies to score-ordered search only")
         val t0 = System.nanoTime()
         val rows = engine.searchSorted(query, field, ascending, k, df)
           .collect()

@@ -174,12 +174,12 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     */
   def topKGrouped(query: String, field: String, kPerGroup: Int,
       df: String = "text"): Seq[(String, Int, Long, Double)] = {
+    // string stored fields only, matching QueryEngine.GroupableFields —
+    // this twin orders group values as strings, which is only the engine's
+    // ordering for string columns
     val key: Long => String = field match {
-      case "lang"     => docLang
-      case "url"      => docUrl
-      case "warc_ts"  => id => docTs(id).toString
-      case "doclen"   => id => doclen(id).toString
-      case "titleLen" => id => titleLen(id).toString
+      case "lang" => docLang
+      case "url"  => docUrl
       case f => throw new IllegalArgumentException(s"unsupported group field $f")
     }
     candidates(QueryParser.parse(query, df))

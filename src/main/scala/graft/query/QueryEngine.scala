@@ -943,9 +943,9 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def searchGrouped(q: String, field: String, kPerGroup: Int,
       df: String = "text"): DataFrame = {
-    require(QueryEngine.SortableFields.contains(field),
-      s"group field '$field' unsupported (stored: " +
-        s"${QueryEngine.SortableFields.mkString(", ")})")
+    require(QueryEngine.GroupableFields.contains(field),
+      s"group field '$field' unsupported (string stored: " +
+        s"${QueryEngine.GroupableFields.mkString(", ")})")
     require(kPerGroup > 0, "group.limit must be positive")
     refreshIfStale()
     val v = view
@@ -987,7 +987,9 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val pfxLen = key.length - toks(0).length
     val cands = expandFuzzy(v, key, 2)
     if (cands.isEmpty) return Seq.empty
-    val dfs = v.postings.filter($"term".isin(cands: _*))
+    // postingsFor prunes the scan to the candidates' termBucket dirs
+    // (review r5: a raw postings.filter planned all bucket dirs)
+    val dfs = postingsFor(cands, v).toDF()
       .groupBy($"term").agg(sum($"count").as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     cands.map { k =>
@@ -1012,7 +1014,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val pfxLen = key.length - toks(0).length
     val cands = expandPrefix(v, key).take(n)
     if (cands.isEmpty) return Seq.empty
-    val dfs = v.postings.filter($"term".isin(cands: _*))
+    val dfs = postingsFor(cands, v).toDF()
       .groupBy($"term").agg(sum($"count").as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     cands.map(k => (k.substring(pfxLen), dfs.getOrElse(k, 0L)))
@@ -1134,6 +1136,13 @@ object QueryEngine {
 
   /** Numeric stored columns `statsField` may aggregate (Solr stats.field). */
   val NumericFields: Set[String] = Set("doclen", "titleLen")
+
+  /** String stored columns `searchGrouped` may group by. Restricted to
+    * string fields: the SeqOracle twin orders group VALUES as strings, so
+    * admitting numeric/timestamp fields would make the spec side sort
+    * "10" < "9" while the engine sorts 9 < 10 (review r5).
+    */
+  val GroupableFields: Set[String] = Set("lang", "url")
 }
 
 /** Delete-by-id as tombstones (reference: solrc.delete(id=…) at

@@ -453,10 +453,15 @@ object QueryParser {
                 case (e, -1) => e
                 case (a, b)  => math.min(a, b)
               }
-              val incHi = end >= 0 && s.charAt(end) == ']'
-              val stop = if (end < 0) s.length else end
-              val body = s.substring(i + 1, stop)
-              i = if (end < 0) s.length else end + 1
+              // reject-loudly (review r5): the old parse tolerated an
+              // unclosed range as inclusive; with exclusive `}` closers an
+              // unclosed `[` would now SILENTLY flip to exclusive-hi instead
+              require(end >= 0,
+                s"unclosed range literal '${s.substring(i)}' — expected " +
+                  "']' or '}'")
+              val incHi = s.charAt(end) == ']'
+              val body = s.substring(i + 1, end)
+              i = end + 1
               val parts = body.split("(?i)\\s+TO\\s+")
               require(parts.length == 2,
                 s"malformed range '[$body]' (expected '[lo TO hi]')")

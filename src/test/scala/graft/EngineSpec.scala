@@ -565,6 +565,9 @@ class EngineSpec extends AnyFunSuite {
     // boost on a filter range
     intercept[IllegalArgumentException](QueryParser.parse("[a TO b]"))
     intercept[IllegalArgumentException](QueryParser.parse("text:[* TO *]"))
+    // unclosed range rejects loudly: with `}` closers in the grammar, the
+    // old inclusive tolerance would silently flip `[` to exclusive-hi
+    intercept[IllegalArgumentException](QueryParser.parse("text:[a TO b"))
     intercept[IllegalArgumentException](QueryParser.parse("text:[a! TO b]"))
     intercept[IllegalArgumentException](QueryParser.parse("foo:[a TO b]"))
     intercept[IllegalArgumentException](
@@ -636,6 +639,9 @@ class EngineSpec extends AnyFunSuite {
         assert(math.abs(g._4 - e._4) < 1e-9, s"[$q] score ${g._4} != ${e._4}")
       }
     }
+    // numeric/timestamp group fields reject: the oracle twin orders group
+    // values as strings, so admitting them would desync the spec ordering
+    intercept[IllegalArgumentException](engine.searchGrouped("w1", "doclen", 3))
     intercept[IllegalArgumentException](engine.searchGrouped("w1", "nope", 3))
   }
 
