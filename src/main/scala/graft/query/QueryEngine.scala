@@ -731,7 +731,14 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * only queries that actually contain a phrase take the positions-
     * collecting UDF path, the slow regression anchor.
     */
-  private def scoredCandidates(ast: QueryAst, v: IndexView): DataFrame = {
+  /** @param needScores false = match set only (facet/stats/sort consumers
+    *   discard scores): BM25 per-posting arithmetic, the df broadcast's
+    *   score use, and the whole per-doc term-sorted fold are skipped — the
+    *   groupBy aggregates just collect_set(term) for clause evaluation and
+    *   the returned frame has docId only.
+    */
+  private def scoredCandidates(ast: QueryAst, v: IndexView,
+      needScores: Boolean = true): DataFrame = {
     val rq = QueryResolve.resolve(ast, expander(v))
     val scoring = rq.scoringTerms
     val clauses = rq.clauses
@@ -759,11 +766,12 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       // are never decoded, never shipped, never collected, and clause
       // evaluation is a pure Catalyst predicate over the per-doc term set
       // (arrays_overlap, codegen'd) — no UDF anywhere in the plan
+      val scoresOn = needScores
       val rows = postingsFor(allTerms, v).flatMap { s =>
         val idfv = BM25.idf(nB, bDf.value(s.term)) *
           boostsB.getOrElse(s.term, 1.0)
         val avg = avgdls(s.term)
-        val isScoring = scoringSet.contains(s.term)
+        val isScoring = scoresOn && scoringSet.contains(s.term)
         val (ids, tfs, dls) = PostingCodec.decodeAll(s)
         Iterator.tabulate(s.count) { i =>
           (ids(i), s.term,
@@ -771,13 +779,17 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
         }
       }.toDF("docId", "term", "score")
       // deterministic per-doc score: fold term contributions in term-sorted
-      // order via sort_array + aggregate (bit-identical at any parallelism)
-      val perDoc = rows.groupBy($"docId").agg(
-        aggregate(
-          sort_array(collect_list(struct($"term", $"score"))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("score")).as("score"),
-        collect_set($"term").as("present"))
+      // order via sort_array + aggregate (bit-identical at any parallelism);
+      // match-set-only consumers skip the fold entirely
+      val perDoc =
+        if (needScores) rows.groupBy($"docId").agg(
+          aggregate(
+            sort_array(collect_list(struct($"term", $"score"))),
+            lit(0.0),
+            (acc, x) => acc + x.getField("score")).as("score"),
+          collect_set($"term").as("present"))
+        else rows.groupBy($"docId")
+          .agg(collect_set($"term").as("present"))
       val clausePred: Column = clauses.map { c =>
         val musts = c.mustGroups.map(g =>
             arrays_overlap($"present", array(g.map(lit): _*)))
@@ -787,17 +799,19 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
           else !arrays_overlap($"present", array(c.notTerms.map(lit): _*))
         musts && notsOk
       }.reduce(_ || _)
-      perDoc.filter(clausePred).select($"docId", $"score")
+      if (needScores) perDoc.filter(clausePred).select($"docId", $"score")
+      else perDoc.filter(clausePred).select($"docId")
     } else {
       // phrase clauses need per-term positions: decode them only for the
       // phrase terms and evaluate clauses with the shared matcher over the
       // doc's collected (term, positions) list — the slow regression-anchor
       // shape, reached only when the query actually contains a phrase
+      val scoresOn = needScores
       val rows = postingsFor(allTerms, v).flatMap { s =>
         val idfv = BM25.idf(nB, bDf.value(s.term)) *
           boostsB.getOrElse(s.term, 1.0)
         val avg = avgdls(s.term)
-        val isScoring = scoringSet.contains(s.term)
+        val isScoring = scoresOn && scoringSet.contains(s.term)
         val needPos = phraseTermsB.contains(s.term)
         val (ids, tfs, dls) = PostingCodec.decodeAll(s)
         val poss = if (needPos) PostingCodec.decodePositions(s) else null
@@ -808,12 +822,15 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
         }
       }.toDF("docId", "term", "score", "positions")
 
-      val perDoc = rows.groupBy($"docId").agg(
-        aggregate(
-          sort_array(collect_list(struct($"term", $"score"))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("score")).as("score"),
-        collect_list(struct($"term", $"positions")).as("tps"))
+      val perDoc =
+        if (needScores) rows.groupBy($"docId").agg(
+          aggregate(
+            sort_array(collect_list(struct($"term", $"score"))),
+            lit(0.0),
+            (acc, x) => acc + x.getField("score")).as("score"),
+          collect_list(struct($"term", $"positions")).as("tps"))
+        else rows.groupBy($"docId")
+          .agg(collect_list(struct($"term", $"positions")).as("tps"))
 
       val clausesLocal: Array[(Array[Array[String]], Array[String], Array[(Array[String], Int)])] =
         clauses.map(c => (c.mustGroups.map(_.toArray).toArray,
@@ -830,7 +847,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
             ph.toSeq.map(t => posByTerm.getOrElse(t, Array.empty[Int])), slop) }
         }
       }
-      perDoc.filter(clauseOk($"tps")).select($"docId", $"score")
+      if (needScores) perDoc.filter(clauseOk($"tps")).select($"docId", $"score")
+      else perDoc.filter(clauseOk($"tps")).select($"docId")
     }
 
     filterPredicate(ast).foreach { p =>
@@ -852,7 +870,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     refreshIfStale()
     val v = view // one snapshot for both the match set and the facet join
     val ast = QueryParser.parse(q, df) // same df as the hits being faceted
-    scoredCandidates(ast, v)
+    scoredCandidates(ast, v, needScores = false)
       .select($"docId")
       .join(v.docs.select($"docId", col(field)), Seq("docId"))
       .groupBy(col(field)).agg(count(lit(1)).as("cnt"))
@@ -877,7 +895,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val v = view
     val ast = QueryParser.parse(q, df)
     val dir = if (ascending) asc(sortField) else desc(sortField)
-    scoredCandidates(ast, v)
+    scoredCandidates(ast, v, needScores = false)
       .select($"docId")
       .join(v.docs.select($"docId", col(sortField)), Seq("docId"))
       .orderBy(dir, asc("docId"))
@@ -899,7 +917,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     refreshIfStale()
     val v = view
     val ast = QueryParser.parse(q, df)
-    scoredCandidates(ast, v)
+    scoredCandidates(ast, v, needScores = false)
       .select($"docId")
       .join(v.docs.select($"docId", $"warc_ts"), Seq("docId"))
       .withColumn("ts_ms", unix_millis($"warc_ts"))
@@ -925,7 +943,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     refreshIfStale()
     val v = view
     val ast = QueryParser.parse(q, df)
-    scoredCandidates(ast, v)
+    scoredCandidates(ast, v, needScores = false)
       .select($"docId")
       .join(v.docs.select($"docId", col(field)), Seq("docId"))
       .agg(count(lit(1)).as("cnt"), min(field).as("min"),

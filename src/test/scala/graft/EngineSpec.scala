@@ -661,6 +661,11 @@ class EngineSpec extends AnyFunSuite {
       val p = plan.queryExecution.executedPlan.toString
       assert(!p.contains("ScalaUDF"), p.take(600))
     }
+    // match-set-only consumers must skip the per-doc score fold entirely
+    // (needScores=false): no sort_array/aggregate in the stats plan
+    val statsPlan = engine.statsField("the AND w00017", "doclen")
+      .queryExecution.executedPlan.toString
+    assert(!statsPlan.contains("sort_array"), statsPlan.take(600))
   }
 
   test("suggest + terms component equal oracle ranking (r5)") {
