@@ -175,6 +175,27 @@ class FuzzSpec extends AnyFunSuite {
     assert(nonEmpty >= 6, s"only $nonEmpty/12 sorted queries matched anything")
   }
 
+  test("stats + grouping over generated queries match oracle") {
+    val queries = Iterator.continually(genQuery()).distinct.take(8).toSeq
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val f = if (i % 2 == 0) "doclen" else "titleLen"
+      val r = engine.statsField(q, f).collect().head
+      oracle.statsField(q, f) match {
+        case Some(exp) =>
+          val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4))
+          assert(got._1 == exp._1 && got._2 == exp._2 && got._3 == exp._3 &&
+            got._4 == exp._4 && math.abs(got._5 - exp._5) < 1e-9,
+            s"[q='$q' stats=$f] got=$got exp=$exp")
+        case None => assert(r.getLong(0) == 0L, s"[q='$q'] spurious matches")
+      }
+      val g = engine.searchGrouped(q, "lang", 2).collect()
+        .map(r2 => (r2.getString(0), r2.getInt(1), r2.getLong(2))).toSeq
+      val ge = oracle.topKGrouped(q, "lang", 2).map(t => (t._1, t._2, t._3))
+      assert(g == ge, s"[q='$q' group]\n got=$g\n exp=$ge")
+    }
+  }
+
   test("searchAfter paging over generated queries: page concat == full " +
       "ranking, driver path vs oracle pager") {
     // fresh deterministic sub-stream; small pages force many boundaries
