@@ -172,6 +172,45 @@ object Suggest {
   }
 }
 
+/** Solr MoreLikeThis CLI (content-stream form): rank the input text's
+  * analyzed terms by tf·idf (metadata-only df), print the interesting
+  * terms, and run them as an OR query through the standard search path.
+  *   runMain graft.Mlt <indexDir> <text…> [--k K] [--max-terms M]
+  *     [--min-tf T] [--min-df D] [--df text|title]
+  */
+object Mlt {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: Mlt <indexDir> <text> [--k K] [--max-terms M] [--min-tf T] " +
+        "[--min-df D] [--df text|title]")
+    val indexDir = args(0)
+    val text = args(1)
+    val (opts, _) = MainCommon.parseArgs(args.drop(2).toSeq,
+      valued = Set("--k", "--max-terms", "--min-tf", "--min-df", "--df",
+        "--buckets"),
+      flagNames = Set.empty)
+    val k = opts.getOrElse("--k", "10").toInt
+    val maxTerms = opts.getOrElse("--max-terms", "10").toInt
+    val minTf = opts.getOrElse("--min-tf", "2").toInt
+    val minDf = opts.getOrElse("--min-df", "2").toLong
+    val df = opts.getOrElse("--df", "text")
+    val spark = MainCommon.session("graft-mlt")
+    val buckets = MainCommon.resolveBuckets(spark, indexDir, opts.get("--buckets"))
+    val engine = new QueryEngine(spark, indexDir, buckets)
+    val terms = engine.interestingTerms(text, maxTerms, minTf, minDf, df)
+    println(s"[graft] mlt interestingTerms=${terms.mkString(",")}")
+    if (terms.isEmpty) println("[graft] mlt: no interesting terms")
+    else {
+      val res = engine.search(terms.mkString(" OR "), k, df).collect()
+      println(s"[graft] mlt hits=${res.length}")
+      res.zipWithIndex.foreach { case (r, i) =>
+        println(f"  ${i + 1}%2d. docId=${r.getLong(0)}%8d score=${r.getDouble(1)}%.6f")
+      }
+    }
+    spark.stop()
+  }
+}
+
 /** Maintenance main: fold tombstones/upsert victims and merge generations
   * (the background-merge work Solr does internally; here an explicit
   * spark-submit job an operator schedules).
@@ -245,12 +284,12 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--facet field] [--facet-range start,end,gapSec] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed]")
+    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--facet field] [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed]")
     val indexDir = args(0)
     val query = args(1)
     val (opts, flags) = MainCommon.parseArgs(args.drop(2).toSeq,
       valued = Set("--k", "--buckets", "--df", "--facet", "--facet-range",
-        "--sort", "--stats", "--group", "--after"),
+        "--pivot", "--sort", "--stats", "--group", "--after"),
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
         "--distributed"))
     val k = opts.getOrElse("--k", "10").toInt
@@ -350,6 +389,16 @@ object Search {
       engine.searchGrouped(query, field, k, df).collect().foreach { r =>
         println(f"  ${r.get(0)}%-12s #${r.getInt(1)}%-3d docId=${r.getLong(2)}%8d score=${r.getDouble(3)}%.6f")
       }
+    }
+    // Solr facet.pivot analog: --pivot fieldA,fieldB nested counts
+    opts.get("--pivot").foreach { spec =>
+      val parts = spec.split(",")
+      require(parts.length == 2, "--pivot expects <fieldA>,<fieldB>")
+      println(s"[graft] facet.pivot=${parts(0)},${parts(1)} (over ALL matches)")
+      engine.facetPivot(query, parts(0), parts(1), df = df)
+        .collect().foreach { r =>
+          println(f"  ${r.get(0)}%-12s (${r.getLong(1)}%d) > ${r.get(2)}%-24s ${r.getLong(3)}%8d")
+        }
     }
     // Solr facet.range analog: --facet-range start,end,gapSec over warc_ts
     opts.get("--facet-range").foreach { spec =>

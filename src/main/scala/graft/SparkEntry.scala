@@ -81,6 +81,10 @@ object SparkEntry {
     // driver entry runs the candidate+verify pipeline at a low threshold to
     // exercise it end-to-end; library default is 0.9
     "q_emb_neardup" -> ((s, d) => Ops.embNearDup(s, d, threshold = 0.2)),
+    // Solr component analogs (r5 tail): mlt, facet.pivot, hl
+    "q_mlt" -> ((s, d) => Ops.moreLikeThis(s, d)),
+    "q_facet_pivot" -> ((s, d) => Ops.facetPivot(s, d)),
+    "q_highlight" -> ((s, d) => Ops.highlightTopK(s, d)),
   )
 
   private val Tok =
@@ -172,6 +176,61 @@ object SparkEntry {
         "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
         "WHERE tf.term IN (SELECT term FROM vocab) " +
         "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
+    // Solr MoreLikeThis: interesting terms of doc 7 (tf·idf ≥ ranked,
+    // mintf/mindf = 2, top 10, term-asc tiebreak on the 4-decimal-rounded
+    // selection score — the rounding keeps JVM-vs-libm ln() ulp divergence
+    // from flipping near-tied selections), then BM25 over the selected
+    // terms with the source doc excluded
+    "q_mlt" ->
+      (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
+        "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +
+        "src AS (SELECT term, tf AS src_tf FROM tf WHERE doc_id = 7 AND tf >= 2), " +
+        "dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf " +
+        "WHERE term IN (SELECT term FROM src) GROUP BY term), " +
+        "qt AS (SELECT src.term FROM src JOIN dfs USING(term) CROSS JOIN stats s " +
+        "WHERE dfs.df >= 2 " +
+        "ORDER BY round(ln(1 + (s.n - dfs.df + 0.5)/(dfs.df + 0.5)) * src.src_tf, 4) DESC, " +
+        "src.term LIMIT 10), " +
+        "dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf " +
+        "WHERE term IN (SELECT term FROM qt) GROUP BY term) " +
+        "SELECT tf.doc_id, round(sum(ln(1 + (s.n - dfq.df + 0.5)/(dfq.df + 0.5)) * tf.tf / " +
+        "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
+        "FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
+        "WHERE tf.term IN (SELECT term FROM qt) AND tf.doc_id <> 7 " +
+        "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
+    // Solr facet.pivot=lang,source: top-5 langs by total count, top-3
+    // sources within each (count-desc, value-asc at both levels)
+    "q_facet_pivot" ->
+      ("WITH ab AS (SELECT lang, source, count(*)::BIGINT AS cnt " +
+        "FROM documents GROUP BY 1, 2), " +
+        "a AS (SELECT lang, sum(cnt)::BIGINT AS lang_cnt FROM ab GROUP BY 1 " +
+        "ORDER BY lang_cnt DESC, lang LIMIT 5) " +
+        "SELECT lang, lang_cnt, source, cnt, rn::INT AS rn FROM (" +
+        "SELECT ab.lang, a.lang_cnt, ab.source, ab.cnt, " +
+        "row_number() OVER (PARTITION BY ab.lang ORDER BY ab.cnt DESC, ab.source) AS rn " +
+        "FROM ab JOIN a USING(lang)) WHERE rn <= 3"),
+    // Solr hl: BM25 top-10 with a ±5-token snippet around the first
+    // query-term occurrence in the ANALYZED token stream, matches wrapped
+    // in <em> — list_position is NULL when absent (Spark array_position:
+    // 0), hence the coalesce
+    "q_highlight" ->
+      (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
+        "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +
+        "dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), " +
+        "topk AS (SELECT tf.doc_id, round(sum(ln(1 + (s.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf / " +
+        "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
+        "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
+        "WHERE tf.term IN ('spark','window') " +
+        "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10), " +
+        s"tokl AS (SELECT doc_id, list_filter($Tok, x -> x <> '') AS t FROM documents), " +
+        "anch AS (SELECT doc_id, t, CASE WHEN p1 > 0 AND p2 > 0 THEN least(p1, p2) " +
+        "ELSE greatest(p1, p2) END AS p FROM (SELECT doc_id, t, " +
+        "coalesce(list_position(t, 'spark'), 0) AS p1, " +
+        "coalesce(list_position(t, 'window'), 0) AS p2 FROM tokl)) " +
+        "SELECT k.doc_id, k.score, array_to_string(list_transform(" +
+        "list_slice(a.t, greatest(1, a.p - 5), a.p + 5), " +
+        "x -> CASE WHEN x IN ('spark','window') THEN '<em>' || x || '</em>' ELSE x END), ' ') AS snippet " +
+        "FROM topk k JOIN anch a USING(doc_id)"),
     "q_topk_orders" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"),

@@ -987,4 +987,122 @@ object Ops {
         x => x.isin(KeywordVocab: _*)), ",").as("keywords_gcmd"),
       lit("").as("keywords_wigos"))
   }
+
+  // ------------------------------------- Solr component analogs (r5 tail)
+
+  /** Solr MoreLikeThis (mlt component on the reference's Solr backend,
+    * reachable from the same searchindex.py call-site string surface):
+    * given a source document, rank its terms by tf·idf (BM25 idf, the one
+    * scoring rule this engine has), keep terms with tf ≥ minTf and
+    * df ≥ minDf (Solr mlt.mintf/mlt.mindf), take the top maxTerms
+    * "interesting terms", and run them as an OR query over the corpus with
+    * the source doc excluded — BM25 top-k out.
+    *
+    * Scale shape: the candidate-term df aggregation is filtered to the
+    * SOURCE DOC's vocabulary before the shuffle (bounded by one doc's
+    * length, not the corpus vocabulary), the selected term set (≤ maxTerms
+    * rows) broadcasts into the scoring join, and the scoring pass is the
+    * same single-tf-derivation plan as [[bm25Scored]]. Term selection is
+    * fully deterministic: tf·idf rounded to 4 decimals, term-asc tiebreak.
+    */
+  def moreLikeThis(spark: SparkSession, dir: String, srcDoc: Long = 7L,
+      maxTerms: Int = 10, minTf: Long = 2L, minDf: Long = 2L,
+      k: Int = 10): DataFrame = {
+    val tf = tokenizeTf(spark, dir).localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("doclen"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("doclen").as("avgdl"))
+    val src = tf.filter(col("doc_id") === srcDoc && col("tf") >= minTf)
+      .select(col("term"), col("tf").as("src_tf"))
+    // df of the source doc's terms only — filter-before-agg, same move as
+    // bm25Scored's query-term df (r4)
+    val dfSel = tf.join(broadcast(src.select("term")), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = src.join(broadcast(dfSel), "term")
+      .crossJoin(broadcast(stats))
+      .filter(col("df") >= minDf)
+      .withColumn("mlt", round(
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * col("src_tf"), 4))
+      .orderBy(desc("mlt"), asc("term"))
+      .limit(maxTerms)
+      .select("term")
+    val dfq = tf.join(broadcast(qt), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(qt), "term")
+      .join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .filter(col("doc_id") =!= srcDoc)
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") /
+          (col("tf") + lit(1.2) *
+            (lit(1.0) - 0.75 + lit(0.75) * col("doclen") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Solr facet.pivot=lang,source — nested facet counts over two stored
+    * fields: the topA values of the first field by total count, and within
+    * each, the topB values of the second by pair count. Distinct from the
+    * flat [[facetCount]] group-by: pivot is top-N-within-top-N with
+    * deterministic count-desc / value-asc ordering at both levels.
+    *
+    * Scale shape: ONE corpus-scale shuffle (the (lang, source) pair agg);
+    * the per-lang totals, the topA cut, and the per-lang row_number window
+    * all operate on the aggregated pair table (|langs|·|sources| rows, not
+    * corpus rows), and the topA set broadcasts back into the pair table.
+    */
+  def facetPivot(spark: SparkSession, dir: String, topA: Int = 5,
+      topB: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ab = t(spark, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+    val aTop = ab.groupBy("lang").agg(sum("cnt").as("lang_cnt"))
+      .orderBy(desc("lang_cnt"), asc("lang")).limit(topA)
+    ab.join(broadcast(aTop), "lang")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(desc("cnt"), asc("source"))).cast("int"))
+      .filter(col("rn") <= topB)
+      .select("lang", "lang_cnt", "source", "cnt", "rn")
+  }
+
+  /** Solr highlighting (hl component) analog: BM25 top-k for the two-term
+    * OR query, each hit carrying a snippet of ±5 analyzed tokens around the
+    * first occurrence of any query term, query terms wrapped in `<em>`.
+    * Anchoring on the ANALYZED token stream (not raw-substring offsets) is
+    * what Lucene's highlighter does and keeps 'spark' inside larger tokens
+    * from anchoring a fragment.
+    *
+    * Scale shape: the snippet pass is a broadcast-semi-joined narrow map
+    * over only the k result docs (tokenize + array ops, whole-stage
+    * codegen); the corpus-scale work is the same bm25Scored plan.
+    */
+  def highlightTopK(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "window"), k: Int = 10): DataFrame = {
+    val topk = bm25Scored(spark, dir, terms)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+    val toks = toksCol(col("text"))
+    // array_position is 0 when absent; anchor = first (min) position of any
+    // present query term (every top-k doc matched ≥ 1 term, so p ≥ 1)
+    val positions = terms.map(tm => array_position(toks, tm))
+    val anyPos = positions.reduce((a, b) =>
+      when(a > 0 && b > 0, least(a, b)).otherwise(greatest(a, b)))
+    // join FIRST, then tokenize: the snippet expressions evaluate only for
+    // the k joined rows, not corpus-wide
+    t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .join(broadcast(topk), "doc_id")
+      .select(col("doc_id"), col("score"), toks.as("t"), anyPos.as("p"))
+      .withColumn("s", greatest(lit(1L), col("p") - 5))
+      .select(col("doc_id"), col("score"), array_join(transform(
+        slice(col("t"), col("s").cast("int"),
+          (col("p") + lit(5L) - col("s") + lit(1L)).cast("int")),
+        x => when(x.isin(terms: _*),
+          concat(lit("<em>"), x, lit("</em>"))).otherwise(x)),
+        " ").as("snippet"))
+  }
 }

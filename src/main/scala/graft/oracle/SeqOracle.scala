@@ -222,6 +222,54 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       .map(k => (k.substring(pfxLen), df(k)))
   }
 
+  /** MoreLikeThis interesting-terms twin of
+    * [[graft.query.QueryEngine.interestingTerms]]: tf from the analyzed
+    * input, df/n from THIS oracle's in-memory postings (the engine side
+    * aggregates segment metadata — parity here checks that path), tf·idf
+    * ranked with the same 4-decimal rounding and (score desc, term asc)
+    * order.
+    */
+  def interestingTerms(text: String, maxTerms: Int = 10, minTf: Int = 2,
+      minDf: Long = 2L, field: String = "text"): Seq[String] = {
+    val tfm = Analysis.tokenize(text).groupBy(identity)
+      .map { case (t, a) => t -> a.length }
+    tfm.collect { case (t, c) if c >= minTf => t }.toSeq.sorted
+      .flatMap { t =>
+        val key = if (field == "text") t else s"$field:$t"
+        val d = df(key)
+        if (d >= minDf)
+          Some((t, math.rint(BM25.idf(n, d) * tfm(t) * 1e4) / 1e4))
+        else None
+      }.sortBy { case (t, s) => (-s, t) }.take(maxTerms).map(_._1)
+  }
+
+  /** facet.pivot twin of [[graft.query.QueryEngine.facetPivot]]: topA
+    * values of fieldA by total match count, topB of fieldB within each
+    * (count desc, value asc both levels). Returns
+    * (a, aCnt, b, bCnt, rank) rows in the engine's output order.
+    */
+  def facetPivot(query: String, fieldA: String, fieldB: String,
+      topA: Int = 5, topB: Int = 3, df: String = "text")
+      : Seq[(String, Long, String, Long, Int)] = {
+    def fieldOf(f: String): Long => String = f match {
+      case "lang" => docLang(_)
+      case "url"  => docUrl(_)
+      case other => throw new IllegalArgumentException(s"pivot field $other")
+    }
+    val fa = fieldOf(fieldA); val fb = fieldOf(fieldB)
+    val ids = candidates(QueryParser.parse(query, df)).map(_._1)
+    val pairs = ids.groupBy(id => (fa(id), fb(id)))
+      .map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSeq
+    val aTop = pairs.groupBy(_._1)
+      .map { case (a, ps) => (a, ps.map(_._3).sum) }.toSeq
+      .sortBy { case (a, c) => (-c, a) }.take(topA)
+    aTop.flatMap { case (a, aCnt) =>
+      pairs.filter(_._1 == a)
+        .sortBy { case (_, b, c) => (-c, b) }.take(topB).zipWithIndex
+        .map { case ((_, b, c), i) => (a, aCnt, b, c, i + 1) }
+    }
+  }
+
   private def resolve(ast: QueryAst): ResolvedQuery =
     QueryResolve.resolve(ast, QueryResolve.dictExpander(postings.keys.toSeq))
 

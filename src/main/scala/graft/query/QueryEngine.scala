@@ -985,6 +985,84 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       .orderBy(asc(field), asc("rank"))
   }
 
+  /** Solr facet.pivot=fieldA,fieldB analog over the match set: topA values
+    * of the first stored field by total match count; within each, topB
+    * values of the second by pair count (count desc, value asc at both
+    * levels, like [[facet]]). Scale shape: ONE shuffle over the match-set
+    * join (the pair agg); the per-A totals, topA cut, and per-A row_number
+    * window all run on the aggregated pair table, and the topA set
+    * broadcasts back into it.
+    */
+  def facetPivot(q: String, fieldA: String, fieldB: String, topA: Int = 5,
+      topB: Int = 3, df: String = "text"): DataFrame = {
+    require(QueryEngine.GroupableFields.contains(fieldA) &&
+      QueryEngine.GroupableFields.contains(fieldB) && fieldA != fieldB,
+      s"pivot fields must be distinct members of " +
+        s"${QueryEngine.GroupableFields.mkString(", ")}")
+    refreshIfStale()
+    val v = view
+    val ast = QueryParser.parse(q, df)
+    import org.apache.spark.sql.expressions.Window
+    val ab = scoredCandidates(ast, v, needScores = false)
+      .select($"docId")
+      .join(v.docs.select($"docId", col(fieldA), col(fieldB)), Seq("docId"))
+      .groupBy(col(fieldA), col(fieldB)).agg(count(lit(1)).as("cnt"))
+    val aTop = ab.groupBy(col(fieldA)).agg(sum($"cnt").as("a_cnt"))
+      .orderBy(desc("a_cnt"), asc(fieldA)).limit(topA)
+    ab.join(broadcast(aTop), Seq(fieldA))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(fieldA))
+          .orderBy(desc("cnt"), asc(fieldB))).cast("int"))
+      .filter($"rn" <= topB)
+      .select(col(fieldA), $"a_cnt", col(fieldB), $"cnt", $"rn")
+      .orderBy(desc("a_cnt"), asc(fieldA), asc("rn"))
+  }
+
+  /** Solr MoreLikeThis "interesting terms" (content-stream form —
+    * mlt.mintf / mlt.mindf / mlt.maxqt): analyze the input text, keep terms
+    * with tf ≥ minTf and live df ≥ minDf, rank by tf·idf (BM25 idf — the
+    * one scoring rule this engine has), and return the top maxTerms
+    * (4-decimal-rounded score desc, term asc — the rounding keeps ln() ulp
+    * wobble from flipping near-tied selections, same rule as the SQL-analog
+    * op). df comes from SEGMENT METADATA only via the pruned dictionary
+    * scan ([[suggest]]'s trick) — no posting decode; cost is one pruned
+    * scan + one tiny agg bounded by the INPUT's vocabulary, not the corpus.
+    */
+  def interestingTerms(text: String, maxTerms: Int = 10, minTf: Int = 2,
+      minDf: Long = 2L, df: String = "text"): Seq[String] = {
+    require(maxTerms > 0, "mlt.maxqt must be positive")
+    refreshIfStale()
+    val v = view
+    val tfm = Analysis.tokenize(text).groupBy(identity)
+      .map { case (t, a) => t -> a.length }
+    val cand = tfm.collect { case (t, c) if c >= minTf => t }.toSeq.sorted
+    if (cand.isEmpty) return Seq.empty
+    val keyOf = cand.map(t => t -> QueryParser.termKey(df, t)).toMap
+    val dfs = postingsFor(cand.map(keyOf), v).toDF()
+      .groupBy($"term").agg(sum($"count").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cand.flatMap { t =>
+      val d = dfs.getOrElse(keyOf(t), 0L)
+      if (d >= minDf)
+        Some((t, math.rint(BM25.idf(v.stats.n, d) * tfm(t) * 1e4) / 1e4))
+      else None
+    }.sortBy { case (t, s) => (-s, t) }.take(maxTerms).map(_._1)
+  }
+
+  /** Solr MoreLikeThis: [[interestingTerms]] of the input run as a plain OR
+    * query through the STANDARD search path — MLT results inherit every
+    * search guarantee (rank identity across physical paths, tombstone view,
+    * searchAfter paging) because they ARE a search. Terms are analyzer
+    * output (`[a-z0-9]+`), so the reconstructed query string is
+    * parser-safe by construction.
+    */
+  def moreLikeThis(text: String, k: Int, maxTerms: Int = 10, minTf: Int = 2,
+      minDf: Long = 2L, df: String = "text"): DataFrame = {
+    val terms = interestingTerms(text, maxTerms, minTf, minDf, df)
+    if (terms.isEmpty) emptyResult
+    else search(terms.mkString(" OR "), k, df)
+  }
+
   /** Solr spellcheck/suggest analog: live dictionary terms within
     * Damerau-Levenshtein ≤ 2 of the analyzed input, ranked
     * (distance asc, df desc, term asc) — "did you mean", frequency-first

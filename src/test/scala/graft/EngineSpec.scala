@@ -685,6 +685,45 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](engine.suggest("two words", 3))
   }
 
+  test("facet.pivot over the match set equals oracle (r5)") {
+    for (q <- Seq("the", "w00017", "lang:no AND the")) {
+      val got = engine.facetPivot(q, "lang", "url").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getInt(4))).toSeq
+      val exp = oracle.facetPivot(q, "lang", "url")
+      assert(got == exp, s"facetPivot q='$q'\n got=$got\n exp=$exp")
+    }
+    // field validation stays loud: same-field pivot and non-stored fields
+    intercept[IllegalArgumentException](engine.facetPivot("the", "lang", "lang"))
+    intercept[IllegalArgumentException](engine.facetPivot("the", "doclen", "lang"))
+  }
+
+  test("mlt interesting terms + search equal oracle (r5)") {
+    // engine df comes from segment metadata, oracle df from its in-memory
+    // postings — parity here checks that aggregation end-to-end
+    val txt = "w00017 w00017 w00342 w00342 w00342 zzzmissing zzzmissing " +
+      "the the of of"
+    assert(engine.interestingTerms(txt, 5) == oracle.interestingTerms(txt, 5))
+    // title-fielded selection (df against title: keys; titles are "doc <i>")
+    val titleTxt = "doc doc 9 9"
+    assert(engine.interestingTerms(titleTxt, 5, df = "title") ==
+      oracle.interestingTerms(titleTxt, 5, field = "title"))
+    val terms = engine.interestingTerms(txt, 3)
+    // unindexed terms never selected; rare terms outrank the stopword
+    assert(terms.nonEmpty && !terms.contains("zzzmissing"))
+    assert(!terms.take(2).contains("the"), terms.toString)
+    // MLT IS a search of the interesting-term OR query (inherits rank
+    // identity, tombstones, paging), and ranks identically to the oracle
+    val mlt = engine.moreLikeThis(txt, 10, maxTerms = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaSearch = engine.search(terms.mkString(" OR "), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mlt == viaSearch && mlt.nonEmpty)
+    assert(mlt.map(_._1) == oracle.topK(terms.mkString(" OR "), 10).map(_._1))
+    // below-threshold input yields the empty page, not an error
+    assert(engine.moreLikeThis("zzz yyy xxx", 5).collect().isEmpty)
+  }
+
   test("boost parses on terms/phrases/prefixes; malformed forms reject") {
     import graft.query.{QueryParser, ExactLit, PrefixLit}
     // trailing ^N on a bare term (the r4 loud-reject, now implemented)
