@@ -196,6 +196,32 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("facet.pivot + mlt interesting terms over generated inputs match " +
+      "oracle") {
+    val queries = Iterator.continually(genQuery()).distinct.take(8).toSeq
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val (fa, fb) = if (i % 2 == 0) ("lang", "url") else ("url", "lang")
+      val got = engine.facetPivot(q, fa, fb).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getInt(4))).toSeq
+      val exp = oracle.facetPivot(q, fa, fb)
+      assert(got == exp, s"[q='$q' pivot=$fa,$fb]\n got=$got\n exp=$exp")
+    }
+    // MLT inputs: random term soup with duplicates (tf ≥ 2 survivors mix
+    // stopwords, mid/rare terms, and never-indexed terms)
+    (1 to 6).foreach { _ =>
+      val ts = Seq.fill(6)(term())
+      val txt = (ts ++ ts ++ Seq.fill(3)(term())).mkString(" ")
+      val got = engine.interestingTerms(txt, 5)
+      assert(got == oracle.interestingTerms(txt, 5), s"mlt text='$txt'")
+      if (got.nonEmpty) {
+        val res = ids(engine.moreLikeThis(txt, 10, maxTerms = 5))
+        assertSame(res, oracle.topK(got.mkString(" OR "), 10),
+          s"mlt topk '$txt'")
+      }
+    }
+  }
+
   test("searchAfter paging over generated queries: page concat == full " +
       "ranking, driver path vs oracle pager") {
     // fresh deterministic sub-stream; small pages force many boundaries
