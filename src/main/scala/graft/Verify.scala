@@ -15,6 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // plan-audit hook: SPARK_GRAFT_EXPLAIN=q_a,q_b prints those queries'
+    // formatted physical plans instead of writing results (for recording
+    // broadcast/pushdown shapes in BASELINE.md without an ad-hoc main)
+    sys.env.get("SPARK_GRAFT_EXPLAIN").foreach { names =>
+      names.split(",").foreach { n =>
+        println(s"==== explain $n ====")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
+      spark.stop(); return
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
