@@ -210,7 +210,10 @@ object Bench {
   private val headline = Seq(
     "q_bm25_topk", "q_tokenize_tf", "q_dedup_ngram", "q_topk_orders",
     "q_tombstone_anti", "q_parent_semi", "q_embed_cosine",
-    "q_quality_score", "q_minhash_lsh")
+    "q_quality_score", "q_minhash_lsh",
+    // r5 tail: Solr component analogs — the headline TOTAL is therefore
+    // not comparable to pre-r5 records (3 more ops); per-op values are
+    "q_mlt", "q_facet_pivot", "q_highlight")
 
   private val goldenQueries = Seq(
     "w00017", "the", "w00017 w00342", "w00017 AND w00342",
