@@ -212,7 +212,8 @@ object Bench {
     "q_tombstone_anti", "q_parent_semi", "q_embed_cosine",
     "q_quality_score", "q_minhash_lsh",
     // r5 tail: Solr component analogs — the headline TOTAL is therefore
-    // not comparable to pre-r5 records (3 more ops); per-op values are
+    // not comparable to pre-r5 records (3 more ops); per-op values
+    // remain comparable across rounds
     "q_mlt", "q_facet_pivot", "q_highlight")
 
   private val goldenQueries = Seq(

@@ -197,11 +197,12 @@ object Mlt {
     val spark = MainCommon.session("graft-mlt")
     val buckets = MainCommon.resolveBuckets(spark, indexDir, opts.get("--buckets"))
     val engine = new QueryEngine(spark, indexDir, buckets)
-    val terms = engine.interestingTerms(text, maxTerms, minTf, minDf, df)
+    val (terms, result) =
+      engine.moreLikeThisWithTerms(text, k, maxTerms, minTf, minDf, df)
     println(s"[graft] mlt interestingTerms=${terms.mkString(",")}")
     if (terms.isEmpty) println("[graft] mlt: no interesting terms")
     else {
-      val res = engine.search(terms.mkString(" OR "), k, df).collect()
+      val res = result.collect()
       println(s"[graft] mlt hits=${res.length}")
       res.zipWithIndex.foreach { case (r, i) =>
         println(f"  ${i + 1}%2d. docId=${r.getLong(0)}%8d score=${r.getDouble(1)}%.6f")

@@ -187,16 +187,16 @@ object SparkEntry {
         "src AS (SELECT term, tf AS src_tf FROM tf WHERE doc_id = 7 AND tf >= 2), " +
         "dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf " +
         "WHERE term IN (SELECT term FROM src) GROUP BY term), " +
-        "qt AS (SELECT src.term FROM src JOIN dfs USING(term) CROSS JOIN stats s " +
+        // qt carries df along — the scoring join reuses it instead of a
+        // second corpus-scale df aggregation (mirrors Ops.moreLikeThis)
+        "qt AS (SELECT src.term, dfs.df FROM src JOIN dfs USING(term) CROSS JOIN stats s " +
         "WHERE dfs.df >= 2 " +
         "ORDER BY round(ln(1 + (s.n - dfs.df + 0.5)/(dfs.df + 0.5)) * src.src_tf, 4) DESC, " +
-        "src.term LIMIT 10), " +
-        "dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf " +
-        "WHERE term IN (SELECT term FROM qt) GROUP BY term) " +
-        "SELECT tf.doc_id, round(sum(ln(1 + (s.n - dfq.df + 0.5)/(dfq.df + 0.5)) * tf.tf / " +
+        "src.term LIMIT 10) " +
+        "SELECT tf.doc_id, round(sum(ln(1 + (s.n - qt.df + 0.5)/(qt.df + 0.5)) * tf.tf / " +
         "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
-        "FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
-        "WHERE tf.term IN (SELECT term FROM qt) AND tf.doc_id <> 7 " +
+        "FROM tf JOIN qt USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
+        "WHERE tf.doc_id <> 7 " +
         "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
     // Solr facet.pivot=lang,source: top-5 langs by total count, top-3
     // sources within each (count-desc, value-asc at both levels)

@@ -78,14 +78,23 @@ object Ops {
         // as the engine paths (QueryParser.scala boost Scaladoc)
         case (e, (t, b)) => when(col("term") === t, lit(b)).otherwise(e)
       })
-      .withColumn("contrib",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          col("boost") * col("tf") /
-          (col("tf") + lit(1.2) *
-            (lit(1.0) - 0.75 + lit(0.75) * col("doclen") / col("avgdl"))))
+      .withColumn("contrib", bm25Contrib(col("boost")))
       .groupBy("doc_id")
       .agg(round(sum("contrib"), 4).as("score"))
   }
+
+  /** The BM25 per-(doc, term) contribution over joined (tf, df, doclen,
+    * n_docs, avgdl) columns — ONE definition for every Ops scorer, so a
+    * k1/b/rounding change cannot desync them. `boost` multiplies in the
+    * idf position (the engine's association order, bit-identity depends on
+    * it); ×1.0 is IEEE-exact, so the unboosted form is bit-identical to
+    * omitting the factor.
+    */
+  private def bm25Contrib(boost: Column = lit(1.0)): Column =
+    log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+      boost * col("tf") /
+      (col("tf") + lit(1.2) *
+        (lit(1.0) - 0.75 + lit(0.75) * col("doclen") / col("avgdl")))
 
   /** Q4/A8: BM25 top-10 for a fixed two-term query (SURVEY.md §7 step 3 —
     * the "minimum end-to-end slice").
@@ -1017,6 +1026,9 @@ object Ops {
     // bm25Scored's query-term df (r4)
     val dfSel = tf.join(broadcast(src.select("term")), "term")
       .groupBy("term").agg(count(lit(1)).as("df"))
+    // qt carries each selected term's df along — the scoring join reuses
+    // it rather than re-aggregating df with a second corpus-scale pass
+    // (review r5: the old dfq CTE re-derived values dfSel already held)
     val qt = src.join(broadcast(dfSel), "term")
       .crossJoin(broadcast(stats))
       .filter(col("df") >= minDf)
@@ -1025,19 +1037,12 @@ object Ops {
           * col("src_tf"), 4))
       .orderBy(desc("mlt"), asc("term"))
       .limit(maxTerms)
-      .select("term")
-    val dfq = tf.join(broadcast(qt), "term")
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      .select("term", "df")
     tf.join(broadcast(qt), "term")
-      .join(broadcast(dfq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .filter(col("doc_id") =!= srcDoc)
-      .withColumn("contrib",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          col("tf") /
-          (col("tf") + lit(1.2) *
-            (lit(1.0) - 0.75 + lit(0.75) * col("doclen") / col("avgdl"))))
+      .withColumn("contrib", bm25Contrib())
       .groupBy("doc_id")
       .agg(round(sum("contrib"), 4).as("score"))
       .orderBy(desc("score"), asc("doc_id"))

@@ -543,7 +543,16 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   def searchWand(q: String, k: Int, df: String = "text",
       after: Option[Wand.Scored] = None): DataFrame = {
     refreshIfStale()
-    val v = view // ONE capture: every read below sees the same snapshot
+    searchWandV(view, q, k, df, after)
+  }
+
+  /** [[searchWand]] against an explicit snapshot — lets composite
+    * operations (MLT: term selection + search) evaluate BOTH halves on ONE
+    * IndexView instead of re-reading the volatile between them.
+    */
+  private def searchWandV(v: IndexView, q: String, k: Int, df: String,
+      after: Option[Wand.Scored]): DataFrame = {
+    // every read below sees the same snapshot
     val ast = QueryParser.parse(q, df)
     val rq = QueryResolve.resolve(ast, expander(v))
     val scoring = rq.scoringTerms // distinct + sorted by resolve
@@ -1020,19 +1029,27 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
   /** Solr MoreLikeThis "interesting terms" (content-stream form —
     * mlt.mintf / mlt.mindf / mlt.maxqt): analyze the input text, keep terms
-    * with tf ≥ minTf and live df ≥ minDf, rank by tf·idf (BM25 idf — the
-    * one scoring rule this engine has), and return the top maxTerms
+    * with tf ≥ minTf and df ≥ minDf, rank by tf·idf (BM25 idf — the one
+    * scoring rule this engine has), and return the top maxTerms
     * (4-decimal-rounded score desc, term asc — the rounding keeps ln() ulp
     * wobble from flipping near-tied selections, same rule as the SQL-analog
     * op). df comes from SEGMENT METADATA only via the pruned dictionary
     * scan ([[suggest]]'s trick) — no posting decode; cost is one pruned
     * scan + one tiny agg bounded by the INPUT's vocabulary, not the corpus.
+    * Like suggest, metadata df counts tombstoned/superseded postings until
+    * compaction folds them — selection can differ from a live-df oracle on
+    * an index with uncompacted deletes (the match phase still applies the
+    * tombstone view, so RESULTS never resurrect deleted docs).
     */
   def interestingTerms(text: String, maxTerms: Int = 10, minTf: Int = 2,
       minDf: Long = 2L, df: String = "text"): Seq[String] = {
-    require(maxTerms > 0, "mlt.maxqt must be positive")
     refreshIfStale()
-    val v = view
+    interestingTermsV(view, text, maxTerms, minTf, minDf, df)
+  }
+
+  private def interestingTermsV(v: IndexView, text: String, maxTerms: Int,
+      minTf: Int, minDf: Long, df: String): Seq[String] = {
+    require(maxTerms > 0, "mlt.maxqt must be positive")
     val tfm = Analysis.tokenize(text).groupBy(identity)
       .map { case (t, a) => t -> a.length }
     val cand = tfm.collect { case (t, c) if c >= minTf => t }.toSeq.sorted
@@ -1049,19 +1066,31 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     }.sortBy { case (t, s) => (-s, t) }.take(maxTerms).map(_._1)
   }
 
-  /** Solr MoreLikeThis: [[interestingTerms]] of the input run as a plain OR
-    * query through the STANDARD search path — MLT results inherit every
-    * search guarantee (rank identity across physical paths, tombstone view,
-    * searchAfter paging) because they ARE a search. Terms are analyzer
-    * output (`[a-z0-9]+`), so the reconstructed query string is
-    * parser-safe by construction.
+  /** Solr MoreLikeThis with the selected terms exposed (the CLI prints
+    * them, Solr's mlt.interestingTerms=list): [[interestingTerms]] of the
+    * input run as a plain OR query through the STANDARD search path — MLT
+    * results inherit every search guarantee (rank identity across physical
+    * paths, tombstone view, searchAfter paging) because they ARE a search.
+    * Terms are analyzer output (`[a-z0-9]+`), so the reconstructed query
+    * string is parser-safe by construction. Both halves evaluate against
+    * ONE IndexView snapshot (CLAUDE.md: never re-read the volatile
+    * mid-query) — a concurrent append/compaction cannot pair one state's
+    * term selection with another's match set.
     */
-  def moreLikeThis(text: String, k: Int, maxTerms: Int = 10, minTf: Int = 2,
-      minDf: Long = 2L, df: String = "text"): DataFrame = {
-    val terms = interestingTerms(text, maxTerms, minTf, minDf, df)
-    if (terms.isEmpty) emptyResult
-    else search(terms.mkString(" OR "), k, df)
+  def moreLikeThisWithTerms(text: String, k: Int, maxTerms: Int = 10,
+      minTf: Int = 2, minDf: Long = 2L, df: String = "text")
+      : (Seq[String], DataFrame) = {
+    refreshIfStale()
+    val v = view
+    val terms = interestingTermsV(v, text, maxTerms, minTf, minDf, df)
+    if (terms.isEmpty) (terms, emptyResult)
+    else (terms, searchWandV(v, terms.mkString(" OR "), k, df, None))
   }
+
+  /** [[moreLikeThisWithTerms]], results only. */
+  def moreLikeThis(text: String, k: Int, maxTerms: Int = 10, minTf: Int = 2,
+      minDf: Long = 2L, df: String = "text"): DataFrame =
+    moreLikeThisWithTerms(text, k, maxTerms, minTf, minDf, df)._2
 
   /** Solr spellcheck/suggest analog: live dictionary terms within
     * Damerau-Levenshtein ≤ 2 of the analyzed input, ranked
