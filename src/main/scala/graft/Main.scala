@@ -69,6 +69,24 @@ object MainCommon {
     }
   }
 
+  /** Pull every `key <value>` pair out of an arg list (repeatable options —
+    * Solr takes fq=/facet.query= any number of times; parseArgs' Map keeps
+    * only the last). Returns (values in order, remaining args).
+    */
+  def extractRepeated(args: Seq[String], key: String): (Seq[String], Seq[String]) = {
+    val vals = Seq.newBuilder[String]
+    val rest = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      if (args(i) == key) {
+        require(i + 1 < args.length, s"option $key requires a value")
+        vals += args(i + 1)
+        i += 2
+      } else { rest += args(i); i += 1 }
+    }
+    (vals.result(), rest.result())
+  }
+
   def session(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -285,16 +303,21 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--facet field] [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed]")
+    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed]")
     val indexDir = args(0)
     val query = args(1)
-    val (opts, flags) = MainCommon.parseArgs(args.drop(2).toSeq,
+    // repeatable options first (Solr takes fq= / facet.query= any number of
+    // times; the strict Map-based parser would keep only the last)
+    val (fq, rest1) = MainCommon.extractRepeated(args.drop(2).toSeq, "--fq")
+    val (facetQueries, rest) = MainCommon.extractRepeated(rest1, "--facet-query")
+    val (opts, flags) = MainCommon.parseArgs(rest,
       valued = Set("--k", "--buckets", "--df", "--facet", "--facet-range",
-        "--pivot", "--sort", "--stats", "--group", "--after"),
+        "--pivot", "--sort", "--stats", "--group", "--after", "--qop"),
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
         "--distributed"))
     val k = opts.getOrElse("--k", "10").toInt
     val df = opts.getOrElse("--df", "text") // Solr's df= default field
+    val qOp = opts.getOrElse("--qop", "OR") // Solr's q.op= default operator
     // deep-pagination anchor (Solr cursorMark analog): the cursor= line a
     // previous page printed. Double.toString round-trips exactly, so the
     // anchor score is bit-identical to the engine's.
@@ -355,10 +378,11 @@ object Search {
         val t0 = System.nanoTime()
         val res =
           (if (flags.contains("--exhaustive"))
-             engine.searchExhaustive(query, k, df, after)
-           else engine.search(query, k, df, after)).collect()
+             engine.searchExhaustive(query, k, df, after, fq, qOp)
+           else engine.search(query, k, df, after, fq, qOp)).collect()
         val ms = (System.nanoTime() - t0) / 1e6
-        println(f"[graft] query='$query' hits=${res.length} latencyMs=$ms%.1f")
+        val fqNote = if (fq.isEmpty) "" else s" fq=${fq.mkString("; ")}"
+        println(f"[graft] query='$query'$fqNote hits=${res.length} latencyMs=$ms%.1f")
         res.zipWithIndex.foreach { case (r, i) =>
           println(f"  ${i + 1}%2d. docId=${r.getLong(0)}%8d score=${r.getDouble(1)}%.6f")
         }
@@ -374,6 +398,13 @@ object Search {
       println(s"[graft] facet field='$field' (over ALL matches)")
       engine.facet(query, field, df = df).collect().foreach { r =>
         println(f"  ${r.get(0)}%-12s ${r.getLong(1)}%8d")
+      }
+    }
+    // Solr facet.query analog: per sub-query count over the match set
+    if (facetQueries.nonEmpty) {
+      println(s"[graft] facet.query (over ALL matches)")
+      engine.facetQuery(query, facetQueries, df).collect().foreach { r =>
+        println(f"  ${r.getString(0)}%-32s ${r.getLong(1)}%8d")
       }
     }
     // Solr stats component analog: --stats doclen|titleLen over ALL matches

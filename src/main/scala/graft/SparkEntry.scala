@@ -25,6 +25,9 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, d) => Ops.corpusStats(s, d)),
     "q_bm25_topk" -> ((s, d) => Ops.bm25TopK(s, d)),
     "q_bm25_boosted" -> ((s, d) => Ops.bm25Boosted(s, d)),
+    "q_fq_topk" -> ((s, d) => Ops.bm25FqTopK(s, d)),
+    "q_qop_and" -> ((s, d) => Ops.bm25QopAndTopK(s, d)),
+    "q_facet_query" -> ((s, d) => Ops.facetQueryCounts(s, d)),
     "q_fuzzy_topk" -> ((s, d) => Ops.fuzzyTopK(s, d)),
     "q_wildcard_topk" -> ((s, d) => Ops.wildcardTopK(s, d)),
     "q_term_range" -> ((s, d) => Ops.termRangeTopK(s, d)),
@@ -129,6 +132,37 @@ object SparkEntry {
         "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
         "WHERE tf.term IN ('spark','window') " +
         "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
+    "q_fq_topk" ->
+      (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
+        "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +
+        "dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term) " +
+        "SELECT tf.doc_id, round(sum(ln(1 + (s.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf / " +
+        "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
+        "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
+        "WHERE tf.term IN ('spark','window') " +
+        // Solr fq: constrains the doc set, contributes no score
+        "AND tf.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'data') " +
+        "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
+    "q_qop_and" ->
+      (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
+        "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +
+        "dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term) " +
+        "SELECT tf.doc_id, round(sum(ln(1 + (s.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf / " +
+        "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
+        "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
+        "WHERE tf.term IN ('spark','window') " +
+        // q.op=AND: every query term required; scoring unchanged
+        "AND tf.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark') " +
+        "AND tf.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'window') " +
+        "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
+    "q_facet_query" ->
+      (s"$TfCte, base AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('spark','window')), " +
+        "subs AS (SELECT * FROM (VALUES ('data'),('year'),('zzznosuchterm')) v(fquery)), " +
+        "counts AS (SELECT t.term AS fquery, count(DISTINCT t.doc_id)::BIGINT AS cnt " +
+        "FROM tf t JOIN base b USING(doc_id) " +
+        "WHERE t.term IN ('data','year','zzznosuchterm') GROUP BY t.term) " +
+        "SELECT s.fquery, coalesce(c.cnt, 0)::BIGINT AS cnt " +
+        "FROM subs s LEFT JOIN counts c USING(fquery) ORDER BY s.fquery"),
     "q_fuzzy_topk" ->
       (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
         "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +

@@ -52,9 +52,15 @@ object Ops {
   /** All (doc_id, score) BM25 matches for a term set, as a pure Catalyst
     * plan. k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5)).
     */
+  /** @param fqTerms Solr fq analog: each term's doc set constrains the
+    *   match set by semi-join AFTER scoring (fq never contributes score —
+    *   the q-vs-fq split); several terms intersect, like repeated fq=
+    *   params. Reuses the one checkpointed tf pass.
+    */
   private def bm25Scored(spark: SparkSession, dir: String,
       queryTerms: Seq[String],
-      boosts: Map[String, Double] = Map.empty): DataFrame = {
+      boosts: Map[String, Double] = Map.empty,
+      fqTerms: Seq[String] = Nil): DataFrame = {
     // ONE corpus-scale tokenize→explode→agg pass, checkpointed; doclen,
     // corpus stats and df all derive from it (r2 verdict item: the old plan
     // re-derived the tf pipeline 4×, most of q_bm25_topk's wall time). Note
@@ -69,7 +75,7 @@ object Ops {
     // only terms the join keeps
     val df = tf.filter(col("term").isin(queryTerms: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
-    tf.filter(col("term").isin(queryTerms: _*))
+    val scored = tf.filter(col("term").isin(queryTerms: _*))
       .join(broadcast(df), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -81,6 +87,10 @@ object Ops {
       .withColumn("contrib", bm25Contrib(col("boost")))
       .groupBy("doc_id")
       .agg(round(sum("contrib"), 4).as("score"))
+    fqTerms.foldLeft(scored) { (d, t) =>
+      d.join(tf.filter(col("term") === t).select("doc_id").distinct(),
+        Seq("doc_id"), "left_semi")
+    }
   }
 
   /** The BM25 per-(doc, term) contribution over joined (tf, df, doclen,
@@ -115,6 +125,52 @@ object Ops {
       Map("spark" -> 2.0, "window" -> 0.5))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)
+
+  /** Q1 fq (r5): the SQL-analog twin of `q=spark window` + `fq=data` —
+    * BM25 top-10 over only the docs that also contain the fq term, scores
+    * identical to the unconstrained query (Solr's q-vs-fq split: fq never
+    * scores). Engine twin: [[graft.query.QueryEngine.search]]'s fq param.
+    */
+  def bm25FqTopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir, Seq("spark", "window"), fqTerms = Seq("data"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+
+  /** Q1 q.op=AND (r5): the SQL-analog twin of `q=spark window&q.op=AND` —
+    * only docs containing EVERY query term match; scoring is unchanged
+    * (per-distinct-term BM25 sum). Modeled as the conjunction constraint
+    * over the same scorer — exactly the parser's q.op=AND semantics
+    * (adjacent items become MUST). Engine twin:
+    * [[graft.query.QueryParser.parse]]'s defaultOp.
+    */
+  def bm25QopAndTopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir, Seq("spark", "window"),
+      fqTerms = Seq("spark", "window"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+
+  /** Solr facet.query analog (r5): per sub-query term, the count of docs
+    * in the main query's match set that also contain it — all counts in
+    * ONE job (tagged union → one semi-equi-join → groupBy), zeros
+    * included, ordered by fquery. Engine twin:
+    * [[graft.query.QueryEngine.facetQuery]].
+    */
+  def facetQueryCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val subs = Seq("data", "year", "zzznosuchterm")
+    val tf = tokenizeTf(spark, dir).localCheckpoint()
+    val base = tf.filter(col("term").isin("spark", "window"))
+      .select("doc_id").distinct()
+    val tagged = subs.map { s =>
+      tf.filter(col("term") === s).select("doc_id").distinct()
+        .withColumn("fquery", lit(s))
+    }.reduce(_ unionByName _)
+    val counted = base.join(tagged, Seq("doc_id"))
+      .groupBy("fquery").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    subs.map(s => (s, counted.getOrElse(s, 0L))).toDF("fquery", "cnt")
+      .orderBy("fquery")
+  }
 
   /** Q3 fuzzy (r5): the SQL-analog twin of `spark~2` — expand the query
     * term against the distinct token vocabulary under full

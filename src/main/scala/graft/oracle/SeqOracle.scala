@@ -102,15 +102,52 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
 
   /** Top-k for a parsed query; tiebreak (-score, docId). `after` = the
     * searchAfter anchor: the page of k results ranking strictly after it.
+    * `fq`/`qOp` mirror [[graft.query.QueryEngine.search]]: fq match sets
+    * intersect the result WITHOUT touching scores; qOp is the parser's
+    * default operator.
     */
   def topK(query: String, k: Int, df: String = "text",
-      after: Option[(Long, Double)] = None): Seq[(Long, Double)] = {
-    val ast = QueryParser.parse(query, df)
-    val all = candidates(ast)
+      after: Option[(Long, Double)] = None, fq: Seq[String] = Nil,
+      qOp: String = "OR"): Seq[(Long, Double)] = {
+    val ast = QueryParser.parse(query, df, qOp)
+    var all = candidates(ast)
+    fq.foreach { s =>
+      val ok = fqMatchOk(s, df, qOp)
+      all = all.filter { case (id, _) => ok(id) }
+    }
     after match {
       case None => all.take(k)
       case Some((aId, aScore)) => all.filter { case (id, s) =>
         s < aScore || (s == aScore && id > aId) }.take(k)
+    }
+  }
+
+  /** fq membership predicate — the engine's fq split, mirrored: a
+    * term-bearing fq is its own candidate set (stored-field filters
+    * applied inside [[candidates]]); a pure-filter fq is the stored-field
+    * predicate alone.
+    */
+  private def fqMatchOk(s: String, df: String,
+      qOp: String): Long => Boolean = {
+    val ast = QueryParser.parse(s, df, qOp)
+    if (ast.scoringLits.nonEmpty) {
+      val ids = candidates(ast).map(_._1).toSet
+      ids.contains
+    } else if (ast.hasFieldFilter) fieldFilterOk(ast)
+    else throw new IllegalArgumentException(
+      s"fq '$s' has no terms and no stored-field filters")
+  }
+
+  /** Solr facet.query twin of [[graft.query.QueryEngine.facetQuery]]:
+    * per sub-query, |match(main) ∩ match(sub)| — zeros included, input
+    * order preserved.
+    */
+  def facetQuery(query: String, subQueries: Seq[String],
+      df: String = "text"): Seq[(String, Long)] = {
+    val baseIds = candidates(QueryParser.parse(query, df)).map(_._1)
+    subQueries.map { s =>
+      val ok = fqMatchOk(s, df, "OR")
+      (s, baseIds.count(ok).toLong)
     }
   }
 

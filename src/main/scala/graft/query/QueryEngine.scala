@@ -250,9 +250,21 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     *              reference's `rows=100000` (searchindex.py:98) heaps the
     *              whole result — the 100× shape for scan-all-matches.
     */
+  /** @param fq Solr filter queries: each string parses with the same
+    *   grammar and its MATCH SET constrains results WITHOUT contributing to
+    *   scores (fq terms never score — the Solr q-vs-fq split; an `a AND b`
+    *   clause instead scores both). Pure-filter fqs (`lang:en`,
+    *   `warc_ts:[..]`) fold into the stored-field predicate; term fqs
+    *   resolve to docId sets cached per fq string in the view's
+    *   filterCache — Solr's filterCache, literally: first use pays the
+    *   match-set job, repeats are a map lookup, and a view swap retires
+    *   stale entries atomically.
+    * @param qOp Solr `q.op` default operator (see [[QueryParser.parse]]).
+    */
   def search(q: String, k: Int, df: String = "text",
-      after: Option[Wand.Scored] = None): DataFrame =
-    searchWand(q, k, df, after)
+      after: Option[Wand.Scored] = None, fq: Seq[String] = Nil,
+      qOp: String = "OR"): DataFrame =
+    searchWand(q, k, df, after, fq, qOp)
 
   /** Library-call form: top-k as driver-side values. For small posting sets
     * this is one (cached) scan with zero result-side Spark jobs — the
@@ -541,9 +553,59 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   // ---------------------------------------------------------------- WAND
 
   def searchWand(q: String, k: Int, df: String = "text",
-      after: Option[Wand.Scored] = None): DataFrame = {
+      after: Option[Wand.Scored] = None, fq: Seq[String] = Nil,
+      qOp: String = "OR"): DataFrame = {
     refreshIfStale()
-    searchWandV(view, q, k, df, after)
+    searchWandV(view, q, k, df, after, fq, qOp)
+  }
+
+  /** Split parsed fqs into (pure stored-field predicates — mergeable into
+    * the docs-table filter for free) and (term-bearing asts — each a match
+    * set). A degenerate fq (no terms, no filters) is rejected loudly: it
+    * would silently constrain to nothing or to everything depending on the
+    * reading, and Solr errors on an empty fq too.
+    */
+  private def fqSplit(fq: Seq[String], df: String,
+      qOp: String): (Seq[Column], Seq[(String, QueryAst)]) = {
+    val preds = Seq.newBuilder[Column]
+    val terms = Seq.newBuilder[(String, QueryAst)]
+    fq.foreach { s =>
+      val ast = QueryParser.parse(s, df, qOp)
+      if (ast.scoringLits.nonEmpty) terms += ((s, ast))
+      else filterPredicate(ast) match {
+        case Some(p) => preds += p
+        case None => throw new IllegalArgumentException(
+          s"fq '$s' has no terms and no stored-field filters")
+      }
+    }
+    (preds.result(), terms.result())
+  }
+
+  /** Match-set DataFrame (docId) of one term-bearing fq on a snapshot —
+    * its own stored-field filters and the tombstone view are already
+    * applied by [[scoredCandidates]]; scores are skipped entirely.
+    */
+  private def fqMatchSet(v: IndexView, ast: QueryAst): DataFrame =
+    scoredCandidates(ast, v, needScores = false).select($"docId")
+
+  /** Driver-side bounded docId set of a term fq, cached per (fq, df, qOp)
+    * string in the view's filterCache (the Solr filterCache role). None =
+    * over the driver cap → caller takes the distributed path.
+    */
+  private def boundedFqIds(v: IndexView, key: String,
+      ast: QueryAst): Option[Array[Long]] = {
+    v.filterCache.synchronized(Option(v.filterCache.get(key))) match {
+      case Some(hit) => return Some(hit)
+      case None      =>
+    }
+    val ids = fqMatchSet(v, ast).as[Long]
+      .limit(QueryEngine.MaxDriverFilterDocs + 1).collect()
+    if (ids.length > QueryEngine.MaxDriverFilterDocs) None
+    else {
+      java.util.Arrays.sort(ids)
+      v.filterCache.synchronized(v.filterCache.put(key, ids))
+      Some(ids)
+    }
   }
 
   /** [[searchWand]] against an explicit snapshot — lets composite
@@ -551,9 +613,10 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * IndexView instead of re-reading the volatile between them.
     */
   private def searchWandV(v: IndexView, q: String, k: Int, df: String,
-      after: Option[Wand.Scored]): DataFrame = {
+      after: Option[Wand.Scored], fq: Seq[String] = Nil,
+      qOp: String = "OR"): DataFrame = {
     // every read below sees the same snapshot
-    val ast = QueryParser.parse(q, df)
+    val ast = QueryParser.parse(q, df, qOp)
     val rq = QueryResolve.resolve(ast, expander(v))
     val scoring = rq.scoringTerms // distinct + sorted by resolve
     val clauses = rq.clauses
@@ -561,7 +624,12 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     if (scoring.isEmpty || clauses.isEmpty) return emptyResult
     val n = v.stats.n
     val avgdls = avgdlOf(v.stats)
-    val pred = filterPredicate(ast)
+    // pure-filter fqs conjunct into the stored-field predicate (free);
+    // term fqs become allow sets alongside it
+    val (fqPreds, fqTermAsts) = fqSplit(fq, df, qOp)
+    val pred = (filterPredicate(ast).toSeq ++ fqPreds).reduceOption(_ && _)
+    def fqCacheKey(fqStr: String): String =
+      "fq|" + df + "|" + qOp + "|" + fqStr
 
     // plan construction alone costs 10s of ms — build only on cache miss
     lazy val segs = postingsFor(scoring ++ not, v)
@@ -578,23 +646,34 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
         fetched
     }
     if (sample.length <= DriverWandMaxSegments) {
-      // bounded-collect filter structures; a too-large filter or tombstone
-      // set falls through to the distributed path instead of materializing
-      val allowIdsOpt: Option[Option[Array[Long]]] = pred match {
-        case None    => Some(None)
-        case Some(p) => boundedFilterIds(v, filterKey(ast), p).map(Some(_))
+      // bounded-collect filter structures; a too-large filter, fq match
+      // set, or tombstone set falls through to the distributed path
+      // instead of materializing. The stored-field predicate contributes
+      // one sorted array, each term fq another; a doc must appear in
+      // EVERY allow array (fq intersection semantics).
+      val predIdsOpt: Option[Seq[Array[Long]]] = pred match {
+        case None    => Some(Nil)
+        case Some(p) =>
+          val key = filterKey(ast) + fqPreds.length + "|" + fq.mkString("\u0000")
+          boundedFilterIds(v, key, p).map(Seq(_))
       }
+      val allowIdsOpt: Option[Seq[Array[Long]]] =
+        fqTermAsts.foldLeft(predIdsOpt) { case (acc, (s, fqAst)) =>
+          acc.flatMap(arrs =>
+            boundedFqIds(v, fqCacheKey(s), fqAst).map(arrs :+ _))
+        }
       val denyIdsOpt = boundedTombstoneIds(v)
       (allowIdsOpt, denyIdsOpt) match {
-        case (Some(allowIds), Some(denyIds)) =>
+        case (Some(allowArrs), Some(denyIds)) =>
           val byTerm = sample.toSeq.groupBy(_.term)
           val dfByTerm = byTerm.map { case (t, ss) =>
             t -> ss.map(_.count.toLong).sum
           }
           val allowFn: Option[Long => Boolean] =
-            if (allowIds.isEmpty && denyIds.isEmpty) None
+            if (allowArrs.isEmpty && denyIds.isEmpty) None
             else Some { id =>
-              allowIds.forall(a => java.util.Arrays.binarySearch(a, id) >= 0) &&
+              allowArrs.forall(a =>
+                java.util.Arrays.binarySearch(a, id) >= 0) &&
               (denyIds.isEmpty || java.util.Arrays.binarySearch(denyIds, id) < 0)
             }
           val top = Wand.topK(byTerm, dfByTerm, scoring, clauses,
@@ -647,11 +726,18 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
         }
       }
 
-    val hasPred = pred.isDefined
+    // allow set = stored-field predicate ∩ every term-fq match set,
+    // pre-intersected IN the plan (left-semi chain) so the window cogroup
+    // still ships exactly one allow bitmap per window — fq intersection
+    // semantics can't be expressed post-union on a single bitmap
+    val allowSources: Seq[DataFrame] =
+      pred.map(p => v.docs.filter(p).select($"docId")).toSeq ++
+        fqTermAsts.map { case (_, fqAst) => fqMatchSet(v, fqAst) }
+    val hasPred = allowSources.nonEmpty
     val filterRows: Option[Dataset[(Long, Long, Boolean)]] = {
-      val allowDs = pred.map(p =>
-        v.docs.filter(p).select($"docId").as[Long]
-          .map(id => (id / rangeLen, id, false)))
+      val allowDs = allowSources
+        .reduceOption((a, b) => a.join(b, Seq("docId"), "left_semi"))
+        .map(_.as[Long].map(id => (id / rangeLen, id, false)))
       val denyDs = tombstones(v).map(t =>
         t.select($"docId").as[Long].map(id => (id / rangeLen, id, true)))
       (allowDs, denyDs) match {
@@ -717,10 +803,22 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   // ---------------------------------------------------------- exhaustive
 
   def searchExhaustive(q: String, k: Int, df: String = "text",
-      after: Option[Wand.Scored] = None): DataFrame = {
+      after: Option[Wand.Scored] = None, fq: Seq[String] = Nil,
+      qOp: String = "OR"): DataFrame = {
     refreshIfStale()
-    val ast = QueryParser.parse(q, df)
-    var cands = scoredCandidates(ast, view)
+    val v = view // one snapshot for the query and every fq match set
+    val ast = QueryParser.parse(q, df, qOp)
+    var cands = scoredCandidates(ast, v)
+    // fq constraint = semi-join per source; scores are untouched (the
+    // q-vs-fq split: fq never contributes score)
+    val (fqPreds, fqTermAsts) = fqSplit(fq, df, qOp)
+    fqPreds.reduceOption(_ && _).foreach { p =>
+      cands = cands.join(v.docs.filter(p).select($"docId"),
+        Seq("docId"), "left_semi")
+    }
+    fqTermAsts.foreach { case (_, fqAst) =>
+      cands = cands.join(fqMatchSet(v, fqAst), Seq("docId"), "left_semi")
+    }
     // searchAfter anchor: scores are bit-identical across paths, so the
     // double-equality branch of the rank comparison is exact here too
     after.foreach { a =>
@@ -885,6 +983,39 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       .groupBy(col(field)).agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc(field))
       .limit(topN)
+  }
+
+  /** Solr facet.query: for each sub-query, the count of docs in the MAIN
+    * query's match set that also match the sub-query — every count in ONE
+    * Spark job (sub match sets union-tagged by label, one semi-equi-join
+    * against the base set, one groupBy), so N facet.queries never schedule
+    * N corpus passes. Sub-queries with zero overlap report 0, as Solr
+    * does. Output: (fquery, cnt) in the given sub-query order.
+    */
+  def facetQuery(q: String, subQueries: Seq[String],
+      df: String = "text"): DataFrame = {
+    require(subQueries.nonEmpty, "facet.query needs at least one sub-query")
+    refreshIfStale()
+    val v = view // one snapshot for the base and every sub match set
+    val base = scoredCandidates(QueryParser.parse(q, df), v,
+      needScores = false).select($"docId")
+    val tagged = subQueries.zipWithIndex.map { case (s, i) =>
+      val ast = QueryParser.parse(s, df)
+      val ms =
+        if (ast.scoringLits.nonEmpty) fqMatchSet(v, ast)
+        else filterPredicate(ast) match {
+          case Some(p) => v.docs.filter(p).select($"docId")
+          case None => throw new IllegalArgumentException(
+            s"facet.query '$s' has no terms and no stored-field filters")
+        }
+      ms.withColumn("fqi", lit(i))
+    }.reduce(_ unionByName _)
+    val counted = base.join(tagged, Seq("docId"))
+      .groupBy($"fqi").agg(count(lit(1)).as("cnt"))
+      .as[(Int, Long)].collect().toMap
+    subQueries.zipWithIndex
+      .map { case (s, i) => (s, counted.getOrElse(i, 0L)) }
+      .toDF("fquery", "cnt")
   }
 
   /** Query-time sort by a stored field — the Solr `sort=field asc|desc`

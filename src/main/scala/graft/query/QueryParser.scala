@@ -536,13 +536,27 @@ object QueryParser {
     *   schemaless-style leniency), while the stored filter fields
     *   (lang/url/warc_ts) become docs-table predicates.
     */
-  def parse(q: String, defaultField: String = "text"): QueryAst = {
+  /** @param defaultOp Solr's `q.op=` — the implicit operator between
+    *   adjacent items ("OR"/"AND"). Under OR (the Solr/Lucene default and
+    *   ours) adjacency makes SHOULD items; under AND every adjacent item is
+    *   required (Lucene `+a +b`). Explicit `OR`/`AND`/`NOT`/`+` are
+    *   unaffected, and because this parser has real boolean precedence the
+    *   rule composes cleanly: `a b OR c` under AND = `(a AND b) OR c`
+    *   (Lucene's flat parser instead mutates pairwise flags — documented
+    *   divergence above). One parse flag, so all four physical paths and
+    *   the sequential oracle change together.
+    */
+  def parse(q: String, defaultField: String = "text",
+      defaultOp: String = "OR"): QueryAst = {
     require(IndexedFields.contains(defaultField),
       s"df='$defaultField': indexed fields are ${IndexedFields.mkString(", ")}")
-    new P(lex(q), defaultField).run()
+    require(defaultOp == "OR" || defaultOp == "AND",
+      s"q.op must be OR or AND, got '$defaultOp'")
+    new P(lex(q), defaultField, defaultOp == "AND").run()
   }
 
-  private final class P(toks: Vector[Tok], defaultField: String) {
+  private final class P(toks: Vector[Tok], defaultField: String,
+      andDefault: Boolean = false) {
     private var i = 0
     private var lang: Option[String] = None
     private var url: Option[String] = None
@@ -621,8 +635,14 @@ object QueryParser {
       }
       val all = items.result()
       val nots = all.collect { case (n @ NNot(_), _) => n }
-      val musts = all.collect { case (n, true) if !n.isInstanceOf[NNot] => n }
-      val shoulds = all.collect { case (n, false) if !n.isInstanceOf[NNot] => n }
+      // q.op=AND: every adjacent non-negated item is required (Lucene
+      // `+a +b`); the `+` flag is then redundant but harmless
+      val musts = all.collect {
+        case (n, p) if (p || andDefault) && !n.isInstanceOf[NNot] => n
+      }
+      val shoulds = all.collect {
+        case (n, false) if !andDefault && !n.isInstanceOf[NNot] => n
+      }
       if (musts.isEmpty && shoulds.isEmpty && nots.nonEmpty)
         throw new IllegalArgumentException(
           "pure-negative group is unscorable (add a positive term)")

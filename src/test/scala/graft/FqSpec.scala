@@ -1,0 +1,165 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, IndexConf}
+import graft.oracle.{OracleDoc, SeqOracle}
+import graft.query.{QueryEngine, QueryParser}
+
+/** Solr fq / q.op / facet.query surface (round 5):
+  *  - fq match sets constrain results through ALL THREE physical paths
+  *    (driver WAND, distributed windowed WAND, exhaustive) rank-identically
+  *    to the sequential oracle;
+  *  - fq never contributes score (the Solr q-vs-fq split) — same docId set
+  *    as the equivalent AND query where applicable, different scores;
+  *  - q.op=AND makes adjacency conjunctive, equivalent to the explicit-AND
+  *    query bit-for-bit (one parser flag, every path changes together);
+  *  - facet.query counts sub-query overlap over the match set, zeros
+  *    included, matching the oracle twin.
+  */
+class FqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val NDocs = 400L
+  private val conf = IndexConf(numBuckets = 8, segmentMaxDocs = 64)
+
+  private lazy val indexDir: String = {
+    val dir = SparkTestSession.tempDir("graft-fq")
+    IndexBuilder.build(spark, CorpusGen.generate(spark, NDocs), dir, conf)
+    dir
+  }
+
+  private lazy val oracle: SeqOracle = new SeqOracle(
+    CorpusGen.generateLocal(NDocs).sortBy(_.url).zipWithIndex.map {
+      case (d, i) => OracleDoc(i.toLong, d.text, d.lang, d.url,
+        d.warc_ts.getTime, graft.corpus.Extractor.extractTitle(d.html))
+    })
+
+  private lazy val engine = new QueryEngine(spark, indexDir, conf.numBuckets)
+  private lazy val distEngine =
+    new QueryEngine(spark, indexDir, conf.numBuckets, driverWandMaxSegments = 0)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def assertRankIdentical(got: Seq[(Long, Double)],
+      expect: Seq[(Long, Double)], ctx: String): Unit = {
+    assert(got.map(_._1) == expect.map(_._1),
+      s"[$ctx]\n got=${got.take(12)}\n exp=${expect.take(12)}")
+    got.zip(expect).foreach { case ((_, gs), (_, es)) =>
+      assert(math.abs(gs - es) < 1e-9, s"[$ctx] score $gs != $es")
+    }
+  }
+
+  // (query, fqs) — term fqs, pure-filter fqs, mixed/multiple, phrase and
+  // expansion shapes on either side
+  private val goldenFq: Seq[(String, Seq[String])] = Seq(
+    ("w00017 w00342", Seq("the")),
+    ("the", Seq("w00017")),
+    ("w00017 OR w00342", Seq("w00342 OR w00343")),
+    ("the", Seq("lang:no")),
+    ("the", Seq("w00017", "lang:no")),
+    ("the of", Seq("url:host3.")),
+    ("\"the of\"", Seq("the")),
+    ("the", Seq("\"the of\"")),
+    ("w0001*", Seq("the")),
+    ("the", Seq("title:doc")),
+    ("the", Seq("w00017 NOT w00342")),
+    ("the", Seq("warc_ts:[2024-01-01T00:00:00Z TO 2024-01-01T02:00:00Z]")))
+
+  test("fq: all three paths rank-identical to oracle") {
+    goldenFq.foreach { case (q, fq) =>
+      val expect = oracle.topK(q, 10, fq = fq)
+      assertRankIdentical(rows(engine.searchWand(q, 10, fq = fq)),
+        expect, s"WAND-driver q='$q' fq=$fq")
+      assertRankIdentical(rows(distEngine.searchWand(q, 10, fq = fq)),
+        expect, s"WAND-dist q='$q' fq=$fq")
+      assertRankIdentical(rows(engine.searchExhaustive(q, 10, fq = fq)),
+        expect, s"EXH q='$q' fq=$fq")
+      // fq must actually constrain: ensure at least SOME golden entry
+      // differs from the unconstrained result (checked in aggregate below)
+    }
+    // the golden set is not vacuous: fq changes the page for most entries
+    val changed = goldenFq.count { case (q, fq) =>
+      oracle.topK(q, 10, fq = fq) != oracle.topK(q, 10)
+    }
+    assert(changed >= goldenFq.size / 2, s"only $changed golden fqs bite")
+  }
+
+  test("fq constrains without scoring (the Solr q-vs-fq split)") {
+    // every (docId, score) under fq appears with the SAME score in the
+    // unconstrained ranking — fq dropped docs, never touched scores
+    val plain = rows(engine.searchExhaustive("w00017", 1000)).toMap
+    val fqd = rows(engine.searchWand("w00017", 10, fq = Seq("the")))
+    assert(fqd.nonEmpty)
+    fqd.foreach { case (id, s) =>
+      assert(plain.contains(id), s"fq result $id not in plain match set")
+      assert(plain(id) == s, s"fq changed score of $id: ${plain(id)} != $s")
+    }
+    // ...whereas the equivalent AND query scores BOTH terms: same docId
+    // set, different scores (fq ≠ AND)
+    val andQ = rows(engine.searchExhaustive("w00017 AND the", 1000))
+    val fqAll = rows(engine.searchExhaustive("w00017", 1000, fq = Seq("the")))
+    assert(andQ.map(_._1).toSet == fqAll.map(_._1).toSet,
+      "fq and AND must match the same docs")
+    assert(andQ.toMap != fqAll.toMap, "AND must score the fq term; fq must not")
+  }
+
+  test("pure-filter fq ≡ in-query stored-field filter") {
+    val viaFq = rows(engine.searchWand("the", 10, fq = Seq("lang:no")))
+    val viaQuery = rows(engine.searchWand("the lang:no", 10))
+    assertRankIdentical(viaFq, viaQuery, "lang fq vs in-query filter")
+  }
+
+  test("degenerate fq rejects loudly") {
+    intercept[IllegalArgumentException] {
+      engine.searchWand("the", 10, fq = Seq(""))
+    }
+    intercept[IllegalArgumentException] {
+      oracle.topK("the", 10, fq = Seq(""))
+    }
+  }
+
+  test("q.op=AND: adjacency becomes conjunctive, rank-identical everywhere") {
+    val pairs = Seq(
+      // (implicit under AND, explicit under OR)
+      ("w00017 w00342", "w00017 AND w00342"),
+      ("w00017 w00342 OR w00343", "(w00017 AND w00342) OR w00343"),
+      ("title:(doc 9)", "title:(doc AND 9)"),
+      ("the w00017 w00342", "the AND w00017 AND w00342"),
+      ("+w00017 w00342", "w00017 AND w00342"))
+    pairs.foreach { case (qAnd, qExplicit) =>
+      val expect = oracle.topK(qExplicit, 10)
+      assert(oracle.topK(qAnd, 10, qOp = "AND") == expect,
+        s"oracle qOp=AND '$qAnd' != '$qExplicit'")
+      assertRankIdentical(rows(engine.searchWand(qAnd, 10, qOp = "AND")),
+        expect, s"WAND-driver qop '$qAnd'")
+      assertRankIdentical(rows(distEngine.searchWand(qAnd, 10, qOp = "AND")),
+        expect, s"WAND-dist qop '$qAnd'")
+      assertRankIdentical(rows(engine.searchExhaustive(qAnd, 10, qOp = "AND")),
+        expect, s"EXH qop '$qAnd'")
+    }
+    // AND default actually bites vs the OR default on adjacency
+    assert(oracle.topK("w00017 w00342", 10, qOp = "AND") !=
+      oracle.topK("w00017 w00342", 10))
+    // explicit operators are unaffected by q.op
+    assert(oracle.topK("w00017 OR w00342", 10, qOp = "AND") ==
+      oracle.topK("w00017 OR w00342", 10))
+    // invalid q.op rejects
+    intercept[IllegalArgumentException] {
+      QueryParser.parse("a b", "text", "XOR")
+    }
+  }
+
+  test("facet.query: overlap counts over the match set, zeros included") {
+    val subs = Seq("w00017", "lang:no", "zzznosuchterm", "w00342 OR w00343")
+    val got = engine.facetQuery("the", subs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expect = oracle.facetQuery("the", subs)
+    assert(got == expect, s"\n got=$got\n exp=$expect")
+    assert(got.map(_._1) == subs, "input order preserved")
+    assert(got.exists(_._2 == 0L), "missing sub-query reports 0, not absent")
+    assert(got.count(_._2 > 0L) >= 2)
+  }
+}

@@ -158,6 +158,40 @@ class FuzzSpec extends AnyFunSuite {
     assert(nonEmpty >= 30, s"only $nonEmpty/60 queries matched anything")
   }
 
+  test("fq + q.op over generated queries: all paths rank-identical " +
+      "to the oracle") {
+    // random fq sets (pure-filter, term, and full generated queries) and a
+    // random default operator — the fq intersection must commute with
+    // top-k identically in every physical path
+    val combos = Iterator.continually {
+      val q = genQuery()
+      // bias fqs toward hot terms — a rare-term fq intersected with a
+      // random query is almost always empty, which exercises nothing
+      val fqs = Seq.fill(1 + rng.nextInt(2))(rng.nextInt(6) match {
+        case 0     => "lang:" + pick(Seq("en", "no"))
+        case 1     => "url:host" + rng.nextInt(10) + "."
+        case 2 | 3 => pick(CorpusGen.Stopwords.toSeq.take(10))
+        case _     => genQuery()
+      })
+      val qOp = if (rng.nextInt(3) == 0) "AND" else "OR"
+      (q, fqs, qOp)
+    }.distinct.take(25).toSeq
+    var nonEmpty = 0
+    combos.foreach { case (q, fqs, qOp) =>
+      val expect = oracle.topK(q, 10, fq = fqs, qOp = qOp)
+      if (expect.nonEmpty) nonEmpty += 1
+      val ctx = s"q='$q' fq=$fqs qop=$qOp"
+      assertSame(ids(engine.searchWand(q, 10, fq = fqs, qOp = qOp)),
+        expect, s"driver $ctx")
+      assertSame(ids(distEngine.searchWand(q, 10, fq = fqs, qOp = qOp)),
+        expect, s"dist $ctx")
+      assertSame(ids(engine.searchExhaustive(q, 10, fq = fqs, qOp = qOp)),
+        expect, s"exh $ctx")
+    }
+    // fq intersections empty out many pages; require real work regardless
+    assert(nonEmpty >= 5, s"only $nonEmpty/25 fq combos matched anything")
+  }
+
   test("sorted search over generated queries: stored-field order matches " +
       "oracle both directions") {
     val queries = Iterator.continually(genQuery()).distinct.take(12).toSeq
