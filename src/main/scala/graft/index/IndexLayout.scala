@@ -39,11 +39,29 @@ object IndexLayout {
     case _            => None
   }
 
-  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-    finally in.close()
+  private[graft] def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    def read(f: FileSystem): String = {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val txt =
+      try read(fs)
+      catch {
+        // Hadoop's local ChecksumFileSystem renames a file and its .crc
+        // sidecar in TWO steps, so publishers racing onto the same pointer
+        // name can pair one writer's (atomically-renamed, complete) bytes
+        // with the other's stale sidecar — the CONTENT is exactly one
+        // writer's set; only the crc lies. Read past it on the raw fs
+        // instead of discarding a healthy newest pointer (HDFS/S3 have no
+        // sidecar, so this branch is local-fs-only by construction).
+        case e: org.apache.hadoop.fs.ChecksumException => fs match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+            read(c.getRawFileSystem)
+          case _ => throw e
+        }
+      }
+    txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   /** Live segment dirs named by the newest pointer (build order preserved);
