@@ -235,6 +235,15 @@ object Bench {
     // round-5 surface: term ranges (pure range-pushdown expansion)
     "text:[w00015 TO w00020]", "text:{w0001 TO w0002] AND the")
 
+  /** fq / q.op combos timed through the same driver path (round-5 tail):
+    * the WARM-UP rep pays each fq's match-set job once, the timed reps hit
+    * the per-view filterCache — the resident-engine latency Solr's
+    * filterCache design promises.
+    */
+  private val fqLatencyQueries: Seq[(String, Seq[String], String)] = Seq(
+    ("w00017 w00342", Seq("the"), "OR"),
+    ("w00017 w00342", Seq("lang:no"), "AND"))
+
   /** Stopword-heavy queries whose posting sets exceed the driver threshold —
     * timed against a driverWandMaxSegments=0 engine so the 100×-relevant
     * distributed windowed path has a recorded latency.
@@ -616,11 +625,18 @@ object Bench {
       math.min(benchDocs, 50000L)), ixDir, conf)
     val engine = new QueryEngine(sq, ixDir, conf.numBuckets)
     goldenQueries.foreach(q => engine.topK(q, 10)) // warm cache + plans
+    fqLatencyQueries.foreach { case (q, fq, op) => // warm fq filterCache
+      engine.search(q, 10, "text", None, fq, op).collect()
+    }
     val canD0 = BenchArm.canarySec()
     val cpuD0 = osbQ.getProcessCpuTime
-    val lat = goldenQueries.flatMap { q =>
+    val lat = (goldenQueries.flatMap { q =>
       (1 to 3).map { _ => timeS(engine.topK(q, 10))._2 }
-    }.sorted
+    } ++ fqLatencyQueries.flatMap { case (q, fq, op) =>
+      (1 to 3).map { _ =>
+        timeS(engine.search(q, 10, "text", None, fq, op).collect())._2
+      }
+    }).sorted
     val cpuDriver = (osbQ.getProcessCpuTime - cpuD0) / 1e9
     val p50 = lat(lat.length / 2)
 
@@ -641,7 +657,7 @@ object Bench {
     deleteScratch(ixDir) // tmpfs scratch is RAM — never accumulate
 
     latencyJson =
-      f""""query_latency":{"p50_sec":$p50%.4f,"p50_distributed_sec":$p50D%.4f,"k":10,"queries":${goldenQueries.length},"distributed_queries":${distributedQueries.length},"reps":3,"driver_cpu_sec":$cpuDriver%.2f,"distributed_cpu_sec":$cpuDist%.2f,"canary_sec":[$canD0%.3f,$canD1%.3f]}"""
+      f""""query_latency":{"p50_sec":$p50%.4f,"p50_distributed_sec":$p50D%.4f,"k":10,"queries":${goldenQueries.length + fqLatencyQueries.length},"distributed_queries":${distributedQueries.length},"reps":3,"driver_cpu_sec":$cpuDriver%.2f,"distributed_cpu_sec":$cpuDist%.2f,"canary_sec":[$canD0%.3f,$canD1%.3f]}"""
     emitRecord()
 
     // ---- scaling LAST (unbounded-variance section): consumes whatever

@@ -364,7 +364,7 @@ object Search {
         require(!flags.contains("--exhaustive"),
           "--exhaustive applies to score-ordered search only")
         val t0 = System.nanoTime()
-        val rows = engine.searchSorted(query, field, ascending, k, df)
+        val rows = engine.searchSorted(query, field, ascending, k, df, fq)
           .collect()
         val ms = (System.nanoTime() - t0) / 1e6
         println(f"[graft] query='$query' sort=$field:" +
@@ -396,21 +396,21 @@ object Search {
     }
     opts.get("--facet").foreach { field =>
       println(s"[graft] facet field='$field' (over ALL matches)")
-      engine.facet(query, field, df = df).collect().foreach { r =>
+      engine.facet(query, field, df = df, fq = fq).collect().foreach { r =>
         println(f"  ${r.get(0)}%-12s ${r.getLong(1)}%8d")
       }
     }
     // Solr facet.query analog: per sub-query count over the match set
     if (facetQueries.nonEmpty) {
       println(s"[graft] facet.query (over ALL matches)")
-      engine.facetQuery(query, facetQueries, df).collect().foreach { r =>
+      engine.facetQuery(query, facetQueries, df, fq).collect().foreach { r =>
         println(f"  ${r.getString(0)}%-32s ${r.getLong(1)}%8d")
       }
     }
     // Solr stats component analog: --stats doclen|titleLen over ALL matches
     opts.get("--stats").foreach { field =>
       println(s"[graft] stats field='$field' (over ALL matches)")
-      engine.statsField(query, field, df).collect().foreach { r =>
+      engine.statsField(query, field, df, fq).collect().foreach { r =>
         println(s"  count=${r.get(0)} min=${r.get(1)} max=${r.get(2)} " +
           s"sum=${r.get(3)} mean=${r.get(4)}")
       }
@@ -418,7 +418,7 @@ object Search {
     // Solr result grouping analog: --group field, --k = group.limit
     opts.get("--group").foreach { field =>
       println(s"[graft] group field='$field' limit=$k")
-      engine.searchGrouped(query, field, k, df).collect().foreach { r =>
+      engine.searchGrouped(query, field, k, df, fq).collect().foreach { r =>
         println(f"  ${r.get(0)}%-12s #${r.getInt(1)}%-3d docId=${r.getLong(2)}%8d score=${r.getDouble(3)}%.6f")
       }
     }
@@ -427,7 +427,7 @@ object Search {
       val parts = spec.split(",")
       require(parts.length == 2, "--pivot expects <fieldA>,<fieldB>")
       println(s"[graft] facet.pivot=${parts(0)},${parts(1)} (over ALL matches)")
-      engine.facetPivot(query, parts(0), parts(1), df = df)
+      engine.facetPivot(query, parts(0), parts(1), df = df, fq = fq)
         .collect().foreach { r =>
           println(f"  ${r.get(0)}%-12s (${r.getLong(1)}%d) > ${r.get(2)}%-24s ${r.getLong(3)}%8d")
         }
@@ -438,7 +438,7 @@ object Search {
       require(parts.length == 3,
         "--facet-range expects <startIso>,<endIso>,<gapSec>")
       println(s"[graft] facet.range warc_ts [$spec) (over ALL matches)")
-      engine.facetRange(query, parts(0), parts(1), parts(2).toLong, df)
+      engine.facetRange(query, parts(0), parts(1), parts(2).toLong, df, fq)
         .collect().foreach { r =>
           println(f"  ${r.get(0)}%-24s ${r.getLong(1)}%8d")
         }

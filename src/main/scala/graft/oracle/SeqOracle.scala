@@ -138,13 +138,27 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       s"fq '$s' has no terms and no stored-field filters")
   }
 
+  /** [[candidates]] intersected with every fq's match predicate — the one
+    * match-set entry all fq-aware consumer twins share (mirrors the
+    * engine's applyFq).
+    */
+  private def candidatesFq(query: String, df: String,
+      fq: Seq[String]): Seq[(Long, Double)] = {
+    var all = candidates(QueryParser.parse(query, df))
+    fq.foreach { s =>
+      val ok = fqMatchOk(s, df, "OR")
+      all = all.filter { case (id, _) => ok(id) }
+    }
+    all
+  }
+
   /** Solr facet.query twin of [[graft.query.QueryEngine.facetQuery]]:
     * per sub-query, |match(main) ∩ match(sub)| — zeros included, input
     * order preserved.
     */
   def facetQuery(query: String, subQueries: Seq[String],
-      df: String = "text"): Seq[(String, Long)] = {
-    val baseIds = candidates(QueryParser.parse(query, df)).map(_._1)
+      df: String = "text", fq: Seq[String] = Nil): Seq[(String, Long)] = {
+    val baseIds = candidatesFq(query, df, fq).map(_._1)
     subQueries.map { s =>
       val ok = fqMatchOk(s, df, "OR")
       (s, baseIds.count(ok).toLong)
@@ -156,8 +170,8 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * both directions (pre-sort by docId, then a stable sort by the field).
     */
   def topKSorted(query: String, sortField: String, ascending: Boolean,
-      k: Int, df: String = "text"): Seq[Long] = {
-    val ids = candidates(QueryParser.parse(query, df)).map(_._1).sorted
+      k: Int, df: String = "text", fq: Seq[String] = Nil): Seq[Long] = {
+    val ids = candidatesFq(query, df, fq).map(_._1).sorted
     def by[T](key: Long => T)(implicit o: Ordering[T]): Seq[Long] =
       ids.sortBy(key)(if (ascending) o else o.reverse)
     val sorted = sortField match {
@@ -176,10 +190,11 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * `[start, end)`, bucket-ordered.
     */
   def facetRange(query: String, startIso: String, endIso: String,
-      gapSec: Long, df: String = "text"): Seq[(Long, Long)] = {
+      gapSec: Long, df: String = "text",
+      fq: Seq[String] = Nil): Seq[(Long, Long)] = {
     val startMs = parseTs(startIso)
     val endMs = parseTs(endIso)
-    candidates(QueryParser.parse(query, df)).map(_._1)
+    candidatesFq(query, df, fq).map(_._1)
       .map(docTs)
       .filter(t => t >= startMs && t < endMs)
       .groupBy(t => (t - startMs) / (gapSec * 1000L))
@@ -192,14 +207,14 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * matches. Returns None when nothing matches (the engine returns a
     * null-filled aggregate row there).
     */
-  def statsField(query: String, field: String, df: String = "text")
-      : Option[(Long, Long, Long, Long, Double)] = {
+  def statsField(query: String, field: String, df: String = "text",
+      fq: Seq[String] = Nil): Option[(Long, Long, Long, Long, Double)] = {
     val key: Long => Long = field match {
       case "doclen"   => doclen
       case "titleLen" => titleLen
       case f => throw new IllegalArgumentException(s"unsupported stats field $f")
     }
-    val vs = candidates(QueryParser.parse(query, df)).map(c => key(c._1))
+    val vs = candidatesFq(query, df, fq).map(c => key(c._1))
     if (vs.isEmpty) None
     else Some((vs.size.toLong, vs.min, vs.max, vs.sum,
       vs.sum.toDouble / vs.size))
@@ -210,7 +225,8 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * every distinct field value, ordered (fieldValue asc, rank asc).
     */
   def topKGrouped(query: String, field: String, kPerGroup: Int,
-      df: String = "text"): Seq[(String, Int, Long, Double)] = {
+      df: String = "text",
+      fq: Seq[String] = Nil): Seq[(String, Int, Long, Double)] = {
     // string stored fields only, matching QueryEngine.GroupableFields —
     // this twin orders group values as strings, which is only the engine's
     // ordering for string columns
@@ -219,7 +235,7 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       case "url"  => docUrl
       case f => throw new IllegalArgumentException(s"unsupported group field $f")
     }
-    candidates(QueryParser.parse(query, df))
+    candidatesFq(query, df, fq)
       .groupBy(c => key(c._1))
       .toSeq.sortBy(_._1)
       .flatMap { case (v, cs) =>
@@ -286,15 +302,15 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * (a, aCnt, b, bCnt, rank) rows in the engine's output order.
     */
   def facetPivot(query: String, fieldA: String, fieldB: String,
-      topA: Int = 5, topB: Int = 3, df: String = "text")
-      : Seq[(String, Long, String, Long, Int)] = {
+      topA: Int = 5, topB: Int = 3, df: String = "text",
+      fq: Seq[String] = Nil): Seq[(String, Long, String, Long, Int)] = {
     def fieldOf(f: String): Long => String = f match {
       case "lang" => docLang(_)
       case "url"  => docUrl(_)
       case other => throw new IllegalArgumentException(s"pivot field $other")
     }
     val fa = fieldOf(fieldA); val fb = fieldOf(fieldB)
-    val ids = candidates(QueryParser.parse(query, df)).map(_._1)
+    val ids = candidatesFq(query, df, fq).map(_._1)
     val pairs = ids.groupBy(id => (fa(id), fb(id)))
       .map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSeq
     val aTop = pairs.groupBy(_._1)
@@ -352,9 +368,9 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
   /** Facet counts over ALL matching docs (the Solr facet.field analog).
     * Returns (value, count) sorted by count desc, value asc.
     */
-  def facet(query: String, field: String): Seq[(String, Long)] = {
-    val ast = QueryParser.parse(query)
-    val vals = candidates(ast).map { case (id, _) =>
+  def facet(query: String, field: String,
+      fq: Seq[String] = Nil): Seq[(String, Long)] = {
+    val vals = candidatesFq(query, "text", fq).map { case (id, _) =>
       field match {
         case "lang" => docLang(id)
         case "url"  => docUrl(id)

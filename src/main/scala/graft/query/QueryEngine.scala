@@ -802,23 +802,37 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
   // ---------------------------------------------------------- exhaustive
 
+  /** Constrain a match-set/candidates frame (must carry `docId`) by fq
+    * queries: each pure-filter fq and each term fq intersects via
+    * left-semi join, scores untouched — the relational twin of the WAND
+    * paths' allow structures, shared by the exhaustive path and every
+    * match-set consumer (facet/stats/sort/group/range/pivot — Solr applies
+    * fq to all of them).
+    */
+  private def applyFq(v: IndexView, fq: Seq[String], df: String,
+      qOp: String = "OR")(cands: DataFrame): DataFrame = {
+    if (fq.isEmpty) return cands
+    val (fqPreds, fqTermAsts) = fqSplit(fq, df, qOp)
+    var out = cands
+    fqPreds.reduceOption(_ && _).foreach { p =>
+      out = out.join(v.docs.filter(p).select($"docId"),
+        Seq("docId"), "left_semi")
+    }
+    fqTermAsts.foreach { case (_, fqAst) =>
+      out = out.join(fqMatchSet(v, fqAst), Seq("docId"), "left_semi")
+    }
+    out
+  }
+
   def searchExhaustive(q: String, k: Int, df: String = "text",
       after: Option[Wand.Scored] = None, fq: Seq[String] = Nil,
       qOp: String = "OR"): DataFrame = {
     refreshIfStale()
     val v = view // one snapshot for the query and every fq match set
     val ast = QueryParser.parse(q, df, qOp)
-    var cands = scoredCandidates(ast, v)
     // fq constraint = semi-join per source; scores are untouched (the
     // q-vs-fq split: fq never contributes score)
-    val (fqPreds, fqTermAsts) = fqSplit(fq, df, qOp)
-    fqPreds.reduceOption(_ && _).foreach { p =>
-      cands = cands.join(v.docs.filter(p).select($"docId"),
-        Seq("docId"), "left_semi")
-    }
-    fqTermAsts.foreach { case (_, fqAst) =>
-      cands = cands.join(fqMatchSet(v, fqAst), Seq("docId"), "left_semi")
-    }
+    var cands = applyFq(v, fq, df, qOp)(scoredCandidates(ast, v))
     // searchAfter anchor: scores are bit-identical across paths, so the
     // double-equality branch of the rank comparison is exact here too
     after.foreach { a =>
@@ -973,12 +987,12 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * groupBy(field).count, ordered (count desc, value asc).
     */
   def facet(q: String, field: String, topN: Int = 20,
-      df: String = "text"): DataFrame = {
+      df: String = "text", fq: Seq[String] = Nil): DataFrame = {
     refreshIfStale()
     val v = view // one snapshot for both the match set and the facet join
     val ast = QueryParser.parse(q, df) // same df as the hits being faceted
-    scoredCandidates(ast, v, needScores = false)
-      .select($"docId")
+    applyFq(v, fq, df)(scoredCandidates(ast, v, needScores = false)
+      .select($"docId"))
       .join(v.docs.select($"docId", col(field)), Seq("docId"))
       .groupBy(col(field)).agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc(field))
@@ -993,12 +1007,12 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * does. Output: (fquery, cnt) in the given sub-query order.
     */
   def facetQuery(q: String, subQueries: Seq[String],
-      df: String = "text"): DataFrame = {
+      df: String = "text", fq: Seq[String] = Nil): DataFrame = {
     require(subQueries.nonEmpty, "facet.query needs at least one sub-query")
     refreshIfStale()
     val v = view // one snapshot for the base and every sub match set
-    val base = scoredCandidates(QueryParser.parse(q, df), v,
-      needScores = false).select($"docId")
+    val base = applyFq(v, fq, df)(scoredCandidates(QueryParser.parse(q, df),
+      v, needScores = false).select($"docId"))
     val tagged = subQueries.zipWithIndex.map { case (s, i) =>
       val ast = QueryParser.parse(s, df)
       val ms =
@@ -1027,7 +1041,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * page deterministic under ties (SeqOracle.topKSorted is the twin).
     */
   def searchSorted(q: String, sortField: String, ascending: Boolean, k: Int,
-      df: String = "text"): DataFrame = {
+      df: String = "text", fq: Seq[String] = Nil): DataFrame = {
     require(QueryEngine.SortableFields.contains(sortField),
       s"sort field '$sortField' unsupported (stored: " +
         s"${QueryEngine.SortableFields.mkString(", ")})")
@@ -1035,8 +1049,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val v = view
     val ast = QueryParser.parse(q, df)
     val dir = if (ascending) asc(sortField) else desc(sortField)
-    scoredCandidates(ast, v, needScores = false)
-      .select($"docId")
+    applyFq(v, fq, df)(scoredCandidates(ast, v, needScores = false)
+      .select($"docId"))
       .join(v.docs.select($"docId", col(sortField)), Seq("docId"))
       .orderBy(dir, asc("docId"))
       .limit(k)
@@ -1049,7 +1063,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * integer arithmetic on the pushed-down timestamp column.
     */
   def facetRange(q: String, startIso: String, endIso: String, gapSec: Long,
-      df: String = "text"): DataFrame = {
+      df: String = "text", fq: Seq[String] = Nil): DataFrame = {
     require(gapSec > 0, "facet.range gap must be positive")
     val startMs = java.time.Instant.parse(startIso).toEpochMilli
     val endMs = java.time.Instant.parse(endIso).toEpochMilli
@@ -1057,8 +1071,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     refreshIfStale()
     val v = view
     val ast = QueryParser.parse(q, df)
-    scoredCandidates(ast, v, needScores = false)
-      .select($"docId")
+    applyFq(v, fq, df)(scoredCandidates(ast, v, needScores = false)
+      .select($"docId"))
       .join(v.docs.select($"docId", $"warc_ts"), Seq("docId"))
       .withColumn("ts_ms", unix_millis($"warc_ts"))
       .filter($"ts_ms" >= startMs && $"ts_ms" < endMs)
@@ -1076,15 +1090,16 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * max / sum / mean of a stored numeric column over ALL matching docs.
     * One aggregation over the match-set join — no sort, no window.
     */
-  def statsField(q: String, field: String, df: String = "text"): DataFrame = {
+  def statsField(q: String, field: String, df: String = "text",
+      fq: Seq[String] = Nil): DataFrame = {
     require(QueryEngine.NumericFields.contains(field),
       s"stats field '$field' unsupported (numeric stored: " +
         s"${QueryEngine.NumericFields.mkString(", ")})")
     refreshIfStale()
     val v = view
     val ast = QueryParser.parse(q, df)
-    scoredCandidates(ast, v, needScores = false)
-      .select($"docId")
+    applyFq(v, fq, df)(scoredCandidates(ast, v, needScores = false)
+      .select($"docId"))
       .join(v.docs.select($"docId", col(field)), Seq("docId"))
       .agg(count(lit(1)).as("cnt"), min(field).as("min"),
         max(field).as("max"), sum(field).as("sum"), avg(field).as("mean"))
@@ -1100,7 +1115,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * encode (SURVEY.md skew note).
     */
   def searchGrouped(q: String, field: String, kPerGroup: Int,
-      df: String = "text"): DataFrame = {
+      df: String = "text", fq: Seq[String] = Nil): DataFrame = {
     require(QueryEngine.GroupableFields.contains(field),
       s"group field '$field' unsupported (string stored: " +
         s"${QueryEngine.GroupableFields.mkString(", ")})")
@@ -1110,7 +1125,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val ast = QueryParser.parse(q, df)
     val salts = 32
     import org.apache.spark.sql.expressions.Window
-    val joined = scoredCandidates(ast, v)
+    val joined = applyFq(v, fq, df)(scoredCandidates(ast, v))
       .join(v.docs.select($"docId", col(field)), Seq("docId"))
     val w1 = Window.partitionBy(col(field), pmod($"docId", lit(salts)))
       .orderBy(desc("score"), asc("docId"))
@@ -1134,7 +1149,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * broadcasts back into it.
     */
   def facetPivot(q: String, fieldA: String, fieldB: String, topA: Int = 5,
-      topB: Int = 3, df: String = "text"): DataFrame = {
+      topB: Int = 3, df: String = "text", fq: Seq[String] = Nil): DataFrame = {
     require(QueryEngine.GroupableFields.contains(fieldA) &&
       QueryEngine.GroupableFields.contains(fieldB) && fieldA != fieldB,
       s"pivot fields must be distinct members of " +
@@ -1143,8 +1158,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val v = view
     val ast = QueryParser.parse(q, df)
     import org.apache.spark.sql.expressions.Window
-    val ab = scoredCandidates(ast, v, needScores = false)
-      .select($"docId")
+    val ab = applyFq(v, fq, df)(scoredCandidates(ast, v, needScores = false)
+      .select($"docId"))
       .join(v.docs.select($"docId", col(fieldA), col(fieldB)), Seq("docId"))
       .groupBy(col(fieldA), col(fieldB)).agg(count(lit(1)).as("cnt"))
     val aTop = ab.groupBy(col(fieldA)).agg(sum($"cnt").as("a_cnt"))

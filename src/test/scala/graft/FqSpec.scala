@@ -20,6 +20,7 @@ import graft.query.{QueryEngine, QueryParser}
   */
 class FqSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
 
   private val NDocs = 400L
   private val conf = IndexConf(numBuckets = 8, segmentMaxDocs = 64)
@@ -150,6 +151,87 @@ class FqSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       QueryParser.parse("a b", "text", "XOR")
     }
+  }
+
+  test("fq applies to every match-set consumer (facet/sort/stats/group/" +
+      "range/pivot) — Solr applies fq to all of them") {
+    val q = "the"
+    val fqs = Seq("w00017")
+    val gotF = engine.facet(q, "lang", 20, "text", fqs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotF == oracle.facet(q, "lang", fqs), "facet+fq")
+    assert(gotF != oracle.facet(q, "lang"), "fq must bite the facet")
+
+    val gotS = engine.searchSorted(q, "url", ascending = true, 10, "text",
+      fqs).collect().map(_.getLong(0)).toSeq
+    assert(gotS == oracle.topKSorted(q, "url", ascending = true, 10,
+      fq = fqs), "sort+fq")
+
+    val sr = engine.statsField(q, "doclen", "text", fqs).collect().head
+    val sexp = oracle.statsField(q, "doclen", fq = fqs).get
+    assert((sr.getLong(0), sr.getLong(1), sr.getLong(2), sr.getLong(3)) ==
+      ((sexp._1, sexp._2, sexp._3, sexp._4)), "stats+fq")
+    assert(math.abs(sr.getDouble(4) - sexp._5) < 1e-9, "stats+fq mean")
+
+    val gotG = engine.searchGrouped(q, "lang", 3, "text", fqs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val expG = oracle.topKGrouped(q, "lang", 3, fq = fqs)
+    assert(gotG.map(t => (t._1, t._2, t._3)) ==
+      expG.map(t => (t._1, t._2, t._3)), "group+fq")
+    gotG.zip(expG).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-9, "group+fq score")
+    }
+
+    val start = "2024-01-01T00:00:00Z"; val end = "2024-01-08T00:00:00Z"
+    val gotR = engine.facetRange(q, start, end, 3600L, "text", fqs)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
+    assert(gotR == oracle.facetRange(q, start, end, 3600L, fq = fqs),
+      "facet.range+fq")
+
+    val gotP = engine.facetPivot(q, "lang", "url", 3, 2, "text", fqs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    assert(gotP == oracle.facetPivot(q, "lang", "url", 3, 2, fq = fqs),
+      "pivot+fq")
+
+    val gotFq = engine.facetQuery(q, Seq("w00342", "lang:no"), "text", fqs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotFq == oracle.facetQuery(q, Seq("w00342", "lang:no"),
+      fq = fqs), "facet.query+fq")
+  }
+
+  test("fq docId cache retires with the view: append + invalidate shows " +
+      "new matches") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def mk(url: String, text: String): graft.corpus.WebDoc =
+      graft.corpus.WebDoc(url, new java.sql.Timestamp(1704067200000L),
+        s"<html><head><title>t</title></head><body>$text</body></html>"
+          .getBytes(UTF_8), text, "en")
+    val base = Seq(
+      mk("https://a.example.org/1", "alpha beta filler words here"),
+      mk("https://a.example.org/2", "alpha other filler text again"),
+      mk("https://a.example.org/3", "beta nothing relevant at all"))
+    val dir = SparkTestSession.tempDir("graft-fq-swap")
+    val cf = IndexConf(numBuckets = 4)
+    IndexBuilder.build(spark, spark.createDataset(base), dir, cf)
+    val eng = new QueryEngine(spark, dir, 4)
+    val fqs = Seq("beta")
+    // populate the fq docId cache on the current view
+    val page1 = rows(eng.searchWand("alpha", 10, fq = fqs)).map(_._1)
+    assert(page1.nonEmpty)
+    // append a NEW doc matching both q and fq; upsert-by-url, new url
+    IndexBuilder.append(spark, spark.createDataset(Seq(
+      mk("https://a.example.org/4", "alpha beta beta beta dense match"))),
+      dir, cf)
+    eng.invalidateCache()
+    val page2 = rows(eng.searchWand("alpha", 10, fq = fqs)).map(_._1)
+    // a stale fq cache would hide the new doc; the swapped view's fresh
+    // cache must surface it — and match a never-cached engine exactly
+    val fresh = new QueryEngine(spark, dir, 4)
+    assert(page2 == rows(fresh.searchWand("alpha", 10, fq = fqs)).map(_._1))
+    assert(page2.toSet != page1.toSet,
+      "appended (alpha AND beta) doc must enter the fq-constrained page")
   }
 
   test("facet.query: overlap counts over the match set, zeros included") {
