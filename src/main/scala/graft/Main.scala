@@ -303,7 +303,7 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query> [--k K] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed]")
+    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed]")
     val indexDir = args(0)
     val query = args(1)
     // repeatable options first (Solr takes fq= / facet.query= any number of

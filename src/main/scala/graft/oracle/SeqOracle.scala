@@ -130,7 +130,8 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
   private def fqMatchOk(s: String, df: String,
       qOp: String): Long => Boolean = {
     val ast = QueryParser.parse(s, df, qOp)
-    if (ast.scoringLits.nonEmpty) {
+    if (ast.matchAll) (_: Long) => true // fq=*:* constrains nothing
+    else if (ast.scoringLits.nonEmpty) {
       val ids = candidates(ast).map(_._1).toSet
       ids.contains
     } else if (ast.hasFieldFilter) fieldFilterOk(ast)
@@ -332,6 +333,11 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * of every distinct positive query term the doc contains.
     */
   def candidates(ast: QueryAst): Seq[(Long, Double)] = {
+    if (ast.matchAll)
+      // Solr q=*:* twin: every doc at constant score 1.0, docId-ascending
+      // (the (-score, docId) order with equal scores)
+      return docs.map(_.docId).sorted
+        .filter(fieldFilterOk(ast)).map(id => (id, 1.0))
     val rq = resolve(ast)
     val scoringTerms = rq.scoringTerms // distinct + sorted
     if (scoringTerms.isEmpty || rq.clauses.isEmpty) return Seq.empty

@@ -571,7 +571,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val terms = Seq.newBuilder[(String, QueryAst)]
     fq.foreach { s =>
       val ast = QueryParser.parse(s, df, qOp)
-      if (ast.scoringLits.nonEmpty) terms += ((s, ast))
+      if (ast.matchAll) () // fq=*:* constrains nothing (Solr accepts it)
+      else if (ast.scoringLits.nonEmpty) terms += ((s, ast))
       else filterPredicate(ast) match {
         case Some(p) => preds += p
         case None => throw new IllegalArgumentException(
@@ -617,6 +618,18 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       qOp: String = "OR"): DataFrame = {
     // every read below sees the same snapshot
     val ast = QueryParser.parse(q, df, qOp)
+    if (ast.matchAll) {
+      // match-all needs no WAND: docs-table docId scan (constant score 1.0)
+      // ∖ tombstones, ∩ fq match sets, TakeOrderedAndProject(k) — the same
+      // relational plan at any parallelism, so driver/distributed/exhaustive
+      // are trivially rank-identical here
+      var cands = applyFq(v, fq, df, qOp)(scoredCandidates(ast, v))
+      after.foreach { a =>
+        cands = cands.filter($"score" < a.score ||
+          ($"score" === a.score && $"docId" > a.docId))
+      }
+      return cands.orderBy(desc("score"), asc("docId")).limit(k)
+    }
     val rq = QueryResolve.resolve(ast, expander(v))
     val scoring = rq.scoringTerms // distinct + sorted by resolve
     val clauses = rq.clauses
@@ -860,6 +873,21 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   private def scoredCandidates(ast: QueryAst, v: IndexView,
       needScores: Boolean = true): DataFrame = {
+    if (ast.matchAll) {
+      // Solr q=*:* — every live doc matches at constant score 1.0: one
+      // narrow docId scan of the docs tables, no postings touched, ranked
+      // by docId (the constant-score tiebreak). Pure *:* carries no
+      // stored-field filters (the parser rejects inline combination), so
+      // only the tombstone view applies; fq constraints join in at the
+      // consumer via applyFq exactly as for term queries.
+      var scored =
+        if (needScores) v.docs.select($"docId", lit(1.0).as("score"))
+        else v.docs.select($"docId")
+      tombstones(v).foreach { t =>
+        scored = scored.join(t.select($"docId"), Seq("docId"), "left_anti")
+      }
+      return scored
+    }
     val rq = QueryResolve.resolve(ast, expander(v))
     val scoring = rq.scoringTerms
     val clauses = rq.clauses
@@ -1016,7 +1044,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val tagged = subQueries.zipWithIndex.map { case (s, i) =>
       val ast = QueryParser.parse(s, df)
       val ms =
-        if (ast.scoringLits.nonEmpty) fqMatchSet(v, ast)
+        if (ast.scoringLits.nonEmpty || ast.matchAll) fqMatchSet(v, ast)
         else filterPredicate(ast) match {
           case Some(p) => v.docs.filter(p).select($"docId")
           case None => throw new IllegalArgumentException(

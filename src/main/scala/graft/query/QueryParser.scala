@@ -131,7 +131,8 @@ final case class QueryAst(
     langFilter: Option[String],
     urlFilter: Option[String],
     rangeFilters: Seq[RangeFilter],
-    boosts: Map[TermLit, Double] = Map.empty) {
+    boosts: Map[TermLit, Double] = Map.empty,
+    matchAll: Boolean = false) {
   def hasFieldFilter: Boolean =
     langFilter.isDefined || urlFilter.isDefined || rangeFilters.nonEmpty
 }
@@ -552,6 +553,18 @@ object QueryParser {
       s"df='$defaultField': indexed fields are ${IndexedFields.mkString(", ")}")
     require(defaultOp == "OR" || defaultOp == "AND",
       s"q.op must be OR or AND, got '$defaultOp'")
+    // Solr match-all (`q=*:*`): every live document matches with constant
+    // score 1.0, ranked by docId — the canonical Solr idiom for fq-only
+    // queries, whole-corpus facets/stats, and delete-everything
+    // (searchindex.py's search-then-delete with a catch-all string is the
+    // reference analog). Supported ONLY as the entire query: `*:*` has no
+    // per-doc score, so mixing it into a boolean tree would make branch
+    // scores incomparable — combine constraints via fq instead.
+    if (q.trim == "*:*")
+      return QueryAst(Nil, Nil, None, None, Nil, Map.empty, matchAll = true)
+    require(!q.contains("*:*"),
+      "*:* is supported only as the entire query (Solr match-all); " +
+        "add constraints as fq filter queries instead")
     new P(lex(q), defaultField, defaultOp == "AND").run()
   }
 

@@ -92,7 +92,9 @@ class EngineSpec extends AnyFunSuite {
     "w00017 NOT text:[w00340 TO w00345]",
     // exclusive bounds on stored-field filter ranges (round 5)
     "warc_ts:{2024-01-01T00:00:00Z TO 2024-01-01T02:00:00Z] the",
-    "url:[https://host10 TO https://host12z} the")
+    "url:[https://host10 TO https://host12z} the",
+    // Solr match-all (round 5): constant score 1.0, docId-ascending
+    "*:*")
 
   private def assertRankIdentical(got: Seq[(Long, Double)],
       expect: Seq[(Long, Double)], ctx: String): Unit = {
@@ -254,8 +256,10 @@ class EngineSpec extends AnyFunSuite {
       df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     // "the" pages through ~the whole corpus (many boundaries, score ties);
     // the others cross 1–3 boundaries with filters/phrases in play
+    // "*:*" pages the whole corpus on ONLY the docId half of the anchor
+    // (every score ties at 1.0 — the adversarial case for strictly-after)
     Seq("the", "w00017 OR w00342 OR w00343", "\"of the\"~2 w00017",
-        "url:host3. the").foreach { q =>
+        "url:host3. the", "*:*").foreach { q =>
       val full = oracle.topK(q, NDocs.toInt)
       val drv = pageThrough(a => rows(engine.search(q, pageSize, "text", a)))
       assertRankIdentical(drv, full, s"page-driver q='$q'")
@@ -297,8 +301,58 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.search("keeper", 100).collect().length == 8)
   }
 
+  test("match-all *:*: constant score, fq, tombstones, delete-all, rejects (r5)") {
+    // ranking = first-k docIds at score exactly 1.0 (rank identity across
+    // the three physical paths + oracle is covered by the golden set)
+    val top = engine.search("*:*", 7).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top == (0L until 7L).map(id => (id, 1.0)))
+    // the Solr staple: q=*:* + fq — pure-filter and term fqs both constrain
+    // the whole corpus without touching the constant score
+    Seq(Seq("lang:no"), Seq("w00017"), Seq("lang:en", "w00342")).foreach { fq =>
+      val got = engine.search("*:*", NDocs.toInt, fq = fq).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val exp = oracle.topK("*:*", NDocs.toInt, fq = fq)
+      assertRankIdentical(got, exp, s"*:* fq=$fq")
+      assert(got.nonEmpty && got.forall(_._2 == 1.0))
+      assert(got.size < NDocs, s"fq=$fq should constrain *:*")
+    }
+    // fq=*:* is accepted and constrains nothing (Solr parity)
+    val plain = engine.search("w00017", 10).collect().map(_.getLong(0)).toSeq
+    val fqAll = engine.search("w00017", 10, fq = Seq("*:*")).collect()
+      .map(_.getLong(0)).toSeq
+    assert(plain == fqAll)
+    // facet.query sub-query *:* counts the whole base match set
+    val fc = engine.facetQuery("w00017", Seq("*:*", "lang:no")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fc.head ==
+      ("*:*", oracle.topK("w00017", NDocs.toInt).size.toLong))
+    assert(fc == oracle.facetQuery("w00017", Seq("*:*", "lang:no")))
+    // tombstoned docs vanish from *:* on every path; delete-all empties
+    val dir = SparkTestSession.tempDir("graft-matchall")
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 40), dir,
+      IndexConf(numBuckets = 4))
+    val eng = new QueryEngine(spark, dir, 4)
+    val distEng = new QueryEngine(spark, dir, 4, driverWandMaxSegments = 0)
+    Deletes.delete(spark, dir, Seq(3L, 17L))
+    Seq(eng.searchWand("*:*", 40), distEng.searchWand("*:*", 40),
+        eng.searchExhaustive("*:*", 40)).foreach { df =>
+      val ids = df.collect().map(_.getLong(0)).toSeq
+      assert(ids == (0L until 40L).filterNot(Set(3L, 17L)), s"got $ids")
+    }
+    assert(eng.deleteAllByQuery("*:*", pageSize = 7) == 38L)
+    eng.invalidateCache()
+    assert(eng.search("*:*", 100).collect().isEmpty)
+    // *:* composes with nothing inline — constraints belong in fq
+    Seq("*:* AND w00017", "w00017 OR *:*", "NOT *:*", "lang:en *:*")
+      .foreach { q =>
+        intercept[IllegalArgumentException](
+          graft.query.QueryParser.parse(q))
+      }
+  }
+
   test("facet counts over all matches equal oracle") {
-    Seq("w00017", "the", "lang:no AND w00099").foreach { q =>
+    Seq("w00017", "the", "lang:no AND w00099", "*:*").foreach { q =>
       val got = engine.facet(q, "lang").collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
       val expect = oracle.facet(q, "lang")
@@ -584,7 +638,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("searchSorted: stored-field order matches oracle, both directions (r5)") {
     val qs = Seq("w00017", "the", "w00017 AND w00342", "w0099*",
-      "lang:no AND w00099")
+      "lang:no AND w00099", "*:*")
     val fields = Seq("warc_ts" -> true, "warc_ts" -> false, "url" -> true,
       "lang" -> false, "doclen" -> false, "titleLen" -> true)
     for (q <- qs; (f, asc) <- fields) {
@@ -599,7 +653,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("facetRange: hour buckets over the match set equal oracle (r5)") {
-    for (q <- Seq("the", "w00017", "lang:no AND the")) {
+    for (q <- Seq("the", "w00017", "lang:no AND the", "*:*")) {
       val got = engine.facetRange(q, "2024-01-01T00:00:00Z",
           "2024-01-02T00:00:00Z", 3600)
         .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
@@ -614,7 +668,8 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("statsField: match-set numeric stats equal oracle (r5)") {
-    for (q <- Seq("the", "w00017", "w00017 AND w00342", "lang:no AND the");
+    for (q <- Seq("the", "w00017", "w00017 AND w00342", "lang:no AND the",
+           "*:*");
          f <- Seq("doclen", "titleLen")) {
       val r = engine.statsField(q, f).collect().head
       val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -628,7 +683,8 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("searchGrouped: per-group top-k equals oracle (r5)") {
-    for (q <- Seq("the", "w00017", "w0099* OR w00017"); k <- Seq(1, 3)) {
+    for (q <- Seq("the", "w00017", "w0099* OR w00017", "*:*");
+         k <- Seq(1, 3)) {
       val got = engine.searchGrouped(q, "lang", k).collect()
         .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
         .toSeq
