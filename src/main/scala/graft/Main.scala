@@ -303,7 +303,7 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed]")
+    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed]")
     val indexDir = args(0)
     val query = args(1)
     // repeatable options first (Solr takes fq= / facet.query= any number of
@@ -312,12 +312,19 @@ object Search {
     val (facetQueries, rest) = MainCommon.extractRepeated(rest1, "--facet-query")
     val (opts, flags) = MainCommon.parseArgs(rest,
       valued = Set("--k", "--buckets", "--df", "--facet", "--facet-range",
-        "--pivot", "--sort", "--stats", "--group", "--after", "--qop"),
+        "--pivot", "--sort", "--stats", "--group", "--after", "--qop",
+        "--start"),
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
         "--distributed"))
     val k = opts.getOrElse("--k", "10").toInt
     val df = opts.getOrElse("--df", "text") // Solr's df= default field
     val qOp = opts.getOrElse("--qop", "OR") // Solr's q.op= default operator
+    // Solr start= shallow offset paging: fetch start+k and drop the first
+    // start rows — the exact cost shape of Solr itself, which heaps
+    // start+rows per shard (hence "deep paging with start= is an
+    // anti-pattern" in Solr docs too; use --after past a few pages)
+    val start = opts.getOrElse("--start", "0").toInt
+    require(start >= 0, s"--start must be >= 0, got $start")
     // deep-pagination anchor (Solr cursorMark analog): the cursor= line a
     // previous page printed. Double.toString round-trips exactly, so the
     // anchor score is bit-identical to the engine's.
@@ -334,6 +341,9 @@ object Search {
               s"got '$s'")
       }
     }
+    require(start == 0 || after.isEmpty,
+      "--start (offset paging) and --after (cursor paging) are mutually " +
+        "exclusive — a cursor already encodes the page boundary")
     val spark = MainCommon.session("graft-search")
     val buckets = MainCommon.resolveBuckets(spark, indexDir, opts.get("--buckets"))
     // --distributed forces the windowed plan (driver fast path off) — the
@@ -364,27 +374,28 @@ object Search {
         require(!flags.contains("--exhaustive"),
           "--exhaustive applies to score-ordered search only")
         val t0 = System.nanoTime()
-        val rows = engine.searchSorted(query, field, ascending, k, df, fq)
-          .collect()
+        val rows = engine.searchSorted(query, field, ascending, start + k,
+          df, fq).collect().drop(start)
         val ms = (System.nanoTime() - t0) / 1e6
         println(f"[graft] query='$query' sort=$field:" +
           s"${if (ascending) "asc" else "desc"} hits=${rows.length} " +
           f"latencyMs=$ms%.1f")
         rows.zipWithIndex.foreach { case (r, i) =>
-          println(f"  ${i + 1}%2d. docId=${r.getLong(0)}%8d $field=${r.get(1)}")
+          println(f"  ${start + i + 1}%2d. docId=${r.getLong(0)}%8d $field=${r.get(1)}")
         }
         rows
       case None =>
         val t0 = System.nanoTime()
         val res =
           (if (flags.contains("--exhaustive"))
-             engine.searchExhaustive(query, k, df, after, fq, qOp)
-           else engine.search(query, k, df, after, fq, qOp)).collect()
+             engine.searchExhaustive(query, start + k, df, after, fq, qOp)
+           else engine.search(query, start + k, df, after, fq, qOp))
+            .collect().drop(start)
         val ms = (System.nanoTime() - t0) / 1e6
         val fqNote = if (fq.isEmpty) "" else s" fq=${fq.mkString("; ")}"
         println(f"[graft] query='$query'$fqNote hits=${res.length} latencyMs=$ms%.1f")
         res.zipWithIndex.foreach { case (r, i) =>
-          println(f"  ${i + 1}%2d. docId=${r.getLong(0)}%8d score=${r.getDouble(1)}%.6f")
+          println(f"  ${start + i + 1}%2d. docId=${r.getLong(0)}%8d score=${r.getDouble(1)}%.6f")
         }
         // next-page anchor: pass back verbatim as --after (full page ⇒ more
         // may exist; Double.toString round-trips, %.6f above does not)
