@@ -303,7 +303,7 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed]")
+    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
     val indexDir = args(0)
     val query = args(1)
     // repeatable options first (Solr takes fq= / facet.query= any number of
@@ -315,7 +315,7 @@ object Search {
         "--pivot", "--sort", "--stats", "--group", "--after", "--qop",
         "--start"),
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
-        "--distributed"))
+        "--distributed", "--explain"))
     val k = opts.getOrElse("--k", "10").toInt
     val df = opts.getOrElse("--df", "text") // Solr's df= default field
     val qOp = opts.getOrElse("--qop", "OR") // Solr's q.op= default operator
@@ -368,6 +368,8 @@ object Search {
             s"--sort $f:$d — direction must be asc or desc")
         }
         require(after.isEmpty, "--after applies to score-ordered pages only")
+        require(!flags.contains("--explain"),
+          "--explain applies to score-ordered search only")
         // --exhaustive selects between the two SCORE-ordered physical paths;
         // accepting-and-ignoring it here would let an operator believe the
         // cross-check ran when it did not (review r5)
@@ -402,6 +404,17 @@ object Search {
         if (res.length == k && res.nonEmpty) {
           val last = res.last
           println(s"[graft] cursor=${last.getDouble(1)},${last.getLong(0)}")
+        }
+        // Solr debugQuery analog: per-term BM25 breakdown of each hit; the
+        // term-sorted sum reproduces the reported score bit-for-bit
+        if (flags.contains("--explain")) res.foreach { r =>
+          val id = r.getLong(0)
+          println(f"[graft] explain docId=$id%d score=${r.getDouble(1)}%.6f")
+          engine.explain(query, id, df, qOp).foreach { e =>
+            println(f"    ${e.term}%-24s tf=${e.tf}%-4d dl=${e.dl}%-5d " +
+              f"df=${e.df}%-7d idf=${e.idf}%.6f boost=${e.boost}%.2f " +
+              f"score=${e.score}%.6f")
+          }
         }
         res
     }

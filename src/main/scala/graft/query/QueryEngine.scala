@@ -274,6 +274,54 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   def topK(q: String, k: Int): Array[Wand.Scored] =
     search(q, k).collect().map(r => Wand.Scored(r.getLong(0), r.getDouble(1)))
 
+  /** Solr debugQuery / Lucene Explanation analog: the per-term BM25
+    * breakdown of ONE document's score for a query. Every distinct positive
+    * query term the doc contains yields an entry (term-ascending — the
+    * engine's fixed summation order, so `entries.map(_.score).sum` is
+    * BIT-IDENTICAL to the score every search path reports for the doc);
+    * terms the doc lacks contribute nothing and are omitted, matching the
+    * scoring rule (clause membership gates MATCHING, never which present
+    * terms score). Cost: one pruned covering-segment scan (term IN +
+    * firstDocId/lastDocId range overlap — per-term segments are
+    * docId-disjoint, so ≤1 segment per term decodes) plus the tiny global
+    * df agg; a debug surface, not a hot path. The breakdown is computed
+    * from live postings without consulting the tombstone view — explaining
+    * a deleted docId shows the score it WOULD have, exactly like Lucene's
+    * explain on a not-yet-merged delete.
+    */
+  def explain(q: String, docId: Long, df: String = "text",
+      qOp: String = "OR"): Seq[QueryEngine.ExplainEntry] = {
+    refreshIfStale()
+    val v = view
+    val ast = QueryParser.parse(q, df, qOp)
+    if (ast.matchAll)
+      return Seq(QueryEngine.ExplainEntry("*:*", 0, 0, 0L, 1.0, 1.0, 1.0))
+    val rq = QueryResolve.resolve(ast, expander(v))
+    val scoring = rq.scoringTerms // distinct + sorted
+    if (scoring.isEmpty) return Seq.empty
+    val n = v.stats.n
+    val avgdls = avgdlOf(v.stats)
+    val dfByTerm: Map[String, Long] = postingsFor(scoring, v)
+      .groupBy($"term").agg(sum($"count").as("df"))
+      .as[(String, Long)].collect().toMap
+    postingsFor(scoring, v)
+      .filter($"firstDocId" <= docId && $"lastDocId" >= docId)
+      .collect().toSeq
+      .flatMap { s =>
+        val (ids, tfs, dls) = PostingCodec.decodeAll(s)
+        val i = java.util.Arrays.binarySearch(ids, docId)
+        if (i < 0) None
+        else {
+          val boost = rq.boosts.getOrElse(s.term, 1.0)
+          val idfv = BM25.idf(n, dfByTerm(s.term)) * boost
+          Some(QueryEngine.ExplainEntry(s.term, tfs(i), dls(i),
+            dfByTerm(s.term), BM25.idf(n, dfByTerm(s.term)), boost,
+            BM25.score(tfs(i), dls(i), avgdls(s.term), idfv)))
+        }
+      }
+      .sortBy(_.term)
+  }
+
   /** Per-term avgdl (per-field BM25 length norms; title terms carry the
     * "title:" key prefix).
     */
@@ -1442,6 +1490,14 @@ object QueryEngine {
     * "10" < "9" while the engine sorts 9 < 10 (review r5).
     */
   val GroupableFields: Set[String] = Set("lang", "url")
+
+  /** One term's contribution to one doc's score ([[QueryEngine.explain]] —
+    * the Solr debugQuery analog). `score` = BM25(tf, dl, avgdl, idf·boost);
+    * entries are term-ascending and their left-fold sum is bit-identical to
+    * the doc's reported search score.
+    */
+  final case class ExplainEntry(term: String, tf: Long, dl: Long, df: Long,
+      idf: Double, boost: Double, score: Double)
 }
 
 /** Delete-by-id as tombstones (reference: solrc.delete(id=…) at

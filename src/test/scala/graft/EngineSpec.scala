@@ -351,6 +351,40 @@ class EngineSpec extends AnyFunSuite {
       }
   }
 
+  test("explain: per-term breakdown sums bit-identically to the hit score (r5)") {
+    val qs = Seq("w00017 w00342", "the w00017", "w0099* the",
+      "title:doc w00017", "w00017^2 OR w00342", "\"of the\"~2 w00017",
+      "w00017~1 the", "lang:no AND w00099")
+    qs.foreach { q =>
+      val hits = engine.search(q, 3).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(hits.nonEmpty, s"degenerate explain fixture '$q'")
+      hits.foreach { case (id, score) =>
+        val ex = engine.explain(q, id)
+        assert(ex.nonEmpty, s"[$q docId=$id]")
+        assert(ex.map(_.term) == ex.map(_.term).sorted)
+        // the left-fold over term-ascending entries IS the engine's
+        // summation order — exact equality, not a tolerance
+        assert(ex.map(_.score).sum == score,
+          s"[$q docId=$id] ${ex.map(_.score).sum} != $score\n$ex")
+        ex.foreach { e =>
+          assert(e.df == oracle.df(e.term), s"[$q] df of ${e.term}")
+          assert(e.idf == BM25.idf(engine.stats.n, e.df))
+          val avg = if (e.term.startsWith("title:")) engine.stats.titleAvgdl
+            else engine.stats.avgdl
+          assert(e.score == BM25.score(e.tf, e.dl, avg, e.idf * e.boost))
+        }
+      }
+    }
+    // boosts surface in the breakdown, not hidden inside idf
+    val boosted = engine.explain("w00017^2 OR w00342",
+      engine.search("w00017", 1).collect().head.getLong(0))
+    assert(boosted.find(_.term == "w00017").exists(_.boost == 2.0))
+    // match-all explains as the constant score
+    assert(engine.explain("*:*", 5L) ==
+      Seq(QueryEngine.ExplainEntry("*:*", 0, 0, 0L, 1.0, 1.0, 1.0)))
+  }
+
   test("facet counts over all matches equal oracle") {
     Seq("w00017", "the", "lang:no AND w00099", "*:*").foreach { q =>
       val got = engine.facet(q, "lang").collect()
