@@ -164,13 +164,15 @@ class FuzzSpec extends AnyFunSuite {
     // random default operator — the fq intersection must commute with
     // top-k identically in every physical path
     val combos = Iterator.continually {
-      val q = genQuery()
+      // q=*:* + fq is the canonical Solr query shape — keep it in the mix
+      val q = if (rng.nextInt(5) == 0) "*:*" else genQuery()
       // bias fqs toward hot terms — a rare-term fq intersected with a
       // random query is almost always empty, which exercises nothing
-      val fqs = Seq.fill(1 + rng.nextInt(2))(rng.nextInt(6) match {
+      val fqs = Seq.fill(1 + rng.nextInt(2))(rng.nextInt(7) match {
         case 0     => "lang:" + pick(Seq("en", "no"))
         case 1     => "url:host" + rng.nextInt(10) + "."
         case 2 | 3 => pick(CorpusGen.Stopwords.toSeq.take(10))
+        case 4     => "*:*" // accepted no-op constraint
         case _     => genQuery()
       })
       val qOp = if (rng.nextInt(3) == 0) "AND" else "OR"
