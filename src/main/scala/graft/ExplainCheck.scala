@@ -50,6 +50,15 @@ object ExplainCheck {
           incLo = false, incHi = true).split("\n")
         .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
         .foreach(l => println("[plan] " + l.trim.take(1200)))
+      // match-all (*:*, r5): no postings touched — the docs scan must read
+      // docId ONLY (ReadSchema column pruning) and the plan must end in a
+      // TakeOrderedAndProject(k), never a global sort, so q=*:* costs one
+      // narrow columnar pass at any corpus size
+      println("=== match-all search plan (*:* k=10) ===")
+      val maPlan = e.search("*:*", 10).queryExecution.executedPlan.toString
+      maPlan.split("\n")
+        .filter(l => l.contains("ReadSchema") || l.contains("TakeOrdered"))
+        .foreach(l => println("[plan] " + l.trim.take(1200)))
       // realtimeGet is a point lookup on the docs tables: the url equality
       // must reach parquet as a pushed filter so row-group min/max on the
       // url-sorted docs files prunes the scan (VERDICT r4 missing #3) —
