@@ -165,17 +165,26 @@ object BuildIndex {
 object Suggest {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: Suggest <indexDir> <term | prefix*> [--n N] [--df text|title]")
+      "usage: Suggest <indexDir> <term | prefix* | query --collate> " +
+        "[--n N] [--df text|title] [--collate]")
     val indexDir = args(0)
     val input = args(1)
-    val (opts, _) = MainCommon.parseArgs(args.drop(2).toSeq,
-      valued = Set("--n", "--df", "--buckets"), flagNames = Set.empty)
+    val (opts, flags) = MainCommon.parseArgs(args.drop(2).toSeq,
+      valued = Set("--n", "--df", "--buckets"), flagNames = Set("--collate"))
     val n = opts.getOrElse("--n", "10").toInt
     val df = opts.getOrElse("--df", "text")
     val spark = MainCommon.session("graft-suggest")
     val buckets = MainCommon.resolveBuckets(spark, indexDir, opts.get("--buckets"))
     val engine = new QueryEngine(spark, indexDir, buckets)
-    if (input.endsWith("*")) {
+    if (flags.contains("--collate")) {
+      // Solr spellcheck.collate: rewrite zero-hit exact terms of a FULL
+      // query with their top suggestions; print only hit-bearing collations
+      println(s"[graft] collate q='$input' df=$df")
+      engine.collate(input, df) match {
+        case Some((cq, hits)) => println(s"  collation='$cq' hits=$hits")
+        case None             => println("  no collation")
+      }
+    } else if (input.endsWith("*")) {
       println(s"[graft] terms prefix='$input' n=$n df=$df")
       engine.termsByPrefix(input.dropRight(1), n, df).foreach {
         case (t, c) => println(f"  $t%-24s df=$c")

@@ -265,6 +265,34 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       .sortBy { case (t, d, c) => (d, -c, t) }.take(n)
   }
 
+  /** Collation twin of [[graft.query.QueryEngine.collate]] — identical
+    * rules: exact scoring terms only, per-field top suggestion, ambiguity
+    * and no-change bail-outs, hit-bearing collations only.
+    */
+  def collate(query: String, field: String = "text", qOp: String = "OR")
+      : Option[(String, Long)] = {
+    val ast = QueryParser.parse(query, field, qOp)
+    if (ast.matchAll) return None
+    val exactKeys = ast.scoringLits
+      .collect { case graft.query.ExactLit(k) => k }.distinct
+    val missing = exactKeys.filter(df(_) == 0L)
+    if (exactKeys.isEmpty || missing.isEmpty) return None
+    var collated = query
+    val byTok = missing.groupBy(k => k.substring(k.indexOf(':') + 1))
+    for ((tok, keys) <- byTok.toSeq.sortBy(_._1)) {
+      val cands = keys.map { k =>
+        val f = if (k.contains(":")) k.substring(0, k.indexOf(':')) else "text"
+        suggest(tok, 1, f).headOption.map(_._1)
+      }
+      if (cands.exists(_.isEmpty) || cands.distinct.length != 1) return None
+      collated = graft.query.Spellcheck.replaceToken(collated, tok,
+        cands.head.get)
+    }
+    if (collated == query) return None
+    val hits = candidates(QueryParser.parse(collated, field, qOp)).size.toLong
+    if (hits > 0) Some((collated, hits)) else None
+  }
+
   /** Terms-component twin of [[graft.query.QueryEngine.termsByPrefix]]. */
   def termsByPrefix(prefix: String, n: Int = 20, field: String = "text")
       : Seq[(String, Long)] = {

@@ -1325,11 +1325,15 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def suggest(term: String, n: Int = 5, df: String = "text")
       : Seq[(String, Int, Long)] = {
+    refreshIfStale()
+    suggestV(view, term, n, df)
+  }
+
+  private def suggestV(v: IndexView, term: String, n: Int, df: String)
+      : Seq[(String, Int, Long)] = {
     val toks = Analysis.tokenize(term)
     require(toks.length == 1,
       s"suggest input '$term' must analyze to a single token")
-    refreshIfStale()
-    val v = view
     val key = QueryParser.termKey(df, toks(0))
     val pfxLen = key.length - toks(0).length
     val cands = expandFuzzy(v, key, 2)
@@ -1343,6 +1347,50 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       val t = k.substring(pfxLen)
       (t, Fuzzy.distance(t, toks(0)), dfs.getOrElse(k, 0L))
     }.sortBy { case (t, d, c) => (d, -c, t) }.take(n)
+  }
+
+  /** Solr spellcheck.collate analog: rewrite the query with the TOP
+    * suggestion for every EXACT scoring term absent from the dictionary,
+    * returning the collated query plus its full match count — and only a
+    * hit-bearing collation (Solr returns none otherwise). Rules, shared
+    * verbatim with the oracle twin: every missing term must have a
+    * suggestion; a token missing under several fields must get the SAME
+    * suggestion in each (else no collation — ambiguous); the rewrite must
+    * actually change the query string ([[Spellcheck.replaceToken]], the
+    * one replacement rule both sides use); multi-term literals
+    * (prefix/fuzzy/wildcard/range) and phrase-only terms are out of scope
+    * — their zero-hit expansions are surface, not typos. Presence is
+    * metadata-only like [[suggest]] (same tombstone caveat: a term whose
+    * postings are all deleted still counts as present until compaction).
+    */
+  def collate(q: String, df: String = "text", qOp: String = "OR")
+      : Option[(String, Long)] = {
+    refreshIfStale()
+    val v = view // one snapshot: presence check, suggestions, hit count
+    val ast = QueryParser.parse(q, df, qOp)
+    if (ast.matchAll) return None
+    val exactKeys = ast.scoringLits.collect { case ExactLit(k) => k }.distinct
+    if (exactKeys.isEmpty) return None
+    val present = postingsFor(exactKeys, v).toDF()
+      .select($"term").distinct().as[String].collect().toSet
+    val missing = exactKeys.filterNot(present)
+    if (missing.isEmpty) return None
+    var collated = q
+    // token-ascending so multi-typo rewrites are order-deterministic
+    val byTok = missing.groupBy(k => k.substring(k.indexOf(':') + 1))
+    for ((tok, keys) <- byTok.toSeq.sortBy(_._1)) {
+      val cands = keys.map { k =>
+        val field =
+          if (k.contains(":")) k.substring(0, k.indexOf(':')) else "text"
+        suggestV(v, tok, 1, field).headOption.map(_._1)
+      }
+      if (cands.exists(_.isEmpty) || cands.distinct.length != 1) return None
+      collated = Spellcheck.replaceToken(collated, tok, cands.head.get)
+    }
+    if (collated == q) return None
+    val hits = scoredCandidates(QueryParser.parse(collated, df, qOp), v,
+      needScores = false).count()
+    if (hits > 0) Some((collated, hits)) else None
   }
 
   /** Solr /terms analog: live dictionary terms starting with `prefix`

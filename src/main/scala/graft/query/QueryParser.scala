@@ -294,6 +294,20 @@ object QueryResolve {
   }
 }
 
+/** Query-string surgery shared by the spellcheck-collation twins
+  * ([[graft.query.QueryEngine.collate]] and the oracle's): replace every
+  * standalone occurrence of analyzed token `tok` with `repl`, preserving
+  * all surrounding syntax (field prefixes, boosts, operators, parens,
+  * quotes). Tokens are lowercase `[a-z0-9]+`, so the boundary is any other
+  * character or a string edge; replacement is case-sensitive because the
+  * analyzer only ever produces lowercase tokens.
+  */
+object Spellcheck {
+  def replaceToken(q: String, tok: String, repl: String): String =
+    ("(?<![a-z0-9])" + java.util.regex.Pattern.quote(tok) + "(?![a-z0-9])").r
+      .replaceAllIn(q, java.util.regex.Matcher.quoteReplacement(repl))
+}
+
 object QueryParser {
 
   /** Stored filter fields (docs-table predicates, not scored index terms). */

@@ -788,6 +788,32 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](engine.facetPivot("the", "doclen", "lang"))
   }
 
+  test("spellcheck collation: zero-hit exact terms rewritten, twins agree (r5)") {
+    // engine and oracle share rules + replacement code; compare wholesale
+    val qs = Seq(
+      "w0034x",                      // single typo
+      "w00017 AND w0034x",           // typo under AND
+      "the w0001x w00342",           // typo among hits
+      "title:dok w00017",            // title-field typo ('doc' is 1 edit)
+      "w00017 AND (w0034x OR the)",  // typo inside parens
+      "w00017 w00342",               // nothing missing → None
+      "zzzzzzzzz",                   // unfixable (no DL≤2 neighbor) → None
+      "w0099* w0034x")               // multi-term literal stays untouched
+    qs.foreach { q =>
+      assert(engine.collate(q) == oracle.collate(q), s"collate '$q'")
+    }
+    val c = engine.collate("w00017 AND w0034x")
+    assert(c.isDefined, "typo under AND should collate")
+    val (cq, hits) = c.get
+    assert(cq.startsWith("w00017 AND ") && !cq.contains("w0034x"), cq)
+    assert(hits > 0 &&
+      hits == oracle.candidates(graft.query.QueryParser.parse(cq)).size)
+    assert(engine.collate("w00017 w00342").isEmpty)
+    assert(engine.collate("*:*").isEmpty)
+    // the collated query is immediately runnable and matches
+    assert(engine.search(cq, 5).collect().nonEmpty)
+  }
+
   test("mlt interesting terms + search equal oracle (r5)") {
     // engine df comes from segment metadata, oracle df from its in-memory
     // postings — parity here checks that aggregation end-to-end
