@@ -312,7 +312,7 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
+    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
     val indexDir = args(0)
     val query = args(1)
     // repeatable options first (Solr takes fq= / facet.query= any number of
@@ -322,7 +322,7 @@ object Search {
     val (opts, flags) = MainCommon.parseArgs(rest,
       valued = Set("--k", "--buckets", "--df", "--facet", "--facet-range",
         "--pivot", "--sort", "--stats", "--group", "--after", "--qop",
-        "--start"),
+        "--start", "--fl"),
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
         "--distributed", "--explain"))
     val k = opts.getOrElse("--k", "10").toInt
@@ -426,6 +426,31 @@ object Search {
           }
         }
         res
+    }
+    // Solr fl= stored-field list: print the named docs-table columns for
+    // each hit on the page (one pushed-down IN-filter scan over the docs
+    // tables for the k page ids — never a full-table collect)
+    opts.get("--fl").foreach { spec =>
+      val fields = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val stored = Seq("url", "warc_ts", "lang", "doclen", "titleLen")
+      require(fields.nonEmpty && fields.forall(stored.contains),
+        s"--fl fields must be stored docs columns: ${stored.mkString(", ")}")
+      val ids = page.map(_.getLong(0)).toSeq
+      if (ids.nonEmpty) {
+        import org.apache.spark.sql.functions.col
+        val rows = engine.docs
+          .filter(col("docId").isin(ids: _*))
+          .select((Seq("docId") ++ fields).map(col): _*)
+          .collect().map(r => r.getLong(0) -> r).toMap
+        println(s"[graft] fl=${fields.mkString(",")}")
+        ids.foreach { id =>
+          rows.get(id).foreach { r =>
+            val kv = fields.zipWithIndex
+              .map { case (f, i) => s"$f=${r.get(i + 1)}" }.mkString(" ")
+            println(f"  docId=$id%8d $kv")
+          }
+        }
+      }
     }
     opts.get("--facet").foreach { field =>
       println(s"[graft] facet field='$field' (over ALL matches)")
