@@ -201,5 +201,26 @@ class IndexStateFuzzSpec extends AnyFunSuite {
         assert(math.abs(gs - es) < 1e-9, s"[final q='$q'] $gs != $es")
       }
     }
+
+    // wipe-and-reingest coda (r5 *:*): delete-all on match-all pages the
+    // whole corpus on the docId half of the anchor (every score ties at
+    // 1.0) and must tombstone exactly the model; then a full re-ingest of
+    // the same urls must be visible — corpus-wide tombstones are precisely
+    // where the docId high-water rule earns its keep (an id reissued at or
+    // below the tombstone max would be silently masked)
+    val wiped = engine.deleteAllByQuery("*:*", pageSize = 7, flushEvery = 10)
+    assert(wiped == model.size.toLong,
+      s"wipe: deleted $wiped, model has ${model.size}")
+    engine.invalidateCache()
+    assert(engine.search("*:*", 10).collect().isEmpty, "wipe left matches")
+    val reDocs = model.values.toSeq.sortBy(_.url)
+    IndexBuilder.append(spark, spark.createDataset(reDocs), dir, conf)
+    engine.invalidateCache()
+    assert(engine.search("*:*", 10000).collect().length == reDocs.size,
+      "re-ingest after full wipe not fully visible")
+    reDocs.take(5).foreach { d =>
+      assert(engine.realtimeGet(d.url).collect().length == 1,
+        s"re-ingested url ${d.url} not RTG-visible")
+    }
   }
 }
