@@ -432,9 +432,12 @@ object Search {
     // tables for the k page ids — never a full-table collect)
     opts.get("--fl").foreach { spec =>
       val fields = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      val stored = Seq("url", "warc_ts", "lang", "doclen", "titleLen")
+      // the stored docs columns = exactly the sortable set (one constant,
+      // review r5: a second literal list here would drift)
+      val stored = QueryEngine.SortableFields
       require(fields.nonEmpty && fields.forall(stored.contains),
-        s"--fl fields must be stored docs columns: ${stored.mkString(", ")}")
+        s"--fl fields must be stored docs columns: " +
+          stored.toSeq.sorted.mkString(", "))
       val ids = page.map(_.getLong(0)).toSeq
       if (ids.nonEmpty) {
         import org.apache.spark.sql.functions.col
@@ -508,7 +511,10 @@ object Search {
     // delete EVERY match by cursor paging (the reference's rows=100000
     // search-then-delete without the cap or the giant page)
     if (flags.contains("--delete-all")) {
-      val n = engine.deleteAllByQuery(query, df)
+      // fq + qOp travel with the delete: it must tombstone exactly the
+      // match set the page above displayed (review r5 — dropping fq here
+      // made `*:* --fq ... --delete-all` wipe the whole corpus)
+      val n = engine.deleteAllByQuery(query, df, fq = fq, qOp = qOp)
       println(s"[graft] tombstoned $n docs (all matches)")
     }
     spark.stop()

@@ -277,9 +277,15 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       .collect { case graft.query.ExactLit(k) => k }.distinct
     val missing = exactKeys.filter(df(_) == 0L)
     if (exactKeys.isEmpty || missing.isEmpty) return None
+    // same protection rule as the engine twin: a correctable token must
+    // have no other occurrence (phrase/multi-term/negative/filter) and no
+    // present exact key in another field
+    val protectedToks = graft.query.Spellcheck.protectedTokens(ast) ++
+      exactKeys.filter(df(_) > 0L).map(k => k.substring(k.indexOf(':') + 1))
     var collated = query
     val byTok = missing.groupBy(k => k.substring(k.indexOf(':') + 1))
     for ((tok, keys) <- byTok.toSeq.sortBy(_._1)) {
+      if (protectedToks.contains(tok)) return None
       val cands = keys.map { k =>
         val f = if (k.contains(":")) k.substring(0, k.indexOf(':')) else "text"
         suggest(tok, 1, f).headOption.map(_._1)

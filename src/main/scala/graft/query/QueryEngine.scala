@@ -667,10 +667,63 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     // every read below sees the same snapshot
     val ast = QueryParser.parse(q, df, qOp)
     if (ast.matchAll) {
-      // match-all needs no WAND: docs-table docId scan (constant score 1.0)
+      // match-all needs no WAND. Driver fast path first (review r5): when
+      // the fq predicates, every term-fq match set, and the tombstone set
+      // are all bounded, the page is an intersection of per-view CACHED
+      // sorted docId arrays — the filterCache-hit shape term queries get;
+      // repeated `q=*:* fq=…` costs zero Spark jobs after the first use.
+      val (fqPredsMa, fqTermAstsMa) = fqSplit(fq, df, qOp)
+      val predMa = fqPredsMa.reduceOption(_ && _)
+      // a zero driver threshold (--distributed) forces the relational plan
+      // here too, keeping the flag's force-the-distributed-shape contract
+      val predIdsOpt: Option[Seq[Array[Long]]] =
+        if (DriverWandMaxSegments <= 0) None
+        else predMa match {
+          case None    => Some(Nil)
+          case Some(p) =>
+            boundedFilterIds(v,
+              "ma|" + df + "|" + qOp + "|" + fq.mkString("\u0000"), p)
+              .map(Seq(_))
+        }
+      val allowOpt = fqTermAstsMa.foldLeft(predIdsOpt) {
+        case (acc, (s, fqAst)) => acc.flatMap(arrs =>
+          boundedFqIds(v, "fq|" + df + "|" + qOp + "|" + s, fqAst)
+            .map(arrs :+ _))
+      }
+      (allowOpt, boundedTombstoneIds(v)) match {
+        case (Some(allow), Some(deny)) if allow.nonEmpty =>
+          // the smallest allow array drives; arrays are sorted, and with
+          // every score a constant 1.0 ascending docId IS the rank order
+          val base = allow.minBy(_.length)
+          val rest = allow.filterNot(_ eq base)
+          val pass: Long => Boolean = after match {
+            case None    => _ => true
+            case Some(a) =>
+              if (a.score > 1.0) _ => true
+              else if (a.score == 1.0) id => id > a.docId
+              else _ => false // every match scores exactly 1.0
+          }
+          val out = Seq.newBuilder[Wand.Scored]
+          var taken = 0
+          var i = 0
+          while (i < base.length && taken < k) {
+            val id = base(i)
+            if (pass(id) &&
+                rest.forall(a =>
+                  java.util.Arrays.binarySearch(a, id) >= 0) &&
+                (deny.isEmpty ||
+                  java.util.Arrays.binarySearch(deny, id) < 0)) {
+              out += Wand.Scored(id, 1.0)
+              taken += 1
+            }
+            i += 1
+          }
+          return out.result().toDS().toDF()
+        case _ => // something unbounded, or no fq at all → relational plan
+      }
+      // relational fallback: docs-table docId scan (constant score 1.0)
       // ∖ tombstones, ∩ fq match sets, TakeOrderedAndProject(k) — the same
-      // relational plan at any parallelism, so driver/distributed/exhaustive
-      // are trivially rank-identical here
+      // plan at any parallelism, so driver/distributed/exhaustive agree
       var cands = applyFq(v, fq, df, qOp)(scoredCandidates(ast, v))
       after.foreach { a =>
         cands = cands.filter($"score" < a.score ||
@@ -1375,10 +1428,18 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       .select($"term").distinct().as[String].collect().toSet
     val missing = exactKeys.filterNot(present)
     if (missing.isEmpty) return None
+    // replaceToken is string surgery over EVERY standalone occurrence of
+    // the token, so a missing token is only correctable when no other
+    // query construct uses it: not a phrase/multi-term/negative/filter
+    // occurrence (the shared protected set) and not a PRESENT exact key in
+    // another field (rewriting it would corrupt a hit-bearing term)
+    val protectedToks = Spellcheck.protectedTokens(ast) ++
+      present.map(k => k.substring(k.indexOf(':') + 1))
     var collated = q
     // token-ascending so multi-typo rewrites are order-deterministic
     val byTok = missing.groupBy(k => k.substring(k.indexOf(':') + 1))
     for ((tok, keys) <- byTok.toSeq.sortBy(_._1)) {
+      if (protectedToks.contains(tok)) return None
       val cands = keys.map { k =>
         val field =
           if (k.contains(":")) k.substring(0, k.indexOf(':')) else "text"
@@ -1493,8 +1554,15 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * tombstone scan to union (compaction folds them regardless).
     * Returns docs deleted.
     */
+  /** @param fq/@param qOp the SAME filter queries and default operator the
+    *   caller's search surface used — the delete must tombstone exactly the
+    *   match set the user was shown (Solr deleteByQuery with fq: the
+    *   canonical `q=*:* fq=...` wipe deletes the fq-constrained subset,
+    *   never the whole corpus).
+    */
   def deleteAllByQuery(q: String, df: String = "text",
-      pageSize: Int = 10000, flushEvery: Int = 1 << 20): Long = {
+      pageSize: Int = 10000, flushEvery: Int = 1 << 20,
+      fq: Seq[String] = Nil, qOp: String = "OR"): Long = {
     var total = 0L
     // primitive accumulator: ArrayBuffer[Long] boxes every id into Object[]
     // (CLAUDE.md rule 8 — 8× the driver pages per flush window)
@@ -1502,7 +1570,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     var after: Option[Wand.Scored] = None
     var done = false
     while (!done) {
-      val page = search(q, pageSize, df, after).collect()
+      val page = search(q, pageSize, df, after, fq, qOp).collect()
         .map(r => Wand.Scored(r.getLong(0), r.getDouble(1)))
       page.foreach(p => buf.add(p.docId))
       total += page.length

@@ -306,6 +306,35 @@ object Spellcheck {
   def replaceToken(q: String, tok: String, repl: String): String =
     ("(?<![a-z0-9])" + java.util.regex.Pattern.quote(tok) + "(?![a-z0-9])").r
       .replaceAllIn(q, java.util.regex.Matcher.quoteReplacement(repl))
+
+  /** Tokens [[replaceToken]] must NOT be allowed to touch: replacement is
+    * plain string surgery over every standalone occurrence, so a missing
+    * exact term whose token ALSO appears anywhere else in the query —
+    * inside a phrase, a prefix/fuzzy/wildcard/range literal, a negative
+    * literal, or a stored-field filter value — cannot be rewritten without
+    * corrupting that other occurrence. Both collation twins bail out (no
+    * collation) when a missing token is protected; present exact keys are
+    * the caller's side of the rule (presence is checked engine- vs
+    * oracle-side), so they are NOT collected here.
+    */
+  def protectedTokens(ast: QueryAst): Set[String] = {
+    val b = Set.newBuilder[String]
+    def add(s: String): Unit = b ++= Analysis.tokenize(s)
+    ast.scoringLits.foreach {
+      case ExactLit(_) => // the collation candidates themselves
+      case l           => add(l.key)
+    }
+    ast.clauses.foreach { c =>
+      c.neg.foreach(l => add(l.key))
+      c.phrases.foreach(_.terms.foreach(add))
+    }
+    ast.langFilter.foreach(add)
+    ast.urlFilter.foreach(add)
+    ast.rangeFilters.foreach { r =>
+      r.lo.foreach(add); r.hi.foreach(add)
+    }
+    b.result()
+  }
 }
 
 object QueryParser {

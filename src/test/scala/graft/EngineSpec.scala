@@ -812,6 +812,19 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.collate("*:*").isEmpty)
     // the collated query is immediately runnable and matches
     assert(engine.search(cq, 5).collect().nonEmpty)
+    // protection (review r5): replaceToken is string surgery over every
+    // standalone occurrence, so a missing token that ALSO appears as a
+    // present term in another field, a filter value, a phrase term, or
+    // inside a multi-term literal must NOT collate — rewriting it would
+    // corrupt the other occurrence
+    Seq("w00017 title:w00017", // present in text, missing under title:
+        "url:w0034x w0034x",   // token doubles as a filter value
+        "\"w0034x the\" w0034x", // token inside a phrase
+        "w0034x w0034x*")      // token inside a prefix literal
+      .foreach { q =>
+        assert(engine.collate(q).isEmpty, s"protected '$q' must not collate")
+        assert(oracle.collate(q).isEmpty, s"oracle twin disagrees on '$q'")
+      }
   }
 
   test("mlt interesting terms + search equal oracle (r5)") {

@@ -67,7 +67,13 @@ class FqSpec extends AnyFunSuite {
     ("w0001*", Seq("the")),
     ("the", Seq("title:doc")),
     ("the", Seq("w00017 NOT w00342")),
-    ("the", Seq("warc_ts:[2024-01-01T00:00:00Z TO 2024-01-01T02:00:00Z]")))
+    ("the", Seq("warc_ts:[2024-01-01T00:00:00Z TO 2024-01-01T02:00:00Z]")),
+    // the canonical Solr shape — q=*:* + fq (r5): driver path = cached
+    // sorted-array intersection, distributed path = the relational plan
+    ("*:*", Seq("lang:no")),
+    ("*:*", Seq("w00017")),
+    ("*:*", Seq("w00017 OR w00342", "lang:en")),
+    ("*:*", Seq("the", "url:host3.")))
 
   test("fq: all three paths rank-identical to oracle") {
     goldenFq.foreach { case (q, fq) =>
@@ -232,6 +238,39 @@ class FqSpec extends AnyFunSuite {
     assert(page2 == rows(fresh.searchWand("alpha", 10, fq = fqs)).map(_._1))
     assert(page2.toSet != page1.toSet,
       "appended (alpha AND beta) doc must enter the fq-constrained page")
+  }
+
+  test("delete-all respects fq: only the constrained match set is " +
+      "tombstoned (review r5 — *:* + fq must never wipe the corpus)") {
+    val dir = SparkTestSession.tempDir("graft-fq-delall")
+    // lang:no exists only for docIndex%100 in [90,97) — 120 docs yield 7
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 120), dir,
+      IndexConf(numBuckets = 4))
+    val eng = new QueryEngine(spark, dir, 4)
+    val inFq = rows(eng.search("*:*", 200, fq = Seq("lang:no")))
+      .map(_._1).toSet
+    assert(inFq.nonEmpty && inFq.size < 120, "degenerate lang:no fixture")
+    val n = eng.deleteAllByQuery("*:*", pageSize = 5, fq = Seq("lang:no"))
+    assert(n == inFq.size.toLong, s"deleted $n, fq match set ${inFq.size}")
+    eng.invalidateCache()
+    val left = rows(eng.search("*:*", 200)).map(_._1).toSet
+    assert(left.size == 120 - inFq.size, s"${left.size} live after fq wipe")
+    assert(left.intersect(inFq).isEmpty, "fq-matched doc survived delete")
+    // qOp travels too: AND-delete must not tombstone the OR superset
+    val dir2 = SparkTestSession.tempDir("graft-fq-delall2")
+    IndexBuilder.build(spark, CorpusGen.generate(spark, 60), dir2,
+      IndexConf(numBuckets = 4))
+    val eng2 = new QueryEngine(spark, dir2, 4)
+    val andSet = rows(eng2.search("w00017 w00342", 100, qOp = "AND"))
+      .map(_._1).toSet
+    val orSet = rows(eng2.search("w00017 w00342", 100)).map(_._1).toSet
+    assert(andSet.size < orSet.size, "degenerate q.op fixture")
+    val n2 = eng2.deleteAllByQuery("w00017 w00342", pageSize = 5,
+      qOp = "AND")
+    assert(n2 == andSet.size.toLong, s"AND-delete removed $n2")
+    eng2.invalidateCache()
+    assert(rows(eng2.search("w00017 w00342", 100)).map(_._1).toSet ==
+      orSet -- andSet)
   }
 
   test("facet.query: overlap counts over the match set, zeros included") {
