@@ -233,7 +233,9 @@ object Bench {
     // round-5 surface: fuzzy (DL dictionary expansion) + glob wildcards
     "w00017~1", "w00017~2 AND w00342", "w0001?", "w*17 AND the",
     // round-5 surface: term ranges (pure range-pushdown expansion)
-    "text:[w00015 TO w00020]", "text:{w0001 TO w0002] AND the")
+    "text:[w00015 TO w00020]", "text:{w0001 TO w0002] AND the",
+    // round-5 tail: Solr match-all (docs-scan TakeOrdered, no postings)
+    "*:*")
 
   /** fq / q.op combos timed through the same driver path (round-5 tail):
     * the WARM-UP rep pays each fq's match-set job once, the timed reps hit
@@ -242,7 +244,11 @@ object Bench {
     */
   private val fqLatencyQueries: Seq[(String, Seq[String], String)] = Seq(
     ("w00017 w00342", Seq("the"), "OR"),
-    ("w00017 w00342", Seq("lang:no"), "AND"))
+    ("w00017 w00342", Seq("lang:no"), "AND"),
+    // the canonical Solr shape (r5 tail): q=*:* + fq — timed warm, so the
+    // record shows the driver sorted-array-intersection filterCache path
+    ("*:*", Seq("lang:no"), "OR"),
+    ("*:*", Seq("w00017 OR w00342"), "OR"))
 
   /** Stopword-heavy queries whose posting sets exceed the driver threshold —
     * timed against a driverWandMaxSegments=0 engine so the 100×-relevant
