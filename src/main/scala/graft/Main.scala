@@ -312,7 +312,7 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
+    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-limit N] [--facet-mincount M] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
     val indexDir = args(0)
     val query = args(1)
     // repeatable options first (Solr takes fq= / facet.query= any number of
@@ -322,7 +322,7 @@ object Search {
     val (opts, flags) = MainCommon.parseArgs(rest,
       valued = Set("--k", "--buckets", "--df", "--facet", "--facet-range",
         "--pivot", "--sort", "--stats", "--group", "--after", "--qop",
-        "--start", "--fl"),
+        "--start", "--fl", "--facet-limit", "--facet-mincount"),
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
         "--distributed", "--explain"))
     val k = opts.getOrElse("--k", "10").toInt
@@ -456,9 +456,13 @@ object Search {
       }
     }
     opts.get("--facet").foreach { field =>
-      println(s"[graft] facet field='$field' (over ALL matches)")
-      engine.facet(query, field, df = df, fq = fq).collect().foreach { r =>
-        println(f"  ${r.get(0)}%-12s ${r.getLong(1)}%8d")
+      // Solr facet.limit / facet.mincount knobs
+      val fLimit = opts.getOrElse("--facet-limit", "20").toInt
+      val fMin = opts.getOrElse("--facet-mincount", "1").toLong
+      println(s"[graft] facet field='$field' (over ALL matches, " +
+        s"limit=$fLimit mincount=$fMin)")
+      engine.facet(query, field, fLimit, df, fq, fMin).collect().foreach {
+        r => println(f"  ${r.get(0)}%-12s ${r.getLong(1)}%8d")
       }
     }
     // Solr facet.query analog: per sub-query count over the match set

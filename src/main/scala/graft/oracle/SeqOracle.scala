@@ -408,8 +408,8 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
   /** Facet counts over ALL matching docs (the Solr facet.field analog).
     * Returns (value, count) sorted by count desc, value asc.
     */
-  def facet(query: String, field: String,
-      fq: Seq[String] = Nil): Seq[(String, Long)] = {
+  def facet(query: String, field: String, fq: Seq[String] = Nil,
+      minCount: Long = 1L): Seq[(String, Long)] = {
     val vals = candidatesFq(query, "text", fq).map { case (id, _) =>
       field match {
         case "lang" => docLang(id)
@@ -418,6 +418,7 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       }
     }
     vals.groupBy(identity).map { case (v, xs) => (v, xs.size.toLong) }
+      .filter(_._2 >= minCount)
       .toSeq.sortBy { case (v, c) => (-c, v) }
   }
 

@@ -1115,8 +1115,15 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * analog, SURVEY.md §2.6): match set → join to the docs table →
     * groupBy(field).count, ordered (count desc, value asc).
     */
+  /** @param topN Solr facet.limit; @param minCount Solr facet.mincount —
+    *   values with fewer matches are dropped BEFORE the limit cut (a
+    *   HAVING on the count agg; 1 = Solr's effective default here, since
+    *   only values present in the match set ever have a row).
+    */
   def facet(q: String, field: String, topN: Int = 20,
-      df: String = "text", fq: Seq[String] = Nil): DataFrame = {
+      df: String = "text", fq: Seq[String] = Nil,
+      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"facet.mincount must be >= 1, got $minCount")
     refreshIfStale()
     val v = view // one snapshot for both the match set and the facet join
     val ast = QueryParser.parse(q, df) // same df as the hits being faceted
@@ -1124,6 +1131,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       .select($"docId"))
       .join(v.docs.select($"docId", col(field)), Seq("docId"))
       .groupBy(col(field)).agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= minCount)
       .orderBy(desc("cnt"), asc(field))
       .limit(topN)
   }

@@ -392,6 +392,20 @@ class EngineSpec extends AnyFunSuite {
       val expect = oracle.facet(q, "lang")
       assert(got == expect, s"facet q='$q'\n got=$got\n exp=$expect")
     }
+    // facet.limit cuts AFTER the (count desc, value asc) order;
+    // facet.mincount drops sparse values BEFORE the cut (both twins)
+    val full = oracle.facet("the", "lang")
+    assert(full.size >= 2, "degenerate facet knob fixture")
+    val limited = engine.facet("the", "lang", topN = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(limited == full.take(1))
+    val minC = full.head._2 // only the biggest value survives
+    val sparse = engine.facet("the", "lang", minCount = minC).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sparse == oracle.facet("the", "lang", minCount = minC))
+    assert(sparse.size < full.size && sparse.nonEmpty)
+    intercept[IllegalArgumentException](
+      engine.facet("the", "lang", minCount = 0))
   }
 
   test("facet resolves the query against the caller's df, like search") {
