@@ -326,6 +326,7 @@ object Search {
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
         "--distributed", "--explain"))
     val k = opts.getOrElse("--k", "10").toInt
+    require(k >= 0, "--k must be >= 0 (0 = Solr rows=0 count-only)")
     val df = opts.getOrElse("--df", "text") // Solr's df= default field
     val qOp = opts.getOrElse("--qop", "OR") // Solr's q.op= default operator
     // Solr start= shallow offset paging: fetch start+k and drop the first
@@ -395,6 +396,14 @@ object Search {
           println(f"  ${start + i + 1}%2d. docId=${r.getLong(0)}%8d $field=${r.get(1)}")
         }
         rows
+      case None if k == 0 =>
+        // Solr rows=0: count-only — the full match-set size, no page
+        val t0 = System.nanoTime()
+        val n = engine.countMatches(query, df, fq, qOp)
+        val ms = (System.nanoTime() - t0) / 1e6
+        val fqNote = if (fq.isEmpty) "" else s" fq=${fq.mkString("; ")}"
+        println(f"[graft] query='$query'$fqNote numFound=$n latencyMs=$ms%.1f")
+        Array.empty[org.apache.spark.sql.Row]
       case None =>
         val t0 = System.nanoTime()
         val res =

@@ -1410,6 +1410,22 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     }.sortBy { case (t, d, c) => (d, -c, t) }.take(n)
   }
 
+  /** Solr numFound / `rows=0` count idiom: the FULL match-set size of q
+    * under fq — one needScores=false match-set job (codegen clause
+    * evaluation, no BM25 arithmetic, no ranking, no collect of ids). The
+    * per-page search surface deliberately does NOT report this (a top-k
+    * page must not pay a full count); callers who need the number ask for
+    * it explicitly, exactly like Solr's rows=0.
+    */
+  def countMatches(q: String, df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR"): Long = {
+    refreshIfStale()
+    val v = view
+    applyFq(v, fq, df, qOp)(
+      scoredCandidates(QueryParser.parse(q, df, qOp), v, needScores = false))
+      .count()
+  }
+
   /** Solr spellcheck.collate analog: rewrite the query with the TOP
     * suggestion for every EXACT scoring term absent from the dictionary,
     * returning the collated query plus its full match count — and only a

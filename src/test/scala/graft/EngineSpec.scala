@@ -385,6 +385,18 @@ class EngineSpec extends AnyFunSuite {
       Seq(QueryEngine.ExplainEntry("*:*", 0, 0, 0L, 1.0, 1.0, 1.0)))
   }
 
+  test("countMatches: the Solr rows=0 numFound idiom equals oracle (r5)") {
+    Seq(("the", Nil), ("w00017", Nil), ("the", Seq("lang:no")),
+        ("w00017 AND w00342", Nil), ("*:*", Nil), ("*:*", Seq("w00017")))
+      .foreach { case (q, fq: Seq[String]) =>
+        val exp = oracle.topK(q, NDocs.toInt, fq = fq).size.toLong
+        assert(engine.countMatches(q, fq = fq) == exp,
+          s"numFound '$q' fq=$fq")
+      }
+    assert(engine.countMatches("*:*") == NDocs)
+    assert(engine.countMatches("zzznosuchterm") == 0L)
+  }
+
   test("facet counts over all matches equal oracle") {
     Seq("w00017", "the", "lang:no AND w00099", "*:*").foreach { q =>
       val got = engine.facet(q, "lang").collect()

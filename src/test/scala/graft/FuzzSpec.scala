@@ -258,6 +258,42 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("collation over generated typos: engine and oracle twins agree") {
+    // mutate real mid-frequency terms one char at a time; the twins must
+    // produce the SAME collation decision (including every bail-out) and
+    // the same rewritten query + hit count when they do collate
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    def typo(t: String): String = {
+      val i = rng.nextInt(t.length)
+      rng.nextInt(3) match {
+        case 0 => t.updated(i, alphabet(rng.nextInt(alphabet.length))) // sub
+        case 1 => // delete (keep nonempty)
+          val s = t.take(i) + t.drop(i + 1)
+          if (s.isEmpty) t + "q" else s
+        case _ => t.take(i) + alphabet(rng.nextInt(alphabet.length)) + t.drop(i)
+      }
+    }
+    var collated = 0
+    (1 to 15).foreach { _ =>
+      val broken = typo(f"w${rng.nextInt(300)}%05d")
+      val q = rng.nextInt(3) match {
+        case 0 => broken
+        case 1 => s"$broken AND ${f"w${rng.nextInt(300)}%05d"}"
+        case _ => s"${pick(CorpusGen.Stopwords.toSeq.take(8))} $broken"
+      }
+      val got = engine.collate(q)
+      assert(got == oracle.collate(q), s"collate twins differ on '$q'")
+      got.foreach { case (cq, hits) =>
+        collated += 1
+        assert(hits > 0 && cq != q, s"collation '$cq' of '$q'")
+        // the rewritten query is runnable and matches
+        assert(ids(engine.search(cq, 5)).nonEmpty, s"dead collation '$cq'")
+      }
+    }
+    // the generator must produce real corrections, not 15 bail-outs
+    assert(collated >= 5, s"only $collated/15 typo queries collated")
+  }
+
   test("searchAfter paging over generated queries: page concat == full " +
       "ranking, driver path vs oracle pager") {
     // fresh deterministic sub-stream; small pages force many boundaries
