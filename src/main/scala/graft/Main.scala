@@ -312,7 +312,7 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-limit N] [--facet-mincount M] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--stats field] [--group field] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
+    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--group field] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
     val indexDir = args(0)
     val query = args(1)
     // repeatable options first (Solr takes fq= / facet.query= any number of
@@ -322,9 +322,10 @@ object Search {
     val (opts, flags) = MainCommon.parseArgs(rest,
       valued = Set("--k", "--buckets", "--df", "--facet", "--facet-range",
         "--pivot", "--sort", "--stats", "--group", "--after", "--qop",
-        "--start", "--fl", "--facet-limit", "--facet-mincount"),
+        "--start", "--fl", "--facet-limit", "--facet-mincount",
+        "--facet-prefix", "--facet-sort", "--export"),
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
-        "--distributed", "--explain"))
+        "--distributed", "--explain", "--group-ngroups"))
     val k = opts.getOrElse("--k", "10").toInt
     require(k >= 0, "--k must be >= 0 (0 = Solr rows=0 count-only)")
     val df = opts.getOrElse("--df", "text") // Solr's df= default field
@@ -364,6 +365,39 @@ object Search {
       if (flags.contains("--distributed"))
         new QueryEngine(spark, indexDir, buckets, driverWandMaxSegments = 0)
       else new QueryEngine(spark, indexDir, buckets)
+    // Solr /export handler analog: --export OUT writes the FULL match set
+    // (every match, range-partitioned global sort, no driver collect) as
+    // parquet. Like /export itself it REQUIRES sort= and fl=, never scores,
+    // and rejects paging params (it is the anti-paging bulk path).
+    if (opts.contains("--export")) {
+      val outDir = opts("--export")
+      require(opts.contains("--sort") && opts.contains("--fl"),
+        "--export requires --sort field[:asc|desc] and --fl f1,f2 " +
+          "(Solr /export requires sort= and fl= too)")
+      require(start == 0 && after.isEmpty && !flags.contains("--delete") &&
+        !flags.contains("--delete-all"),
+        "--export is the full-result bulk path: --start/--after/--delete " +
+          "do not combine with it")
+      val (field, ascending) = opts("--sort").split(":", 2) match {
+        case Array(f)          => (f, true)
+        case Array(f, "asc")   => (f, true)
+        case Array(f, "desc")  => (f, false)
+        case Array(f, d) => throw new IllegalArgumentException(
+          s"--sort $f:$d — direction must be asc or desc")
+      }
+      val fields = opts("--fl").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val t0 = System.nanoTime()
+      engine.exportMatches(query, fields, field, ascending, df, fq, qOp)
+        .write.mode("overwrite").parquet(outDir)
+      val n = spark.read.parquet(outDir).count() // metadata-only count
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[graft] export query='$query' sort=$field:" +
+        s"${if (ascending) "asc" else "desc"} fl=${fields.mkString(",")} " +
+        f"docs=$n out=$outDir latencyMs=$ms%.1f")
+      spark.stop()
+      return
+    }
     // Solr sort= analog: --sort field[:asc|desc] orders the page by a
     // stored field instead of score (docId-ascending tiebreak). Both
     // branches yield the page rows (docId first) so --delete works on
@@ -387,7 +421,7 @@ object Search {
           "--exhaustive applies to score-ordered search only")
         val t0 = System.nanoTime()
         val rows = engine.searchSorted(query, field, ascending, start + k,
-          df, fq).collect().drop(start)
+          df, fq, qOp).collect().drop(start)
         val ms = (System.nanoTime() - t0) / 1e6
         println(f"[graft] query='$query' sort=$field:" +
           s"${if (ascending) "asc" else "desc"} hits=${rows.length} " +
@@ -465,34 +499,44 @@ object Search {
       }
     }
     opts.get("--facet").foreach { field =>
-      // Solr facet.limit / facet.mincount knobs
+      // Solr facet.limit / facet.mincount / facet.prefix / facet.sort knobs
       val fLimit = opts.getOrElse("--facet-limit", "20").toInt
       val fMin = opts.getOrElse("--facet-mincount", "1").toLong
+      val fPrefix = opts.get("--facet-prefix")
+      val fSort = opts.getOrElse("--facet-sort", "count")
+      require(fSort == "count" || fSort == "index",
+        s"--facet-sort must be count or index, got '$fSort'")
       println(s"[graft] facet field='$field' (over ALL matches, " +
-        s"limit=$fLimit mincount=$fMin)")
-      engine.facet(query, field, fLimit, df, fq, fMin).collect().foreach {
+        s"limit=$fLimit mincount=$fMin" +
+        fPrefix.fold("")(p => s" prefix=$p") +
+        (if (fSort == "index") " sort=index" else "") + ")")
+      engine.facet(query, field, fLimit, df, fq, fMin, qOp,
+        fPrefix, fSort == "index").collect().foreach {
         r => println(f"  ${r.get(0)}%-12s ${r.getLong(1)}%8d")
       }
     }
     // Solr facet.query analog: per sub-query count over the match set
     if (facetQueries.nonEmpty) {
       println(s"[graft] facet.query (over ALL matches)")
-      engine.facetQuery(query, facetQueries, df, fq).collect().foreach { r =>
+      engine.facetQuery(query, facetQueries, df, fq, qOp).collect().foreach { r =>
         println(f"  ${r.getString(0)}%-32s ${r.getLong(1)}%8d")
       }
     }
     // Solr stats component analog: --stats doclen|titleLen over ALL matches
     opts.get("--stats").foreach { field =>
       println(s"[graft] stats field='$field' (over ALL matches)")
-      engine.statsField(query, field, df, fq).collect().foreach { r =>
+      engine.statsField(query, field, df, fq, qOp).collect().foreach { r =>
         println(s"  count=${r.get(0)} min=${r.get(1)} max=${r.get(2)} " +
           s"sum=${r.get(3)} mean=${r.get(4)}")
       }
     }
     // Solr result grouping analog: --group field, --k = group.limit
     opts.get("--group").foreach { field =>
-      println(s"[graft] group field='$field' limit=$k")
-      engine.searchGrouped(query, field, k, df, fq).collect().foreach { r =>
+      // Solr group.ngroups: distinct group count, priced as its own agg
+      val ng = if (flags.contains("--group-ngroups"))
+        s" ngroups=${engine.countGroups(query, field, df, fq, qOp)}" else ""
+      println(s"[graft] group field='$field' limit=$k$ng")
+      engine.searchGrouped(query, field, k, df, fq, qOp).collect().foreach { r =>
         println(f"  ${r.get(0)}%-12s #${r.getInt(1)}%-3d docId=${r.getLong(2)}%8d score=${r.getDouble(3)}%.6f")
       }
     }
@@ -501,7 +545,7 @@ object Search {
       val parts = spec.split(",")
       require(parts.length == 2, "--pivot expects <fieldA>,<fieldB>")
       println(s"[graft] facet.pivot=${parts(0)},${parts(1)} (over ALL matches)")
-      engine.facetPivot(query, parts(0), parts(1), df = df, fq = fq)
+      engine.facetPivot(query, parts(0), parts(1), df = df, fq = fq, qOp = qOp)
         .collect().foreach { r =>
           println(f"  ${r.get(0)}%-12s (${r.getLong(1)}%d) > ${r.get(2)}%-24s ${r.getLong(3)}%8d")
         }
@@ -512,7 +556,7 @@ object Search {
       require(parts.length == 3,
         "--facet-range expects <startIso>,<endIso>,<gapSec>")
       println(s"[graft] facet.range warc_ts [$spec) (over ALL matches)")
-      engine.facetRange(query, parts(0), parts(1), parts(2).toLong, df, fq)
+      engine.facetRange(query, parts(0), parts(1), parts(2).toLong, df, fq, qOp)
         .collect().foreach { r =>
           println(f"  ${r.get(0)}%-24s ${r.getLong(1)}%8d")
         }

@@ -144,10 +144,10 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * engine's applyFq).
     */
   private def candidatesFq(query: String, df: String,
-      fq: Seq[String]): Seq[(Long, Double)] = {
-    var all = candidates(QueryParser.parse(query, df))
+      fq: Seq[String], qOp: String = "OR"): Seq[(Long, Double)] = {
+    var all = candidates(QueryParser.parse(query, df, qOp))
     fq.foreach { s =>
-      val ok = fqMatchOk(s, df, "OR")
+      val ok = fqMatchOk(s, df, qOp)
       all = all.filter { case (id, _) => ok(id) }
     }
     all
@@ -158,10 +158,11 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * order preserved.
     */
   def facetQuery(query: String, subQueries: Seq[String],
-      df: String = "text", fq: Seq[String] = Nil): Seq[(String, Long)] = {
-    val baseIds = candidatesFq(query, df, fq).map(_._1)
+      df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR"): Seq[(String, Long)] = {
+    val baseIds = candidatesFq(query, df, fq, qOp).map(_._1)
     subQueries.map { s =>
-      val ok = fqMatchOk(s, df, "OR")
+      val ok = fqMatchOk(s, df, qOp)
       (s, baseIds.count(ok).toLong)
     }
   }
@@ -171,8 +172,9 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * both directions (pre-sort by docId, then a stable sort by the field).
     */
   def topKSorted(query: String, sortField: String, ascending: Boolean,
-      k: Int, df: String = "text", fq: Seq[String] = Nil): Seq[Long] = {
-    val ids = candidatesFq(query, df, fq).map(_._1).sorted
+      k: Int, df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR"): Seq[Long] = {
+    val ids = candidatesFq(query, df, fq, qOp).map(_._1).sorted
     def by[T](key: Long => T)(implicit o: Ordering[T]): Seq[Long] =
       ids.sortBy(key)(if (ascending) o else o.reverse)
     val sorted = sortField match {
@@ -191,11 +193,11 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * `[start, end)`, bucket-ordered.
     */
   def facetRange(query: String, startIso: String, endIso: String,
-      gapSec: Long, df: String = "text",
-      fq: Seq[String] = Nil): Seq[(Long, Long)] = {
+      gapSec: Long, df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR"): Seq[(Long, Long)] = {
     val startMs = parseTs(startIso)
     val endMs = parseTs(endIso)
-    candidatesFq(query, df, fq).map(_._1)
+    candidatesFq(query, df, fq, qOp).map(_._1)
       .map(docTs)
       .filter(t => t >= startMs && t < endMs)
       .groupBy(t => (t - startMs) / (gapSec * 1000L))
@@ -209,13 +211,14 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * null-filled aggregate row there).
     */
   def statsField(query: String, field: String, df: String = "text",
-      fq: Seq[String] = Nil): Option[(Long, Long, Long, Long, Double)] = {
+      fq: Seq[String] = Nil,
+      qOp: String = "OR"): Option[(Long, Long, Long, Long, Double)] = {
     val key: Long => Long = field match {
       case "doclen"   => doclen
       case "titleLen" => titleLen
       case f => throw new IllegalArgumentException(s"unsupported stats field $f")
     }
-    val vs = candidatesFq(query, df, fq).map(c => key(c._1))
+    val vs = candidatesFq(query, df, fq, qOp).map(c => key(c._1))
     if (vs.isEmpty) None
     else Some((vs.size.toLong, vs.min, vs.max, vs.sum,
       vs.sum.toDouble / vs.size))
@@ -226,8 +229,8 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * every distinct field value, ordered (fieldValue asc, rank asc).
     */
   def topKGrouped(query: String, field: String, kPerGroup: Int,
-      df: String = "text",
-      fq: Seq[String] = Nil): Seq[(String, Int, Long, Double)] = {
+      df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR"): Seq[(String, Int, Long, Double)] = {
     // string stored fields only, matching QueryEngine.GroupableFields —
     // this twin orders group values as strings, which is only the engine's
     // ordering for string columns
@@ -236,7 +239,7 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       case "url"  => docUrl
       case f => throw new IllegalArgumentException(s"unsupported group field $f")
     }
-    candidatesFq(query, df, fq)
+    candidatesFq(query, df, fq, qOp)
       .groupBy(c => key(c._1))
       .toSeq.sortBy(_._1)
       .flatMap { case (v, cs) =>
@@ -338,14 +341,15 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     */
   def facetPivot(query: String, fieldA: String, fieldB: String,
       topA: Int = 5, topB: Int = 3, df: String = "text",
-      fq: Seq[String] = Nil): Seq[(String, Long, String, Long, Int)] = {
+      fq: Seq[String] = Nil,
+      qOp: String = "OR"): Seq[(String, Long, String, Long, Int)] = {
     def fieldOf(f: String): Long => String = f match {
       case "lang" => docLang(_)
       case "url"  => docUrl(_)
       case other => throw new IllegalArgumentException(s"pivot field $other")
     }
     val fa = fieldOf(fieldA); val fb = fieldOf(fieldB)
-    val ids = candidatesFq(query, df, fq).map(_._1)
+    val ids = candidatesFq(query, df, fq, qOp).map(_._1)
     val pairs = ids.groupBy(id => (fa(id), fb(id)))
       .map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSeq
     val aTop = pairs.groupBy(_._1)
@@ -409,17 +413,34 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * Returns (value, count) sorted by count desc, value asc.
     */
   def facet(query: String, field: String, fq: Seq[String] = Nil,
-      minCount: Long = 1L): Seq[(String, Long)] = {
-    val vals = candidatesFq(query, "text", fq).map { case (id, _) =>
+      minCount: Long = 1L, qOp: String = "OR",
+      prefix: Option[String] = None,
+      sortIndex: Boolean = false): Seq[(String, Long)] = {
+    val vals = candidatesFq(query, "text", fq, qOp).map { case (id, _) =>
       field match {
         case "lang" => docLang(id)
         case "url"  => docUrl(id)
         case f      => throw new IllegalArgumentException(s"facet field $f")
       }
+    }.filter(v => prefix.forall(v.startsWith))
+    val counted = vals.groupBy(identity)
+      .map { case (v, xs) => (v, xs.size.toLong) }
+      .filter(_._2 >= minCount).toSeq
+    if (sortIndex) counted.sortBy(_._1)
+    else counted.sortBy { case (v, c) => (-c, v) }
+  }
+
+  /** Solr group.ngroups twin of [[graft.query.QueryEngine.countGroups]]:
+    * distinct group values in the match set.
+    */
+  def ngroups(query: String, field: String, df: String = "text",
+      fq: Seq[String] = Nil, qOp: String = "OR"): Long = {
+    val key: Long => String = field match {
+      case "lang" => docLang
+      case "url"  => docUrl
+      case f => throw new IllegalArgumentException(s"unsupported group field $f")
     }
-    vals.groupBy(identity).map { case (v, xs) => (v, xs.size.toLong) }
-      .filter(_._2 >= minCount)
-      .toSeq.sortBy { case (v, c) => (-c, v) }
+    candidatesFq(query, df, fq, qOp).map(c => key(c._1)).distinct.size.toLong
   }
 
   /** Exhaustive score of one doc for a term list (test helper). */

@@ -1119,20 +1119,36 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     *   values with fewer matches are dropped BEFORE the limit cut (a
     *   HAVING on the count agg; 1 = Solr's effective default here, since
     *   only values present in the match set ever have a row).
+    * @param prefix Solr facet.prefix — only values whose string form starts
+    *   with it are counted (applied before mincount and the limit cut, as
+    *   Solr restricts the term enumeration itself).
+    * @param sortIndex Solr facet.sort=index — order values lexically
+    *   ascending instead of (count desc, value asc); the limit cuts in
+    *   THAT order, so the two sorts can return different value SETS, not
+    *   just different orders.
     */
   def facet(q: String, field: String, topN: Int = 20,
       df: String = "text", fq: Seq[String] = Nil,
-      minCount: Long = 1L): DataFrame = {
+      minCount: Long = 1L, qOp: String = "OR",
+      prefix: Option[String] = None, sortIndex: Boolean = false): DataFrame = {
     require(minCount >= 1, s"facet.mincount must be >= 1, got $minCount")
     refreshIfStale()
     val v = view // one snapshot for both the match set and the facet join
-    val ast = QueryParser.parse(q, df) // same df as the hits being faceted
-    applyFq(v, fq, df)(scoredCandidates(ast, v, needScores = false)
-      .select($"docId"))
+    // same df AND q.op as the hits being faceted — Solr's q.op is a global
+    // request param, so the facet's match set must be the page's match set
+    val ast = QueryParser.parse(q, df, qOp)
+    val joined = applyFq(v, fq, df, qOp)(
+      scoredCandidates(ast, v, needScores = false).select($"docId"))
       .join(v.docs.select($"docId", col(field)), Seq("docId"))
+    // prefix restricts BEFORE the agg: Catalyst pushes the StartsWith into
+    // the docs-side scan, so a selective prefix shrinks the shuffle too
+    val restricted = prefix.fold(joined)(p =>
+      joined.filter(col(field).cast("string").startsWith(p)))
+    val counted = restricted
       .groupBy(col(field)).agg(count(lit(1)).as("cnt"))
       .filter($"cnt" >= minCount)
-      .orderBy(desc("cnt"), asc(field))
+    (if (sortIndex) counted.orderBy(asc(field))
+     else counted.orderBy(desc("cnt"), asc(field)))
       .limit(topN)
   }
 
@@ -1144,14 +1160,16 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * does. Output: (fquery, cnt) in the given sub-query order.
     */
   def facetQuery(q: String, subQueries: Seq[String],
-      df: String = "text", fq: Seq[String] = Nil): DataFrame = {
+      df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR"): DataFrame = {
     require(subQueries.nonEmpty, "facet.query needs at least one sub-query")
     refreshIfStale()
     val v = view // one snapshot for the base and every sub match set
-    val base = applyFq(v, fq, df)(scoredCandidates(QueryParser.parse(q, df),
-      v, needScores = false).select($"docId"))
+    val base = applyFq(v, fq, df, qOp)(scoredCandidates(
+      QueryParser.parse(q, df, qOp), v, needScores = false).select($"docId"))
     val tagged = subQueries.zipWithIndex.map { case (s, i) =>
-      val ast = QueryParser.parse(s, df)
+      // q.op applies to facet.query strings too (one global parser flag)
+      val ast = QueryParser.parse(s, df, qOp)
       val ms =
         if (ast.scoringLits.nonEmpty || ast.matchAll) fqMatchSet(v, ast)
         else filterPredicate(ast) match {
@@ -1178,19 +1196,54 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * page deterministic under ties (SeqOracle.topKSorted is the twin).
     */
   def searchSorted(q: String, sortField: String, ascending: Boolean, k: Int,
-      df: String = "text", fq: Seq[String] = Nil): DataFrame = {
+      df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR"): DataFrame = {
     require(QueryEngine.SortableFields.contains(sortField),
       s"sort field '$sortField' unsupported (stored: " +
         s"${QueryEngine.SortableFields.mkString(", ")})")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df)
+    val ast = QueryParser.parse(q, df, qOp)
     val dir = if (ascending) asc(sortField) else desc(sortField)
-    applyFq(v, fq, df)(scoredCandidates(ast, v, needScores = false)
+    applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
       .join(v.docs.select($"docId", col(sortField)), Seq("docId"))
       .orderBy(dir, asc("docId"))
       .limit(k)
+  }
+
+  /** Solr /export handler analog: the FULL match set — every matching doc,
+    * not a page — with the requested stored fields, globally ordered by a
+    * stored field (docId tiebreak, like sort=). Where `search` is a top-k
+    * heap (TakeOrderedAndProject, O(k) memory anywhere) and `searchSorted`
+    * caps at k, this is the bulk-egress path: a range-partitioned
+    * distributed sort whose output PARTITIONS cover disjoint sort-key
+    * ranges, so writing the returned frame yields a set of
+    * internally-sorted, range-disjoint files — exactly how /export streams
+    * a billion-row result without any single node holding it. No collect,
+    * no limit, no score (Solr /export cannot sort by score either; it
+    * exists to bypass scoring). fq/q.op apply as everywhere else.
+    */
+  def exportMatches(q: String, fields: Seq[String], sortField: String,
+      ascending: Boolean = true, df: String = "text",
+      fq: Seq[String] = Nil, qOp: String = "OR"): DataFrame = {
+    require(QueryEngine.SortableFields.contains(sortField),
+      s"export sort field '$sortField' unsupported (stored: " +
+        s"${QueryEngine.SortableFields.mkString(", ")})")
+    require(fields.nonEmpty && fields.forall(
+      QueryEngine.SortableFields.contains),
+      s"export fl fields must be stored docs columns: " +
+        s"${QueryEngine.SortableFields.toSeq.sorted.mkString(", ")}")
+    refreshIfStale()
+    val v = view
+    val ast = QueryParser.parse(q, df, qOp)
+    val cols = ("docId" +: (fields :+ sortField).distinct).map(col)
+    val dir = if (ascending) asc(sortField) else desc(sortField)
+    applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
+      .select($"docId"))
+      .join(v.docs.select(cols: _*), Seq("docId"))
+      .orderBy(dir, asc("docId"))
+      .select(("docId" +: fields).distinct.map(col): _*)
   }
 
   /** Query-time range facet over `warc_ts` — the Solr `facet.range` analog:
@@ -1200,15 +1253,16 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * integer arithmetic on the pushed-down timestamp column.
     */
   def facetRange(q: String, startIso: String, endIso: String, gapSec: Long,
-      df: String = "text", fq: Seq[String] = Nil): DataFrame = {
+      df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR"): DataFrame = {
     require(gapSec > 0, "facet.range gap must be positive")
     val startMs = java.time.Instant.parse(startIso).toEpochMilli
     val endMs = java.time.Instant.parse(endIso).toEpochMilli
     require(endMs > startMs, "facet.range end must be after start")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df)
-    applyFq(v, fq, df)(scoredCandidates(ast, v, needScores = false)
+    val ast = QueryParser.parse(q, df, qOp)
+    applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
       .join(v.docs.select($"docId", $"warc_ts"), Seq("docId"))
       .withColumn("ts_ms", unix_millis($"warc_ts"))
@@ -1228,14 +1282,14 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * One aggregation over the match-set join — no sort, no window.
     */
   def statsField(q: String, field: String, df: String = "text",
-      fq: Seq[String] = Nil): DataFrame = {
+      fq: Seq[String] = Nil, qOp: String = "OR"): DataFrame = {
     require(QueryEngine.NumericFields.contains(field),
       s"stats field '$field' unsupported (numeric stored: " +
         s"${QueryEngine.NumericFields.mkString(", ")})")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df)
-    applyFq(v, fq, df)(scoredCandidates(ast, v, needScores = false)
+    val ast = QueryParser.parse(q, df, qOp)
+    applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
       .join(v.docs.select($"docId", col(field)), Seq("docId"))
       .agg(count(lit(1)).as("cnt"), min(field).as("min"),
@@ -1252,17 +1306,18 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * encode (SURVEY.md skew note).
     */
   def searchGrouped(q: String, field: String, kPerGroup: Int,
-      df: String = "text", fq: Seq[String] = Nil): DataFrame = {
+      df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR"): DataFrame = {
     require(QueryEngine.GroupableFields.contains(field),
       s"group field '$field' unsupported (string stored: " +
         s"${QueryEngine.GroupableFields.mkString(", ")})")
     require(kPerGroup > 0, "group.limit must be positive")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df)
+    val ast = QueryParser.parse(q, df, qOp)
     val salts = 32
     import org.apache.spark.sql.expressions.Window
-    val joined = applyFq(v, fq, df)(scoredCandidates(ast, v))
+    val joined = applyFq(v, fq, df, qOp)(scoredCandidates(ast, v))
       .join(v.docs.select($"docId", col(field)), Seq("docId"))
     val w1 = Window.partitionBy(col(field), pmod($"docId", lit(salts)))
       .orderBy(desc("score"), asc("docId"))
@@ -1277,6 +1332,27 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       .orderBy(asc(field), asc("rank"))
   }
 
+  /** Solr group.ngroups analog: the number of DISTINCT group values in the
+    * match set. One distinct-count aggregate over the match-set join — no
+    * window, no per-group ranking, partial aggregation map-side — so the
+    * count costs one narrow shuffle at any corpus size (Solr itself warns
+    * ngroups is priced separately from the groups page; same here).
+    */
+  def countGroups(q: String, field: String, df: String = "text",
+      fq: Seq[String] = Nil, qOp: String = "OR"): Long = {
+    require(QueryEngine.GroupableFields.contains(field),
+      s"group field '$field' unsupported (string stored: " +
+        s"${QueryEngine.GroupableFields.mkString(", ")})")
+    refreshIfStale()
+    val v = view
+    val ast = QueryParser.parse(q, df, qOp)
+    applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
+      .select($"docId"))
+      .join(v.docs.select($"docId", col(field)), Seq("docId"))
+      .agg(countDistinct(col(field)).as("ngroups"))
+      .collect().head.getLong(0)
+  }
+
   /** Solr facet.pivot=fieldA,fieldB analog over the match set: topA values
     * of the first stored field by total match count; within each, topB
     * values of the second by pair count (count desc, value asc at both
@@ -1286,16 +1362,17 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * broadcasts back into it.
     */
   def facetPivot(q: String, fieldA: String, fieldB: String, topA: Int = 5,
-      topB: Int = 3, df: String = "text", fq: Seq[String] = Nil): DataFrame = {
+      topB: Int = 3, df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR"): DataFrame = {
     require(QueryEngine.GroupableFields.contains(fieldA) &&
       QueryEngine.GroupableFields.contains(fieldB) && fieldA != fieldB,
       s"pivot fields must be distinct members of " +
         s"${QueryEngine.GroupableFields.mkString(", ")}")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df)
+    val ast = QueryParser.parse(q, df, qOp)
     import org.apache.spark.sql.expressions.Window
-    val ab = applyFq(v, fq, df)(scoredCandidates(ast, v, needScores = false)
+    val ab = applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
       .join(v.docs.select($"docId", col(fieldA), col(fieldB)), Seq("docId"))
       .groupBy(col(fieldA), col(fieldB)).agg(count(lit(1)).as("cnt"))

@@ -420,6 +420,89 @@ class EngineSpec extends AnyFunSuite {
       engine.facet("the", "lang", minCount = 0))
   }
 
+  test("facet.prefix and facet.sort=index knobs match the oracle twin") {
+    // *:* matches every live doc, so all three synthetic langs (en/no/de)
+    // appear — the knobs provably bite
+    val q = "*:*"
+    val full = oracle.facet(q, "lang")
+    assert(full.size == 3, s"degenerate lang fixture: $full")
+    // facet.prefix restricts the counted values (n → no only)
+    val pref = engine.facet(q, "lang", prefix = Some("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pref == oracle.facet(q, "lang", prefix = Some("n")))
+    assert(pref.nonEmpty && pref.forall(_._1.startsWith("n")))
+    assert(pref.size < full.size, "prefix must bite")
+    // facet.sort=index orders lexically (de < en < no), not by count
+    val idx = engine.facet(q, "lang", sortIndex = true).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(idx == oracle.facet(q, "lang", sortIndex = true))
+    assert(idx == idx.sortBy(_._1) && idx.toSet == full.toSet)
+    assert(idx != full, "index order must differ from count order here")
+    // the limit cuts in the CHOSEN order: limit=1 under sort=index keeps
+    // the lexically-first value (de), under count order the biggest (en)
+    val idx1 = engine.facet(q, "lang", topN = 1, sortIndex = true).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(idx1 == oracle.facet(q, "lang", sortIndex = true).take(1))
+    assert(idx1.head._1 != full.head._1,
+      "the two sorts cut different value SETS at limit=1")
+    // prefix composes with fq (and the oracle twin agrees)
+    val both = engine.facet("the", "lang", fq = Seq("w00017"),
+      prefix = Some("e")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(both ==
+      oracle.facet("the", "lang", Seq("w00017"), prefix = Some("e")))
+  }
+
+  test("/export analog: full match set, range-partitioned sort, no top-k") {
+    val q = "the"
+    val out = engine.exportMatches(q, Seq("url", "lang"), "url")
+    // content = EVERY match (not a page), ordered (url asc, docId asc)
+    val got = out.collect().map(_.getLong(0)).toSeq
+    val expIds = oracle.topKSorted(q, "url", ascending = true, NDocs.toInt)
+    assert(expIds.size > 10, "degenerate export fixture")
+    assert(got == expIds, "export must be the FULL sorted match set")
+    // physical shape: a range-partitioned distributed sort (disjoint
+    // output ranges = streamable files), NOT the top-k heap search uses
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("rangepartitioning"), plan)
+    // write + read back: same doc set lands in the parquet export
+    val dir = SparkTestSession.tempDir("graft-export")
+    out.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == expIds.size)
+    assert(back.columns.toSeq == Seq("docId", "url", "lang"))
+    assert(back.select("docId").collect().map(_.getLong(0)).sorted.toSeq ==
+      expIds.sorted)
+    // desc order, fq, and qOp thread through like everywhere else
+    val ids2 = engine.exportMatches(q, Seq("lang"), "warc_ts",
+      ascending = false, fq = Seq("w00017")).collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids2 == oracle.topKSorted(q, "warc_ts", ascending = false,
+      NDocs.toInt, fq = Seq("w00017")))
+    // /export cannot return non-stored fields and cannot sort by score
+    intercept[IllegalArgumentException](
+      engine.exportMatches(q, Seq("html"), "url"))
+    intercept[IllegalArgumentException](
+      engine.exportMatches(q, Seq("url"), "score"))
+  }
+
+  test("group.ngroups equals the oracle distinct group count") {
+    Seq("the", "w00017", "*:*").foreach { q =>
+      assert(engine.countGroups(q, "lang") == oracle.ngroups(q, "lang"),
+        s"ngroups lang q=$q")
+      assert(engine.countGroups(q, "url") == oracle.ngroups(q, "url"),
+        s"ngroups url q=$q")
+    }
+    // fq and q.op thread through like every other match-set consumer
+    assert(engine.countGroups("the w00017", "lang", qOp = "AND") ==
+      oracle.ngroups("the w00017", "lang", qOp = "AND"))
+    assert(engine.countGroups("the", "url", fq = Seq("w00017")) ==
+      oracle.ngroups("the", "url", fq = Seq("w00017")))
+    assert(engine.countGroups("zzznosuchterm", "lang") == 0L)
+    intercept[IllegalArgumentException](engine.countGroups("the", "doclen"))
+  }
+
   test("facet resolves the query against the caller's df, like search") {
     // every synthetic title is "doc <i>", so 'doc' under df=title matches
     // all docs while under df=text it matches only bodies containing it —

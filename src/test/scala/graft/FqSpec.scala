@@ -207,6 +207,67 @@ class FqSpec extends AnyFunSuite {
       fq = fqs), "facet.query+fq")
   }
 
+  test("q.op applies to every match-set consumer — Solr's q.op is a " +
+      "global request param, so facets/sort/stats/group/range/pivot " +
+      "must count the SAME match set the page shows") {
+    val q = "the w00017" // adjacency: q.op=AND shrinks the match set
+    val and = "AND"
+    // fixture sanity: AND actually bites for this query
+    assert(oracle.topK(q, NDocs.toInt, qOp = and).size <
+      oracle.topK(q, NDocs.toInt).size)
+
+    val gotF = engine.facet(q, "lang", 20, "text", Nil, 1L, and).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotF == oracle.facet(q, "lang", qOp = and), "facet qop")
+    assert(gotF != oracle.facet(q, "lang"), "qop must bite the facet")
+    // the faceted match set IS the page's match set: counts sum to numFound
+    assert(gotF.map(_._2).sum ==
+      engine.countMatches(q, "text", Nil, and), "facet total = numFound")
+
+    val gotS = engine.searchSorted(q, "url", ascending = true, 10, "text",
+      Nil, and).collect().map(_.getLong(0)).toSeq
+    assert(gotS == oracle.topKSorted(q, "url", ascending = true, 10,
+      qOp = and), "sort qop")
+
+    val sr = engine.statsField(q, "doclen", "text", Nil, and).collect().head
+    val sexp = oracle.statsField(q, "doclen", qOp = and).get
+    assert(sr.getLong(0) == sexp._1 && sr.getLong(1) == sexp._2 &&
+      sr.getLong(2) == sexp._3 && sr.getLong(3) == sexp._4, "stats qop")
+
+    val gotG = engine.searchGrouped(q, "lang", 2, "text", Nil, and)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(gotG == oracle.topKGrouped(q, "lang", 2, qOp = and)
+      .map(t => (t._1, t._2, t._3)), "group qop")
+
+    val start = "2024-01-01T00:00:00Z"; val end = "2024-01-08T00:00:00Z"
+    val gotR = engine.facetRange(q, start, end, 3600L, "text", Nil, and)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
+    assert(gotR == oracle.facetRange(q, start, end, 3600L, qOp = and),
+      "facet.range qop")
+
+    val gotP = engine.facetPivot(q, "lang", "url", 3, 2, "text", Nil, and)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    assert(gotP == oracle.facetPivot(q, "lang", "url", 3, 2, qOp = and),
+      "pivot qop")
+
+    // facet.query sub-queries parse under the same global q.op
+    val sub = Seq("w00342 w00343", "lang:no")
+    val gotQ = engine.facetQuery("the", sub, "text", Nil, and).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotQ == oracle.facetQuery("the", sub, qOp = and),
+      "facet.query qop")
+    assert(gotQ != oracle.facetQuery("the", sub),
+      "qop must bite the facet.query sub-query")
+
+    // and q.op composes with fq on a consumer (both seams at once)
+    val fqs = Seq("w00342 w00343") // itself adjacency: parsed under q.op
+    val gotFF = engine.facet("the", "lang", 20, "text", fqs, 1L, and)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotFF == oracle.facet("the", "lang", fqs, qOp = and),
+      "facet fq+qop")
+  }
+
   test("fq docId cache retires with the view: append + invalidate shows " +
       "new matches") {
     import java.nio.charset.StandardCharsets.UTF_8
