@@ -32,6 +32,9 @@ object SparkEntry {
     "q_wildcard_topk" -> ((s, d) => Ops.wildcardTopK(s, d)),
     "q_term_range" -> ((s, d) => Ops.termRangeTopK(s, d)),
     "q_sorted_match" -> ((s, d) => Ops.sortedMatchTopk(s, d)),
+    "q_export_sorted" -> ((s, d) => Ops.exportSorted(s, d)),
+    "q_facet_prefix" -> ((s, d) => Ops.facetPrefixIndex(s, d)),
+    "q_ngroups" -> ((s, d) => Ops.ngroupsMatch(s, d)),
     "q_topk_orders" -> ((s, d) => Ops.topkOrders(s, d)),
     // extraction / validation / join analogs (SURVEY.md §2.3–§2.5)
     "q_id_sanitize" -> ((s, d) => Ops.idSanitize(s, d)),
@@ -196,6 +199,22 @@ object SparkEntry {
       (s"$TfCte SELECT d.doc_id, d.n_chars FROM documents d " +
         "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark') " +
         "ORDER BY d.n_chars DESC, d.doc_id LIMIT 20"),
+    // Solr /export: the FULL sorted match set, no limit (bulk egress shape)
+    "q_export_sorted" ->
+      (s"$TfCte SELECT d.doc_id, d.source, d.n_chars FROM documents d " +
+        "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'data') " +
+        "ORDER BY d.source, d.doc_id"),
+    // Solr facet.prefix + facet.sort=index: prefix-restricted values in
+    // lexical order (the limit cuts in THAT order)
+    "q_facet_prefix" ->
+      (s"$TfCte SELECT d.lang, count(*)::BIGINT AS cnt FROM documents d " +
+        "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'data') " +
+        "AND d.lang LIKE 'e%' GROUP BY d.lang ORDER BY d.lang LIMIT 10"),
+    // Solr group.ngroups: distinct group values of the match set
+    "q_ngroups" ->
+      (s"$TfCte SELECT count(DISTINCT d.source)::BIGINT AS ngroups " +
+        "FROM documents d " +
+        "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'data')"),
     "q_term_range" ->
       (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
         "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +

@@ -247,6 +247,44 @@ object Ops {
       .orderBy(desc("n_chars"), asc("doc_id"))
       .limit(20)
 
+  /** Solr /export analog (r5): the FULL match set of a term — no limit, no
+    * score — with stored fields, globally ordered by a stored field with
+    * doc_id tiebreak. The engine twin is `QueryEngine.exportMatches`
+    * (range-partitioned sort → bulk parquet egress); this is the same
+    * relational shape over the driver tables, so the absence of a top-k
+    * cut is what the oracle checks.
+    */
+  def exportSorted(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir).filter(col("term") === "data")
+      .select("doc_id").distinct()
+      .join(t(spark, dir, "documents")
+        .select("doc_id", "source", "n_chars"), "doc_id")
+      .orderBy(asc("source"), asc("doc_id"))
+
+  /** Solr facet.prefix + facet.sort=index (r5): facet values of the match
+    * set restricted to a string prefix, counted, then ordered LEXICALLY —
+    * the limit cuts in index order, not count order
+    * (`QueryEngine.facet(prefix, sortIndex)` twin over the driver tables).
+    */
+  def facetPrefixIndex(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir).filter(col("term") === "data")
+      .select("doc_id").distinct()
+      .join(t(spark, dir, "documents").select("doc_id", "lang"), "doc_id")
+      .filter(col("lang").startsWith("e"))
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .orderBy(asc("lang"))
+      .limit(10)
+
+  /** Solr group.ngroups (r5): the distinct group-value count of the match
+    * set as ONE aggregate — `QueryEngine.countGroups` twin; partial
+    * map-side aggregation means one narrow shuffle at any corpus size.
+    */
+  def ngroupsMatch(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir).filter(col("term") === "data")
+      .select("doc_id").distinct()
+      .join(t(spark, dir, "documents").select("doc_id", "source"), "doc_id")
+      .agg(countDistinct(col("source")).as("ngroups"))
+
   /** Q2: fielded stored-field filter on a scored query — the driver-table
     * analog of the engine's `url:<v> terms` (filter gates candidates; corpus
     * stats stay corpus-wide, matching Solr fq semantics).
