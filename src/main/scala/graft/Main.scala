@@ -312,7 +312,7 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--group field] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
+    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--stats-percentiles 50,90,99] [--group field] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
     val indexDir = args(0)
     val query = args(1)
     // repeatable options first (Solr takes fq= / facet.query= any number of
@@ -323,7 +323,8 @@ object Search {
       valued = Set("--k", "--buckets", "--df", "--facet", "--facet-range",
         "--pivot", "--sort", "--stats", "--group", "--after", "--qop",
         "--start", "--fl", "--facet-limit", "--facet-mincount",
-        "--facet-prefix", "--facet-sort", "--export"),
+        "--facet-prefix", "--facet-sort", "--export",
+        "--stats-percentiles"),
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
         "--distributed", "--explain", "--group-ngroups"))
     val k = opts.getOrElse("--k", "10").toInt
@@ -524,10 +525,18 @@ object Search {
     }
     // Solr stats component analog: --stats doclen|titleLen over ALL matches
     opts.get("--stats").foreach { field =>
+      // Solr stats percentiles= analog (exact, not t-digest)
+      val ps = opts.get("--stats-percentiles").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .map(_.toDouble)
       println(s"[graft] stats field='$field' (over ALL matches)")
-      engine.statsField(query, field, df, fq, qOp).collect().foreach { r =>
-        println(s"  count=${r.get(0)} min=${r.get(1)} max=${r.get(2)} " +
-          s"sum=${r.get(3)} mean=${r.get(4)}")
+      engine.statsField(query, field, df, fq, qOp, ps).collect().foreach {
+        r =>
+          val pStr = ps.zipWithIndex.map { case (pt, i) =>
+            s" ${QueryEngine.percentileColName(pt)}=${r.get(5 + i)}"
+          }.mkString
+          println(s"  count=${r.get(0)} min=${r.get(1)} max=${r.get(2)} " +
+            s"sum=${r.get(3)} mean=${r.get(4)}$pStr")
       }
     }
     // Solr result grouping analog: --group field, --k = group.limit

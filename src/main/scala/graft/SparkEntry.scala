@@ -35,6 +35,7 @@ object SparkEntry {
     "q_export_sorted" -> ((s, d) => Ops.exportSorted(s, d)),
     "q_facet_prefix" -> ((s, d) => Ops.facetPrefixIndex(s, d)),
     "q_ngroups" -> ((s, d) => Ops.ngroupsMatch(s, d)),
+    "q_stats_percentiles" -> ((s, d) => Ops.statsPercentiles(s, d)),
     "q_topk_orders" -> ((s, d) => Ops.topkOrders(s, d)),
     // extraction / validation / join analogs (SURVEY.md §2.3–§2.5)
     "q_id_sanitize" -> ((s, d) => Ops.idSanitize(s, d)),
@@ -210,6 +211,12 @@ object SparkEntry {
       (s"$TfCte SELECT d.lang, count(*)::BIGINT AS cnt FROM documents d " +
         "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'data') " +
         "AND d.lang LIKE 'e%' GROUP BY d.lang ORDER BY d.lang LIMIT 10"),
+    // Solr stats percentiles: exact interpolated points over the match set
+    "q_stats_percentiles" ->
+      (s"$TfCte SELECT round(quantile_cont(d.n_chars, 0.5), 4) AS p50, " +
+        "round(quantile_cont(d.n_chars, 0.9), 4) AS p90, " +
+        "round(quantile_cont(d.n_chars, 0.99), 4) AS p99 FROM documents d " +
+        "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'data')"),
     // Solr group.ngroups: distinct group values of the match set
     "q_ngroups" ->
       (s"$TfCte SELECT count(DISTINCT d.source)::BIGINT AS ngroups " +

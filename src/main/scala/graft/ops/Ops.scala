@@ -275,6 +275,19 @@ object Ops {
       .orderBy(asc("lang"))
       .limit(10)
 
+  /** Solr stats percentiles (r5): exact interpolated percentile points of
+    * a numeric stored field over the match set (`QueryEngine.statsField`'s
+    * percentiles param; rounded to 4 decimals for cross-engine float
+    * parity, like the BM25 score oracles).
+    */
+  def statsPercentiles(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir).filter(col("term") === "data")
+      .select("doc_id").distinct()
+      .join(t(spark, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+      .agg(round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+        round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
+
   /** Solr group.ngroups (r5): the distinct group-value count of the match
     * set as ONE aggregate — `QueryEngine.countGroups` twin; partial
     * map-side aggregation means one narrow shuffle at any corpus size.

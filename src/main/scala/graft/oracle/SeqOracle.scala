@@ -224,6 +224,34 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       vs.sum.toDouble / vs.size))
   }
 
+  /** Stats-percentiles twin of [[graft.query.QueryEngine.statsField]]'s
+    * `percentiles` param: Spark's EXACT sort-based percentile — linear
+    * interpolation at rank p·(n−1) over the sorted values. None when
+    * nothing matches.
+    */
+  def statsPercentiles(query: String, field: String, ps: Seq[Double],
+      df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR"): Option[Seq[Double]] = {
+    val key: Long => Long = field match {
+      case "doclen"   => doclen
+      case "titleLen" => titleLen
+      case f => throw new IllegalArgumentException(s"unsupported stats field $f")
+    }
+    val vs = candidatesFq(query, df, fq, qOp).map(c => key(c._1).toDouble)
+      .sorted.toIndexedSeq
+    if (vs.isEmpty) None
+    else Some(ps.map { p =>
+      val rank = (p / 100.0) * (vs.size - 1)
+      val lo = math.floor(rank).toLong
+      val hi = math.ceil(rank).toLong
+      // EXACT floating-point form of Spark's Percentile.getPercentile —
+      // (hi−rank)·v(lo) + (rank−lo)·v(hi), NOT v(lo)+frac·Δ: the two
+      // differ in the last ulp and the spec asserts bit equality
+      if (hi == lo) vs(lo.toInt)
+      else (hi - rank) * vs(lo.toInt) + (rank - lo) * vs(hi.toInt)
+    })
+  }
+
   /** Solr result-grouping twin of [[graft.query.QueryEngine.searchGrouped]]:
     * (fieldValue, rank, docId, score) — top-k by (-score, docId) within
     * every distinct field value, ordered (fieldValue asc, rank asc).

@@ -1281,19 +1281,35 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * max / sum / mean of a stored numeric column over ALL matching docs.
     * One aggregation over the match-set join — no sort, no window.
     */
+  /** @param percentiles Solr stats `percentiles=` analog: percentage
+    *   points in (0, 100), each adding a `pNN` column with the EXACT
+    *   interpolated percentile (Spark's sort-based `percentile`, linear
+    *   interpolation at rank p·(n−1) — Solr itself approximates with
+    *   t-digest; exactness here is a strict upgrade and keeps the oracle
+    *   twin bit-checkable). Null when nothing matches, like min/max.
+    */
   def statsField(q: String, field: String, df: String = "text",
-      fq: Seq[String] = Nil, qOp: String = "OR"): DataFrame = {
+      fq: Seq[String] = Nil, qOp: String = "OR",
+      percentiles: Seq[Double] = Nil): DataFrame = {
     require(QueryEngine.NumericFields.contains(field),
       s"stats field '$field' unsupported (numeric stored: " +
         s"${QueryEngine.NumericFields.mkString(", ")})")
+    require(percentiles.forall(p => p > 0.0 && p < 100.0),
+      s"stats percentiles must be in (0, 100), got $percentiles")
     refreshIfStale()
     val v = view
     val ast = QueryParser.parse(q, df, qOp)
+    val pCols = percentiles.map { p =>
+      expr(s"percentile($field, ${p / 100.0})")
+        .as(QueryEngine.percentileColName(p))
+    }
+    val aggCols = Seq(count(lit(1)).as("cnt"), min(field).as("min"),
+      max(field).as("max"), sum(field).as("sum"),
+      avg(field).as("mean")) ++ pCols
     applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
       .join(v.docs.select($"docId", col(field)), Seq("docId"))
-      .agg(count(lit(1)).as("cnt"), min(field).as("min"),
-        max(field).as("max"), sum(field).as("sum"), avg(field).as("mean"))
+      .agg(aggCols.head, aggCols.tail: _*)
   }
 
   /** Solr result-grouping analog (`group.field=F&group.limit=k`): the top-k
@@ -1700,6 +1716,15 @@ object QueryEngine {
 
   /** Numeric stored columns `statsField` may aggregate (Solr stats.field). */
   val NumericFields: Set[String] = Set("doclen", "titleLen")
+
+  /** Column name for a stats percentile point: p50, p99, p99_9 (dots are
+    * not legal in unquoted column names).
+    */
+  def percentileColName(p: Double): String = {
+    val s = if (p == p.floor) p.toLong.toString
+            else p.toString.replace('.', '_')
+    s"p$s"
+  }
 
   /** String stored columns `searchGrouped` may group by. Restricted to
     * string fields: the SeqOracle twin orders group VALUES as strings, so

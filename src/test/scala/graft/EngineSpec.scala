@@ -487,6 +487,35 @@ class EngineSpec extends AnyFunSuite {
       engine.exportMatches(q, Seq("url"), "score"))
   }
 
+  test("stats percentiles: exact interpolated points match the oracle") {
+    val ps = Seq(50.0, 90.0, 99.0, 12.5)
+    Seq("the", "w00017", "*:*").foreach { q =>
+      val row = engine.statsField(q, "doclen", percentiles = ps)
+        .collect().head
+      val exp = oracle.statsPercentiles(q, "doclen", ps).get
+      ps.indices.foreach { i =>
+        assert(row.getDouble(5 + i) == exp(i),
+          s"q=$q p=${ps(i)}: got ${row.getDouble(5 + i)} exp ${exp(i)}")
+      }
+    }
+    // column naming: p50 / p12_5; fq + qOp thread through as everywhere
+    val named = engine.statsField("the", "doclen", percentiles = ps)
+    assert(named.columns.takeRight(4).toSeq ==
+      Seq("p50", "p90", "p99", "p12_5"))
+    val both = engine.statsField("the w00017", "doclen", fq = Seq("the"),
+      qOp = "AND", percentiles = Seq(50.0)).collect().head
+    assert(both.getDouble(5) == oracle.statsPercentiles("the w00017",
+      "doclen", Seq(50.0), fq = Seq("the"), qOp = "AND").get.head)
+    // empty match set: percentile columns are null like min/max
+    val empty = engine.statsField("zzznosuchterm", "doclen",
+      percentiles = Seq(50.0)).collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(5))
+    intercept[IllegalArgumentException](
+      engine.statsField("the", "doclen", percentiles = Seq(0.0)))
+    intercept[IllegalArgumentException](
+      engine.statsField("the", "doclen", percentiles = Seq(100.0)))
+  }
+
   test("group.ngroups equals the oracle distinct group count") {
     Seq("the", "w00017", "*:*").foreach { q =>
       assert(engine.countGroups(q, "lang") == oracle.ngroups(q, "lang"),
