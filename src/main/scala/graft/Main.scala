@@ -312,7 +312,7 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--stats-percentiles 50,90,99] [--group field] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
+    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-offset N] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--stats-percentiles 50,90,99] [--group field] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
     val indexDir = args(0)
     val query = args(1)
     // repeatable options first (Solr takes fq= / facet.query= any number of
@@ -323,7 +323,7 @@ object Search {
       valued = Set("--k", "--buckets", "--df", "--facet", "--facet-range",
         "--pivot", "--sort", "--stats", "--group", "--after", "--qop",
         "--start", "--fl", "--facet-limit", "--facet-mincount",
-        "--facet-prefix", "--facet-sort", "--export",
+        "--facet-prefix", "--facet-sort", "--facet-offset", "--export",
         "--stats-percentiles"),
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
         "--distributed", "--explain", "--group-ngroups"))
@@ -507,12 +507,14 @@ object Search {
       val fSort = opts.getOrElse("--facet-sort", "count")
       require(fSort == "count" || fSort == "index",
         s"--facet-sort must be count or index, got '$fSort'")
+      val fOffset = opts.getOrElse("--facet-offset", "0").toInt
       println(s"[graft] facet field='$field' (over ALL matches, " +
         s"limit=$fLimit mincount=$fMin" +
         fPrefix.fold("")(p => s" prefix=$p") +
-        (if (fSort == "index") " sort=index" else "") + ")")
+        (if (fSort == "index") " sort=index" else "") +
+        (if (fOffset > 0) s" offset=$fOffset" else "") + ")")
       engine.facet(query, field, fLimit, df, fq, fMin, qOp,
-        fPrefix, fSort == "index").collect().foreach {
+        fPrefix, fSort == "index", fOffset).collect().foreach {
         r => println(f"  ${r.get(0)}%-12s ${r.getLong(1)}%8d")
       }
     }

@@ -443,7 +443,7 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
   def facet(query: String, field: String, fq: Seq[String] = Nil,
       minCount: Long = 1L, qOp: String = "OR",
       prefix: Option[String] = None,
-      sortIndex: Boolean = false): Seq[(String, Long)] = {
+      sortIndex: Boolean = false, offset: Int = 0): Seq[(String, Long)] = {
     val vals = candidatesFq(query, "text", fq, qOp).map { case (id, _) =>
       field match {
         case "lang" => docLang(id)
@@ -454,8 +454,8 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     val counted = vals.groupBy(identity)
       .map { case (v, xs) => (v, xs.size.toLong) }
       .filter(_._2 >= minCount).toSeq
-    if (sortIndex) counted.sortBy(_._1)
-    else counted.sortBy { case (v, c) => (-c, v) }
+    (if (sortIndex) counted.sortBy(_._1)
+     else counted.sortBy { case (v, c) => (-c, v) }).drop(offset)
   }
 
   /** Solr group.ngroups twin of [[graft.query.QueryEngine.countGroups]]:

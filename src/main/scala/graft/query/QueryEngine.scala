@@ -1130,8 +1130,10 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   def facet(q: String, field: String, topN: Int = 20,
       df: String = "text", fq: Seq[String] = Nil,
       minCount: Long = 1L, qOp: String = "OR",
-      prefix: Option[String] = None, sortIndex: Boolean = false): DataFrame = {
+      prefix: Option[String] = None, sortIndex: Boolean = false,
+      offset: Int = 0): DataFrame = {
     require(minCount >= 1, s"facet.mincount must be >= 1, got $minCount")
+    require(offset >= 0, s"facet.offset must be >= 0, got $offset")
     refreshIfStale()
     val v = view // one snapshot for both the match set and the facet join
     // same df AND q.op as the hits being faceted — Solr's q.op is a global
@@ -1147,9 +1149,15 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val counted = restricted
       .groupBy(col(field)).agg(count(lit(1)).as("cnt"))
       .filter($"cnt" >= minCount)
-    (if (sortIndex) counted.orderBy(asc(field))
-     else counted.orderBy(desc("cnt"), asc(field)))
-      .limit(topN)
+    val ordered =
+      if (sortIndex) counted.orderBy(asc(field))
+      else counted.orderBy(desc("cnt"), asc(field))
+    // Solr facet.offset: skip the first `offset` values in the chosen
+    // order (facet paging). Catalyst folds offset+limit over the sort
+    // into one TakeOrderedAndProject(offset+topN) — the same cost shape
+    // as Solr, which prices facet paging per offset+limit too
+    if (offset == 0) ordered.limit(topN)
+    else ordered.offset(offset).limit(topN)
   }
 
   /** Solr facet.query: for each sub-query, the count of docs in the MAIN

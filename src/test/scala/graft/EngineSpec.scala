@@ -451,6 +451,19 @@ class EngineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(both ==
       oracle.facet("the", "lang", Seq("w00017"), prefix = Some("e")))
+    // facet.offset pages values in the CHOSEN order (count and index)
+    Seq(false, true).foreach { si =>
+      val paged = engine.facet(q, "lang", topN = 2, sortIndex = si,
+        offset = 1).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val exp = oracle.facet(q, "lang", sortIndex = si, offset = 1).take(2)
+      assert(paged == exp, s"facet.offset sortIndex=$si")
+      assert(paged ==
+        oracle.facet(q, "lang", sortIndex = si).slice(1, 3),
+        s"offset+limit ≡ slice of the full list (sortIndex=$si)")
+    }
+    intercept[IllegalArgumentException](
+      engine.facet(q, "lang", offset = -1))
   }
 
   test("/export analog: full match set, range-partitioned sort, no top-k") {
