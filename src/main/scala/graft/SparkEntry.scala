@@ -92,6 +92,7 @@ object SparkEntry {
     "q_mlt" -> ((s, d) => Ops.moreLikeThis(s, d)),
     "q_facet_pivot" -> ((s, d) => Ops.facetPivot(s, d)),
     "q_highlight" -> ((s, d) => Ops.highlightTopK(s, d)),
+    "q_highlight_multi" -> ((s, d) => Ops.highlightSnippets(s, d)),
   )
 
   private val Tok =
@@ -291,6 +292,26 @@ object SparkEntry {
         "list_slice(a.t, greatest(1, a.p - 5), a.p + 5), " +
         "x -> CASE WHEN x IN ('spark','window') THEN '<em>' || x || '</em>' ELSE x END), ' ') AS snippet " +
         "FROM topk k JOIN anch a USING(doc_id)"),
+    // hl.snippets: up to 2 fragments per doc, one per present query term,
+    // anchored at that term's first occurrence, in anchor order
+    "q_highlight_multi" ->
+      (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
+        "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +
+        "dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), " +
+        "topk AS (SELECT tf.doc_id, round(sum(ln(1 + (s.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf / " +
+        "(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))),4) AS score " +
+        "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
+        "WHERE tf.term IN ('spark','window') " +
+        "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10), " +
+        s"tokl AS (SELECT doc_id, list_filter($Tok, x -> x <> '') AS t FROM documents), " +
+        "anch AS (SELECT doc_id, t, unnest(list_slice(list_sort(list_filter(" +
+        "[coalesce(list_position(t, 'spark'), 0), " +
+        "coalesce(list_position(t, 'window'), 0)], x -> x > 0)), 1, 2))::BIGINT AS p " +
+        "FROM tokl) " +
+        "SELECT k.doc_id, k.score, a.p, array_to_string(list_transform(" +
+        "list_slice(a.t, greatest(1, a.p - 5), a.p + 5), " +
+        "x -> CASE WHEN x IN ('spark','window') THEN '<em>' || x || '</em>' ELSE x END), ' ') AS snippet " +
+        "FROM topk k JOIN anch a USING(doc_id) ORDER BY k.score DESC, k.doc_id, a.p"),
     "q_topk_orders" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"),

@@ -1217,4 +1217,39 @@ object Ops {
           concat(lit("<em>"), x, lit("</em>"))).otherwise(x)),
         " ").as("snippet"))
   }
+
+  /** Solr hl.snippets analog (r5): up to `snippets` fragments per top-k
+    * doc — one per PRESENT query term, anchored at that term's first
+    * occurrence, emitted in anchor-position order (Solr returns the best N
+    * fragments; first-occurrence-per-term is the deterministic analog —
+    * exact fragment choice is presentation, not ranking). `half` is the
+    * hl.fragsize analog in tokens each side of the anchor. Same scale
+    * shape as [[highlightTopK]]: join first, tokenize only the k winners.
+    */
+  def highlightSnippets(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "window"), k: Int = 10,
+      snippets: Int = 2, half: Int = 5): DataFrame = {
+    require(snippets >= 1 && half >= 1, "hl.snippets/fragsize must be >= 1")
+    val topk = bm25Scored(spark, dir, terms)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+    val toks = toksCol(col("text"))
+    // ascending first-occurrence positions of the PRESENT terms, cut at
+    // `snippets` — one row per fragment after the explode
+    val anchors = slice(array_sort(filter(
+      array(terms.map(tm => array_position(toks, tm)): _*),
+      p => p > 0)), 1, snippets)
+    t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .join(broadcast(topk), "doc_id")
+      .select(col("doc_id"), col("score"), toksCol(col("text")).as("t"),
+        explode(anchors).as("p"))
+      .withColumn("s", greatest(lit(1L), col("p") - half))
+      .select(col("doc_id"), col("score"), col("p"), array_join(transform(
+        slice(col("t"), col("s").cast("int"),
+          (col("p") + lit(half.toLong) - col("s") + lit(1L)).cast("int")),
+        x => when(x.isin(terms: _*),
+          concat(lit("<em>"), x, lit("</em>"))).otherwise(x)),
+        " ").as("snippet"))
+      .orderBy(desc("score"), asc("doc_id"), asc("p"))
+  }
 }

@@ -45,6 +45,33 @@ class OpsSpec extends AnyFunSuite {
     assert(dups >= 0)
   }
 
+  test("hl.snippets: one fragment per PRESENT term, anchor-ordered") {
+    import org.apache.spark.sql.functions._
+    val multi = graft.ops.Ops.highlightSnippets(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(multi.nonEmpty)
+    // a doc yields at most 2 fragments (one per query term), each wrapping
+    // at least one term, and fragments arrive in anchor-position order
+    multi.groupBy(_._1).foreach { case (id, frags) =>
+      assert(frags.length <= 2, s"doc $id")
+      assert(frags.map(_._2).sorted.toSeq == frags.map(_._2).toSeq)
+      frags.foreach { case (_, _, sn) => assert(sn.contains("<em>"), sn) }
+    }
+    // docs matching only ONE of the terms produce exactly one fragment
+    val single = graft.ops.Ops.highlightSnippets(spark, dir)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(single.forall(n => n >= 1 && n <= 2))
+    // snippets=1 reduces to the single-snippet op's anchor (min position)
+    val one = graft.ops.Ops.highlightSnippets(spark, dir, snippets = 1)
+      .select("doc_id", "snippet").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val legacy = graft.ops.Ops.highlightTopK(spark, dir)
+      .select("doc_id", "snippet").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(one == legacy, "snippets=1 must equal the single-snippet op")
+  }
+
   test("cosine top-k includes the query vector itself at rank 1") {
     val top = graft.ops.Ops.embedCosine(spark, dir).collect()
     assert(top.head.getLong(0) == 0L)
