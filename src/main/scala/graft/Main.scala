@@ -312,7 +312,7 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--fq query]* [--facet field] [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-offset N] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--stats-percentiles 50,90,99] [--group field] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
+    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--qf field[^w],field[^w]] [--fq query]* [--facet field] [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-offset N] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--stats-percentiles 50,90,99] [--group field] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
     val indexDir = args(0)
     val query = args(1)
     // repeatable options first (Solr takes fq= / facet.query= any number of
@@ -322,6 +322,7 @@ object Search {
     val (opts, flags) = MainCommon.parseArgs(rest,
       valued = Set("--k", "--buckets", "--df", "--facet", "--facet-range",
         "--pivot", "--sort", "--stats", "--group", "--after", "--qop",
+        "--qf",
         "--start", "--fl", "--facet-limit", "--facet-mincount",
         "--facet-prefix", "--facet-sort", "--facet-offset", "--export",
         "--stats-percentiles"),
@@ -331,6 +332,21 @@ object Search {
     require(k >= 0, "--k must be >= 0 (0 = Solr rows=0 count-only)")
     val df = opts.getOrElse("--df", "text") // Solr's df= default field
     val qOp = opts.getOrElse("--qop", "OR") // Solr's q.op= default operator
+    // Solr edismax qf= analog: unqualified plain terms search EVERY listed
+    // field, per-field BM25 contributions weighted and summed (tie=1 —
+    // divergence from Solr's default max documented at MultiLit). Bare
+    // field = weight 1. Applies to q only; fq strings parse qf-free, like
+    // Solr's fq (always the standard parser).
+    val qf: Seq[(String, Double)] = opts.get("--qf").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map { part =>
+        part.split("\\^") match {
+          case Array(f)    => (f, 1.0)
+          case Array(f, w) => (f, w.toDouble)
+          case _ => throw new IllegalArgumentException(
+            s"--qf entries are field or field^weight, got '$part'")
+        }
+      }
     // Solr start= shallow offset paging: fetch start+k and drop the first
     // start rows — the exact cost shape of Solr itself, which heaps
     // start+rows per shard (hence "deep paging with start= is an
@@ -389,7 +405,7 @@ object Search {
       val fields = opts("--fl").split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq
       val t0 = System.nanoTime()
-      engine.exportMatches(query, fields, field, ascending, df, fq, qOp)
+      engine.exportMatches(query, fields, field, ascending, df, fq, qOp, qf)
         .write.mode("overwrite").parquet(outDir)
       val n = spark.read.parquet(outDir).count() // metadata-only count
       val ms = (System.nanoTime() - t0) / 1e6
@@ -422,7 +438,7 @@ object Search {
           "--exhaustive applies to score-ordered search only")
         val t0 = System.nanoTime()
         val rows = engine.searchSorted(query, field, ascending, start + k,
-          df, fq, qOp).collect().drop(start)
+          df, fq, qOp, qf).collect().drop(start)
         val ms = (System.nanoTime() - t0) / 1e6
         println(f"[graft] query='$query' sort=$field:" +
           s"${if (ascending) "asc" else "desc"} hits=${rows.length} " +
@@ -434,7 +450,7 @@ object Search {
       case None if k == 0 =>
         // Solr rows=0: count-only — the full match-set size, no page
         val t0 = System.nanoTime()
-        val n = engine.countMatches(query, df, fq, qOp)
+        val n = engine.countMatches(query, df, fq, qOp, qf)
         val ms = (System.nanoTime() - t0) / 1e6
         val fqNote = if (fq.isEmpty) "" else s" fq=${fq.mkString("; ")}"
         println(f"[graft] query='$query'$fqNote numFound=$n latencyMs=$ms%.1f")
@@ -443,8 +459,8 @@ object Search {
         val t0 = System.nanoTime()
         val res =
           (if (flags.contains("--exhaustive"))
-             engine.searchExhaustive(query, start + k, df, after, fq, qOp)
-           else engine.search(query, start + k, df, after, fq, qOp))
+             engine.searchExhaustive(query, start + k, df, after, fq, qOp, qf)
+           else engine.search(query, start + k, df, after, fq, qOp, qf))
             .collect().drop(start)
         val ms = (System.nanoTime() - t0) / 1e6
         val fqNote = if (fq.isEmpty) "" else s" fq=${fq.mkString("; ")}"
@@ -463,7 +479,7 @@ object Search {
         if (flags.contains("--explain")) res.foreach { r =>
           val id = r.getLong(0)
           println(f"[graft] explain docId=$id%d score=${r.getDouble(1)}%.6f")
-          engine.explain(query, id, df, qOp).foreach { e =>
+          engine.explain(query, id, df, qOp, qf).foreach { e =>
             println(f"    ${e.term}%-24s tf=${e.tf}%-4d dl=${e.dl}%-5d " +
               f"df=${e.df}%-7d idf=${e.idf}%.6f boost=${e.boost}%.2f " +
               f"score=${e.score}%.6f")
@@ -514,14 +530,14 @@ object Search {
         (if (fSort == "index") " sort=index" else "") +
         (if (fOffset > 0) s" offset=$fOffset" else "") + ")")
       engine.facet(query, field, fLimit, df, fq, fMin, qOp,
-        fPrefix, fSort == "index", fOffset).collect().foreach {
+        fPrefix, fSort == "index", fOffset, qf).collect().foreach {
         r => println(f"  ${r.get(0)}%-12s ${r.getLong(1)}%8d")
       }
     }
     // Solr facet.query analog: per sub-query count over the match set
     if (facetQueries.nonEmpty) {
       println(s"[graft] facet.query (over ALL matches)")
-      engine.facetQuery(query, facetQueries, df, fq, qOp).collect().foreach { r =>
+      engine.facetQuery(query, facetQueries, df, fq, qOp, qf).collect().foreach { r =>
         println(f"  ${r.getString(0)}%-32s ${r.getLong(1)}%8d")
       }
     }
@@ -532,7 +548,7 @@ object Search {
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         .map(_.toDouble)
       println(s"[graft] stats field='$field' (over ALL matches)")
-      engine.statsField(query, field, df, fq, qOp, ps).collect().foreach {
+      engine.statsField(query, field, df, fq, qOp, ps, qf).collect().foreach {
         r =>
           val pStr = ps.zipWithIndex.map { case (pt, i) =>
             s" ${QueryEngine.percentileColName(pt)}=${r.get(5 + i)}"
@@ -545,9 +561,9 @@ object Search {
     opts.get("--group").foreach { field =>
       // Solr group.ngroups: distinct group count, priced as its own agg
       val ng = if (flags.contains("--group-ngroups"))
-        s" ngroups=${engine.countGroups(query, field, df, fq, qOp)}" else ""
+        s" ngroups=${engine.countGroups(query, field, df, fq, qOp, qf)}" else ""
       println(s"[graft] group field='$field' limit=$k$ng")
-      engine.searchGrouped(query, field, k, df, fq, qOp).collect().foreach { r =>
+      engine.searchGrouped(query, field, k, df, fq, qOp, qf).collect().foreach { r =>
         println(f"  ${r.get(0)}%-12s #${r.getInt(1)}%-3d docId=${r.getLong(2)}%8d score=${r.getDouble(3)}%.6f")
       }
     }
@@ -556,7 +572,7 @@ object Search {
       val parts = spec.split(",")
       require(parts.length == 2, "--pivot expects <fieldA>,<fieldB>")
       println(s"[graft] facet.pivot=${parts(0)},${parts(1)} (over ALL matches)")
-      engine.facetPivot(query, parts(0), parts(1), df = df, fq = fq, qOp = qOp)
+      engine.facetPivot(query, parts(0), parts(1), df = df, fq = fq, qOp = qOp, qf = qf)
         .collect().foreach { r =>
           println(f"  ${r.get(0)}%-12s (${r.getLong(1)}%d) > ${r.get(2)}%-24s ${r.getLong(3)}%8d")
         }
@@ -567,7 +583,7 @@ object Search {
       require(parts.length == 3,
         "--facet-range expects <startIso>,<endIso>,<gapSec>")
       println(s"[graft] facet.range warc_ts [$spec) (over ALL matches)")
-      engine.facetRange(query, parts(0), parts(1), parts(2).toLong, df, fq, qOp)
+      engine.facetRange(query, parts(0), parts(1), parts(2).toLong, df, fq, qOp, qf)
         .collect().foreach { r =>
           println(f"  ${r.get(0)}%-24s ${r.getLong(1)}%8d")
         }
@@ -582,7 +598,7 @@ object Search {
       // fq + qOp travel with the delete: it must tombstone exactly the
       // match set the page above displayed (review r5 — dropping fq here
       // made `*:* --fq ... --delete-all` wipe the whole corpus)
-      val n = engine.deleteAllByQuery(query, df, fq = fq, qOp = qOp)
+      val n = engine.deleteAllByQuery(query, df, fq = fq, qOp = qOp, qf = qf)
       println(s"[graft] tombstoned $n docs (all matches)")
     }
     spark.stop()

@@ -25,6 +25,7 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, d) => Ops.corpusStats(s, d)),
     "q_bm25_topk" -> ((s, d) => Ops.bm25TopK(s, d)),
     "q_bm25_boosted" -> ((s, d) => Ops.bm25Boosted(s, d)),
+    "q_bm25_qf" -> ((s, d) => Ops.bm25QfTopK(s, d)),
     "q_fq_topk" -> ((s, d) => Ops.bm25FqTopK(s, d)),
     "q_qop_and" -> ((s, d) => Ops.bm25QopAndTopK(s, d)),
     "q_facet_query" -> ((s, d) => Ops.facetQueryCounts(s, d)),
@@ -137,6 +138,26 @@ object SparkEntry {
         "FROM tf JOIN dfr USING(term) JOIN dl USING(doc_id) CROSS JOIN stats s " +
         "WHERE tf.term IN ('spark','window') " +
         "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10"),
+    "q_bm25_qf" ->
+      // edismax qf twin (Ops.bm25QfTopK): two fields = text + source,
+      // field-local dl/avgdl/df, global-N idf, weight in the idf position,
+      // SUM across fields (tie=1)
+      (s"$TfCte, atf AS (" +
+        "SELECT 'text' AS fld, doc_id, term, tf FROM tf " +
+        "UNION ALL SELECT 'src', doc_id, lower(source), 1::BIGINT FROM documents), " +
+        "dl AS (SELECT fld, doc_id, sum(tf)::BIGINT AS dl FROM atf GROUP BY fld, doc_id), " +
+        "ad AS (SELECT fld, avg(dl) AS avgdl FROM dl GROUP BY fld), " +
+        "nn AS (SELECT count(*)::BIGINT AS n FROM documents), " +
+        "dfr AS (SELECT fld, term, count(*)::BIGINT AS df FROM atf " +
+        "WHERE term IN ('spark','src3') GROUP BY fld, term) " +
+        "SELECT atf.doc_id, round(sum(" +
+        "ln(1 + (nn.n - dfr.df + 0.5)/(dfr.df + 0.5)) * " +
+        "(CASE atf.fld WHEN 'src' THEN 3.0 ELSE 1.0 END)::DOUBLE * atf.tf / " +
+        "(atf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/ad.avgdl))),4) AS score " +
+        "FROM atf JOIN dfr ON atf.fld=dfr.fld AND atf.term=dfr.term " +
+        "JOIN dl ON atf.fld=dl.fld AND atf.doc_id=dl.doc_id " +
+        "JOIN ad ON atf.fld=ad.fld CROSS JOIN nn " +
+        "GROUP BY atf.doc_id ORDER BY score DESC, atf.doc_id LIMIT 10"),
     "q_fq_topk" ->
       (s"$TfCte, dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id), " +
         "stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl), " +

@@ -126,6 +126,47 @@ object Ops {
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)
 
+  /** Q2 edismax qf (r5): the SQL-analog twin of `q=spark src3&qf=text^1
+    * src^3` — every query token searched across TWO fields (text, plus
+    * `source` standing in as the second indexed field of the driver
+    * table), each field's BM25 contribution weighted by its qf weight and
+    * SUMMED (tie=1 — the engine's MultiLit rule, QueryParser.scala). Norms
+    * are FIELD-LOCAL (per-field dl/avgdl, per-(field,term) df) while idf's
+    * N is the one corpus doc count — exactly the engine's text/title
+    * split. Engine twin: [[graft.query.QueryParser.parse]]'s qf param;
+    * rank identity there is EngineSpec's qf goldens, the scoring RULE is
+    * hash-checked here in DuckDB.
+    */
+  def bm25QfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("spark", "src3")
+    val docs = t(spark, dir, "documents")
+    // one corpus tokenize pass + a 1-row-per-doc source field, tagged and
+    // unioned; all per-field stats derive from the single checkpoint
+    val tf = tokenizeTf(spark, dir).withColumn("fld", lit("text"))
+      .unionByName(docs.select(col("doc_id"),
+        lower(col("source")).as("term"), lit(1L).as("tf"),
+        lit("src").as("fld")))
+      .localCheckpoint()
+    val dl = tf.groupBy("fld", "doc_id").agg(sum("tf").as("doclen"))
+    val avgdl = dl.groupBy("fld").agg(avg("doclen").as("avgdl"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // df filtered-before-agg, per (field, term) — broadcast-sized
+    val dfr = tf.filter(col("term").isin(qTerms: _*))
+      .groupBy("fld", "term").agg(count(lit(1)).as("df"))
+    tf.filter(col("term").isin(qTerms: _*))
+      .join(broadcast(dfr), Seq("fld", "term"))
+      .join(dl, Seq("fld", "doc_id"))
+      .join(broadcast(avgdl), Seq("fld"))
+      .crossJoin(broadcast(n))
+      // qf weight multiplies in the idf position, like every boost
+      .withColumn("w",
+        when(col("fld") === "src", lit(3.0)).otherwise(lit(1.0)))
+      .withColumn("contrib", bm25Contrib(col("w")))
+      .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
   /** Q1 fq (r5): the SQL-analog twin of `q=spark window` + `fq=data` —
     * BM25 top-10 over only the docs that also contain the fq term, scores
     * identical to the unconstrained query (Solr's q-vs-fq split: fq never

@@ -104,12 +104,16 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * searchAfter anchor: the page of k results ranking strictly after it.
     * `fq`/`qOp` mirror [[graft.query.QueryEngine.search]]: fq match sets
     * intersect the result WITHOUT touching scores; qOp is the parser's
-    * default operator.
+    * default operator. `qf` is the edismax multi-field surface: the parser
+    * fans unqualified plain terms out per field ([[graft.query.MultiLit]]),
+    * so the oracle scores them through the exact same resolve step as any
+    * other one-of-a-set literal — no oracle-side scoring change.
     */
   def topK(query: String, k: Int, df: String = "text",
       after: Option[(Long, Double)] = None, fq: Seq[String] = Nil,
-      qOp: String = "OR"): Seq[(Long, Double)] = {
-    val ast = QueryParser.parse(query, df, qOp)
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil)
+      : Seq[(Long, Double)] = {
+    val ast = QueryParser.parse(query, df, qOp, qf)
     var all = candidates(ast)
     fq.foreach { s =>
       val ok = fqMatchOk(s, df, qOp)

@@ -263,8 +263,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def search(q: String, k: Int, df: String = "text",
       after: Option[Wand.Scored] = None, fq: Seq[String] = Nil,
-      qOp: String = "OR"): DataFrame =
-    searchWand(q, k, df, after, fq, qOp)
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame =
+    searchWand(q, k, df, after, fq, qOp, qf)
 
   /** Library-call form: top-k as driver-side values. For small posting sets
     * this is one (cached) scan with zero result-side Spark jobs — the
@@ -290,10 +290,11 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * explain on a not-yet-merged delete.
     */
   def explain(q: String, docId: Long, df: String = "text",
-      qOp: String = "OR"): Seq[QueryEngine.ExplainEntry] = {
+      qOp: String = "OR",
+      qf: Seq[(String, Double)] = Nil): Seq[QueryEngine.ExplainEntry] = {
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp)
+    val ast = QueryParser.parse(q, df, qOp, qf)
     if (ast.matchAll)
       return Seq(QueryEngine.ExplainEntry("*:*", 0, 0, 0L, 1.0, 1.0, 1.0))
     val rq = QueryResolve.resolve(ast, expander(v))
@@ -602,9 +603,9 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
   def searchWand(q: String, k: Int, df: String = "text",
       after: Option[Wand.Scored] = None, fq: Seq[String] = Nil,
-      qOp: String = "OR"): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
     refreshIfStale()
-    searchWandV(view, q, k, df, after, fq, qOp)
+    searchWandV(view, q, k, df, after, fq, qOp, qf)
   }
 
   /** Split parsed fqs into (pure stored-field predicates — mergeable into
@@ -663,9 +664,9 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   private def searchWandV(v: IndexView, q: String, k: Int, df: String,
       after: Option[Wand.Scored], fq: Seq[String] = Nil,
-      qOp: String = "OR"): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
     // every read below sees the same snapshot
-    val ast = QueryParser.parse(q, df, qOp)
+    val ast = QueryParser.parse(q, df, qOp, qf)
     if (ast.matchAll) {
       // match-all needs no WAND. Driver fast path first (review r5): when
       // the fq predicates, every term-fq match set, and the tombstone set
@@ -940,10 +941,10 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
   def searchExhaustive(q: String, k: Int, df: String = "text",
       after: Option[Wand.Scored] = None, fq: Seq[String] = Nil,
-      qOp: String = "OR"): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
     refreshIfStale()
     val v = view // one snapshot for the query and every fq match set
-    val ast = QueryParser.parse(q, df, qOp)
+    val ast = QueryParser.parse(q, df, qOp, qf)
     // fq constraint = semi-join per source; scores are untouched (the
     // q-vs-fq split: fq never contributes score)
     var cands = applyFq(v, fq, df, qOp)(scoredCandidates(ast, v))
@@ -1131,14 +1132,14 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       df: String = "text", fq: Seq[String] = Nil,
       minCount: Long = 1L, qOp: String = "OR",
       prefix: Option[String] = None, sortIndex: Boolean = false,
-      offset: Int = 0): DataFrame = {
+      offset: Int = 0, qf: Seq[(String, Double)] = Nil): DataFrame = {
     require(minCount >= 1, s"facet.mincount must be >= 1, got $minCount")
     require(offset >= 0, s"facet.offset must be >= 0, got $offset")
     refreshIfStale()
     val v = view // one snapshot for both the match set and the facet join
     // same df AND q.op as the hits being faceted — Solr's q.op is a global
     // request param, so the facet's match set must be the page's match set
-    val ast = QueryParser.parse(q, df, qOp)
+    val ast = QueryParser.parse(q, df, qOp, qf)
     val joined = applyFq(v, fq, df, qOp)(
       scoredCandidates(ast, v, needScores = false).select($"docId"))
       .join(v.docs.select($"docId", col(field)), Seq("docId"))
@@ -1169,12 +1170,12 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def facetQuery(q: String, subQueries: Seq[String],
       df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR"): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
     require(subQueries.nonEmpty, "facet.query needs at least one sub-query")
     refreshIfStale()
     val v = view // one snapshot for the base and every sub match set
     val base = applyFq(v, fq, df, qOp)(scoredCandidates(
-      QueryParser.parse(q, df, qOp), v, needScores = false).select($"docId"))
+      QueryParser.parse(q, df, qOp, qf), v, needScores = false).select($"docId"))
     val tagged = subQueries.zipWithIndex.map { case (s, i) =>
       // q.op applies to facet.query strings too (one global parser flag)
       val ast = QueryParser.parse(s, df, qOp)
@@ -1205,13 +1206,13 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def searchSorted(q: String, sortField: String, ascending: Boolean, k: Int,
       df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR"): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
     require(QueryEngine.SortableFields.contains(sortField),
       s"sort field '$sortField' unsupported (stored: " +
         s"${QueryEngine.SortableFields.mkString(", ")})")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp)
+    val ast = QueryParser.parse(q, df, qOp, qf)
     val dir = if (ascending) asc(sortField) else desc(sortField)
     applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
@@ -1234,7 +1235,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def exportMatches(q: String, fields: Seq[String], sortField: String,
       ascending: Boolean = true, df: String = "text",
-      fq: Seq[String] = Nil, qOp: String = "OR"): DataFrame = {
+      fq: Seq[String] = Nil, qOp: String = "OR",
+      qf: Seq[(String, Double)] = Nil): DataFrame = {
     require(QueryEngine.SortableFields.contains(sortField),
       s"export sort field '$sortField' unsupported (stored: " +
         s"${QueryEngine.SortableFields.mkString(", ")})")
@@ -1244,7 +1246,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
         s"${QueryEngine.SortableFields.toSeq.sorted.mkString(", ")}")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp)
+    val ast = QueryParser.parse(q, df, qOp, qf)
     val cols = ("docId" +: (fields :+ sortField).distinct).map(col)
     val dir = if (ascending) asc(sortField) else desc(sortField)
     applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
@@ -1262,14 +1264,14 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def facetRange(q: String, startIso: String, endIso: String, gapSec: Long,
       df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR"): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
     require(gapSec > 0, "facet.range gap must be positive")
     val startMs = java.time.Instant.parse(startIso).toEpochMilli
     val endMs = java.time.Instant.parse(endIso).toEpochMilli
     require(endMs > startMs, "facet.range end must be after start")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp)
+    val ast = QueryParser.parse(q, df, qOp, qf)
     applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
       .join(v.docs.select($"docId", $"warc_ts"), Seq("docId"))
@@ -1298,7 +1300,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def statsField(q: String, field: String, df: String = "text",
       fq: Seq[String] = Nil, qOp: String = "OR",
-      percentiles: Seq[Double] = Nil): DataFrame = {
+      percentiles: Seq[Double] = Nil,
+      qf: Seq[(String, Double)] = Nil): DataFrame = {
     require(QueryEngine.NumericFields.contains(field),
       s"stats field '$field' unsupported (numeric stored: " +
         s"${QueryEngine.NumericFields.mkString(", ")})")
@@ -1306,7 +1309,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       s"stats percentiles must be in (0, 100), got $percentiles")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp)
+    val ast = QueryParser.parse(q, df, qOp, qf)
     val pCols = percentiles.map { p =>
       expr(s"percentile($field, ${p / 100.0})")
         .as(QueryEngine.percentileColName(p))
@@ -1331,14 +1334,14 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def searchGrouped(q: String, field: String, kPerGroup: Int,
       df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR"): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
     require(QueryEngine.GroupableFields.contains(field),
       s"group field '$field' unsupported (string stored: " +
         s"${QueryEngine.GroupableFields.mkString(", ")})")
     require(kPerGroup > 0, "group.limit must be positive")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp)
+    val ast = QueryParser.parse(q, df, qOp, qf)
     val salts = 32
     import org.apache.spark.sql.expressions.Window
     val joined = applyFq(v, fq, df, qOp)(scoredCandidates(ast, v))
@@ -1363,13 +1366,14 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * ngroups is priced separately from the groups page; same here).
     */
   def countGroups(q: String, field: String, df: String = "text",
-      fq: Seq[String] = Nil, qOp: String = "OR"): Long = {
+      fq: Seq[String] = Nil, qOp: String = "OR",
+      qf: Seq[(String, Double)] = Nil): Long = {
     require(QueryEngine.GroupableFields.contains(field),
       s"group field '$field' unsupported (string stored: " +
         s"${QueryEngine.GroupableFields.mkString(", ")})")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp)
+    val ast = QueryParser.parse(q, df, qOp, qf)
     applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
       .join(v.docs.select($"docId", col(field)), Seq("docId"))
@@ -1387,14 +1391,14 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def facetPivot(q: String, fieldA: String, fieldB: String, topA: Int = 5,
       topB: Int = 3, df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR"): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
     require(QueryEngine.GroupableFields.contains(fieldA) &&
       QueryEngine.GroupableFields.contains(fieldB) && fieldA != fieldB,
       s"pivot fields must be distinct members of " +
         s"${QueryEngine.GroupableFields.mkString(", ")}")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp)
+    val ast = QueryParser.parse(q, df, qOp, qf)
     import org.apache.spark.sql.expressions.Window
     val ab = applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
@@ -1519,11 +1523,12 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * it explicitly, exactly like Solr's rows=0.
     */
   def countMatches(q: String, df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR"): Long = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): Long = {
     refreshIfStale()
     val v = view
     applyFq(v, fq, df, qOp)(
-      scoredCandidates(QueryParser.parse(q, df, qOp), v, needScores = false))
+      scoredCandidates(QueryParser.parse(q, df, qOp, qf), v,
+        needScores = false))
       .count()
   }
 
@@ -1545,6 +1550,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       : Option[(String, Long)] = {
     refreshIfStale()
     val v = view // one snapshot: presence check, suggestions, hit count
+    // collation is a spellcheck surface: qf does not apply (Suggest CLI)
     val ast = QueryParser.parse(q, df, qOp)
     if (ast.matchAll) return None
     val exactKeys = ast.scoringLits.collect { case ExactLit(k) => k }.distinct
@@ -1687,7 +1693,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def deleteAllByQuery(q: String, df: String = "text",
       pageSize: Int = 10000, flushEvery: Int = 1 << 20,
-      fq: Seq[String] = Nil, qOp: String = "OR"): Long = {
+      fq: Seq[String] = Nil, qOp: String = "OR",
+      qf: Seq[(String, Double)] = Nil): Long = {
     var total = 0L
     // primitive accumulator: ArrayBuffer[Long] boxes every id into Object[]
     // (CLAUDE.md rule 8 — 8× the driver pages per flush window)
@@ -1695,7 +1702,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     var after: Option[Wand.Scored] = None
     var done = false
     while (!done) {
-      val page = search(q, pageSize, df, after, fq, qOp).collect()
+      val page = search(q, pageSize, df, after, fq, qOp, qf).collect()
         .map(r => Wand.Scored(r.getLong(0), r.getDouble(1)))
       page.foreach(p => buf.add(p.docId))
       total += page.length

@@ -50,6 +50,20 @@ final case class WildcardLit(key: String) extends TermLit
   * spaces cannot appear in term keys or other literal keys, so cache/boost
   * identity cannot collide.
   */
+/** edismax qf multi-field term (r5): one unqualified query token searched
+  * across several indexed fields with per-field weights
+  * (`qf=text^1 title^3`). Resolves to one per-field key PER qf field — a
+  * one-of-a-set clause slot exactly like a prefix expansion — and each
+  * key's boost is fieldWeight x any user `^boost` on the occurrence, so
+  * scoring is the SUM of the per-field BM25 contributions (edismax with
+  * tie=1; Solr's default tie=0 takes the max — documented divergence,
+  * sum keeps WAND bounds and the idf boost-fold unchanged). `key` is the
+  * bare token (used for display/protection, never as a postings key).
+  */
+final case class MultiLit(token: String,
+    weighted: Seq[(String, Double)]) extends TermLit {
+  def key: String = token
+}
 final case class TermRangeLit(fieldPfx: String, lo: Option[String],
     hi: Option[String], incLo: Boolean, incHi: Boolean) extends TermLit {
   def key: String = fieldPfx + (if (incLo) "[" else "{") +
@@ -189,6 +203,7 @@ object QueryResolve {
     val cache = mutable.HashMap.empty[(String, Int), Seq[String]]
     def terms(l: TermLit): Seq[String] = l match {
       case ExactLit(k) => Seq(k)
+      case MultiLit(_, ws) => ws.map(_._1)
       case PrefixLit(p) =>
         cache.getOrElseUpdate((p, -1), expander.prefix(p))
       case WildcardLit(p) =>
@@ -216,7 +231,11 @@ object QueryResolve {
     val implicitOnes = ast.scoringLits.filterNot(ast.boosts.contains)
       .iterator.map(_ -> 1.0)
     val boosts = (ast.boosts.iterator ++ implicitOnes)
-      .flatMap { case (l, b) => terms(l).map(_ -> b) }.toSeq
+      .flatMap {
+        // qf: per-key boost = field weight x the occurrence's user boost
+        case (m: MultiLit, b) => m.weighted.map { case (k, w) => k -> w * b }
+        case (l, b) => terms(l).map(_ -> b)
+      }.toSeq
       .groupBy(_._1).map { case (t, bs) => t -> bs.map(_._2).max }
       .filter(_._2 != 1.0)
     ResolvedQuery(scoring, clauses, boosts)
@@ -591,11 +610,17 @@ object QueryParser {
     *   the sequential oracle change together.
     */
   def parse(q: String, defaultField: String = "text",
-      defaultOp: String = "OR"): QueryAst = {
+      defaultOp: String = "OR",
+      qf: Seq[(String, Double)] = Nil): QueryAst = {
     require(IndexedFields.contains(defaultField),
       s"df='$defaultField': indexed fields are ${IndexedFields.mkString(", ")}")
     require(defaultOp == "OR" || defaultOp == "AND",
       s"q.op must be OR or AND, got '$defaultOp'")
+    require(qf.forall { case (f, w) => IndexedFields.contains(f) && w > 0 },
+      s"qf fields must be indexed (${IndexedFields.mkString(", ")}) with " +
+        s"positive weights, got $qf")
+    require(qf.map(_._1).distinct.size == qf.size,
+      s"qf lists a field twice: $qf")
     // Solr match-all (`q=*:*`): every live document matches with constant
     // score 1.0, ranked by docId — the canonical Solr idiom for fq-only
     // queries, whole-corpus facets/stats, and delete-everything
@@ -608,11 +633,12 @@ object QueryParser {
     require(!q.contains("*:*"),
       "*:* is supported only as the entire query (Solr match-all); " +
         "add constraints as fq filter queries instead")
-    new P(lex(q), defaultField, defaultOp == "AND").run()
+    new P(lex(q), defaultField, defaultOp == "AND", qf).run()
   }
 
   private final class P(toks: Vector[Tok], defaultField: String,
-      andDefault: Boolean = false) {
+      andDefault: Boolean = false,
+      qf: Seq[(String, Double)] = Nil) {
     private var i = 0
     private var lang: Option[String] = None
     private var url: Option[String] = None
@@ -935,12 +961,20 @@ object QueryParser {
                 if (fuzzy.get == 0) ExactLit(key) else FuzzyLit(key, fuzzy.get)
               Some(NTerm(boosted(lit, boost)))
             } else {
-              val ts = Analysis.tokenize(bare).toSeq.map(termKey(field, _))
+              // edismax qf: an UNQUALIFIED plain term fans out across the
+              // qf fields (explicit field or group scope wins, like Solr;
+              // prefix/fuzzy/wildcard/phrase stay on the resolved field)
+              val mk: String => TermLit =
+                if (qf.nonEmpty && t.field.isEmpty && fieldScope.isEmpty)
+                  tok => MultiLit(tok,
+                    qf.map { case (f, w) => (termKey(f, tok), w) })
+                else tok => ExactLit(termKey(field, tok))
+              val ts = Analysis.tokenize(bare).toSeq
               if (ts.isEmpty) None
               else if (ts.length == 1)
-                Some(NTerm(boosted(ExactLit(ts.head), boost)))
+                Some(NTerm(boosted(mk(ts.head), boost)))
               else Some(NOr(ts.map(k => // multi-token value
-                NTerm(boosted(ExactLit(k), boost)))))
+                NTerm(boosted(mk(k), boost)))))
             }
           }
       }

@@ -624,6 +624,70 @@ class EngineSpec extends AnyFunSuite {
     assert(expect.nonEmpty)
   }
 
+  test("edismax qf: multi-field weighted terms rank-identical across all paths (r5)") {
+    val qf = Seq("text" -> 1.0, "title" -> 3.0)
+    val distEngine = new QueryEngine(spark, indexDir, conf.numBuckets,
+      driverWandMaxSegments = 0)
+    // bare terms fan out per field; explicit fields, phrases, prefixes and
+    // groups keep their own resolution (qf applies to unqualified plain
+    // terms only, like edismax's qf vs the lucene-syntax passthrough)
+    val qs = Seq(
+      "doc",                 // title-only token reached via qf
+      "w00017 doc",          // one field-private + one fanned token
+      "doc AND w00017",      // MUST over a multi-field slot
+      "doc^2 w00017",        // user boost multiplies the field weight
+      "title:9 doc",         // explicit field wins over qf
+      "\"the of\" doc",      // phrase terms stay on df
+      "w0001* doc",          // prefix stays on the resolved field
+      "9 NOT w00342",        // fanned token + negation
+      "title:(doc 9) w00017" // field-group scope wins over qf
+    )
+    for (q <- qs; qOp <- Seq("OR", "AND")) {
+      val expect = oracle.topK(q, 10, qOp = qOp, qf = qf)
+      val wand = engine.searchWand(q, 10, qOp = qOp, qf = qf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val dist = distEngine.searchWand(q, 10, qOp = qOp, qf = qf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val exh = engine.searchExhaustive(q, 10, qOp = qOp, qf = qf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assertRankIdentical(wand, expect, s"qf WAND-driver q='$q' qOp=$qOp")
+      assertRankIdentical(dist, expect, s"qf WAND-dist q='$q' qOp=$qOp")
+      assertRankIdentical(exh, expect, s"qf EXH q='$q' qOp=$qOp")
+    }
+    // different weights change the ranking arithmetic, not just the labels
+    val qf2 = Seq("text" -> 0.5, "title" -> 2.0)
+    val e1 = oracle.topK("doc w00017", 10, qf = qf)
+    val e2 = oracle.topK("doc w00017", 10, qf = qf2)
+    assert(e1.map(_._2) != e2.map(_._2), "weights must reach the scores")
+    val g2 = engine.search("doc w00017", 10, qf = qf2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assertRankIdentical(g2, e2, "qf weights")
+    // qf=text^1 alone ≡ no qf (the default field IS the one qf field)
+    assertRankIdentical(
+      engine.search("w00017 w00342", 10, qf = Seq("text" -> 1.0))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      oracle.topK("w00017 w00342", 10), "qf=text^1 ≡ default")
+    // match-set consumers take qf through the same parse seam
+    assert(engine.countMatches("doc", qf = qf) ==
+      oracle.topK("doc", NDocs.toInt, qf = qf).size.toLong)
+    // explain: per-term entries sum bit-identically to the qf-scored hit
+    val top = engine.search("doc AND w00017", 10, qf = qf).collect()
+    assert(top.nonEmpty)
+    val entries = engine.explain("doc AND w00017", top.head.getLong(0), qf = qf)
+    assert(entries.map(_.score).foldLeft(0.0)(_ + _) == top.head.getDouble(1))
+    // the fanned token shows up under its per-field postings keys
+    assert(entries.exists(_.term == "title:doc"),
+      s"qf explain terms: ${entries.map(_.term)}")
+    // parse-time gate: unknown field, duplicate field, non-positive weight
+    import graft.query.QueryParser
+    intercept[IllegalArgumentException](
+      QueryParser.parse("a", qf = Seq("body" -> 1.0)))
+    intercept[IllegalArgumentException](
+      QueryParser.parse("a", qf = Seq("text" -> 1.0, "text" -> 2.0)))
+    intercept[IllegalArgumentException](
+      QueryParser.parse("a", qf = Seq("title" -> 0.0)))
+  }
+
   test("prefix query expands against the dictionary (capped, deterministic)") {
     // w0099* expands to w00990..w00999 in this corpus; rank-identical above.
     // A prefix matching nothing must yield empty, not error.
