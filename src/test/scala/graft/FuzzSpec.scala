@@ -194,6 +194,36 @@ class FuzzSpec extends AnyFunSuite {
     assert(nonEmpty >= 5, s"only $nonEmpty/25 fq combos matched anything")
   }
 
+  test("qf over generated queries: multi-field fan-out rank-identical " +
+      "in all paths") {
+    // random edismax qf configs against the full query grammar: bare terms
+    // fan out per field, while every other atom (explicit field, phrase,
+    // prefix/fuzzy/wildcard/range, group scope) must keep its own
+    // resolution — the generator mixes them freely, so any seam where qf
+    // leaks into a non-bare literal diverges from the oracle here
+    val configs = Seq(
+      Seq("text" -> 1.0, "title" -> 3.0),
+      Seq("text" -> 0.5, "title" -> 2.0),
+      Seq("title" -> 1.5),
+      Seq("text" -> 2.0))
+    val combos = Iterator.continually {
+      (genQuery(), pick(configs), if (rng.nextInt(3) == 0) "AND" else "OR")
+    }.distinct.take(25).toSeq
+    var nonEmpty = 0
+    combos.foreach { case (q, qf, qOp) =>
+      val expect = oracle.topK(q, 10, qOp = qOp, qf = qf)
+      if (expect.nonEmpty) nonEmpty += 1
+      val ctx = s"q='$q' qf=$qf qop=$qOp"
+      assertSame(ids(engine.searchWand(q, 10, qOp = qOp, qf = qf)),
+        expect, s"driver $ctx")
+      assertSame(ids(distEngine.searchWand(q, 10, qOp = qOp, qf = qf)),
+        expect, s"dist $ctx")
+      assertSame(ids(engine.searchExhaustive(q, 10, qOp = qOp, qf = qf)),
+        expect, s"exh $ctx")
+    }
+    assert(nonEmpty >= 10, s"only $nonEmpty/25 qf combos matched anything")
+  }
+
   test("sorted search over generated queries: stored-field order matches " +
       "oracle both directions") {
     val queries = Iterator.continually(genQuery()).distinct.take(12).toSeq
