@@ -61,6 +61,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => Ops.fingerprint(s, d)),
     "q_token_count" -> ((s, d) => Ops.tokenCount(s, d)),
     "q_quality_score" -> ((s, d) => Ops.qualityScore(s, d)),
+    "q_repetition" -> ((s, d) => Ops.repetitionRatio(s, d)),
     "q_lang_id" -> ((s, d) => Ops.langId(s, d)),
     "q_dedup_ngram" -> ((s, d) => Ops.dedupNgram(s, d)),
     "q_embed_cosine" -> ((s, d) => Ops.embedCosine(s, d)),
@@ -408,6 +409,17 @@ object SparkEntry {
         "x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE / len(t), 4) END AS stop_ratio, " +
         "round((length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')))::DOUBLE " +
         "/ length(text), 4) AS punct_ratio FROM d"),
+    "q_repetition" ->
+      // Gopher-style repetition signals (Ops.repetitionRatio): duplicate-
+      // trigram fraction + top-term mass, docs with >= 3 tokens
+      (s"WITH d AS (SELECT doc_id, list_filter($Tok, x -> x <> '') AS a FROM documents), " +
+        "e AS (SELECT doc_id, a FROM d WHERE len(a) >= 3), " +
+        "idx AS (SELECT doc_id, a, unnest(generate_series(1, len(a)-2)) AS i FROM e), " +
+        "tri AS (SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g FROM idx), " +
+        "trs AS (SELECT doc_id, round(1 - count(DISTINCT g)::DOUBLE/count(*), 4) AS dup_trigram_frac FROM tri GROUP BY doc_id), " +
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM (SELECT doc_id, unnest(a) AS term FROM e) GROUP BY doc_id, term), " +
+        "tops AS (SELECT doc_id, round(max(tf)::DOUBLE/sum(tf), 4) AS top_tf_frac FROM tf GROUP BY doc_id) " +
+        "SELECT trs.doc_id, dup_trigram_frac, top_tf_frac FROM trs JOIN tops USING(doc_id)"),
     "q_lang_id" ->
       (s"WITH d AS (SELECT doc_id, list_filter($Tok, x -> x <> '') AS t FROM documents), " +
         "h AS (SELECT doc_id, " +

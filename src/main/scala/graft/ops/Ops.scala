@@ -542,6 +542,37 @@ object Ops {
           .cast("double") / length(col("text")), 4).as("punct_ratio"))
   }
 
+  /** Gopher-style repetition signals (r5): per doc, the duplicate-trigram
+    * fraction (1 − distinct/total 3-grams) and the top-term mass
+    * (max tf / doclen) — the two repetition filters a web-scale training
+    * pipeline applies alongside [[qualityScore]] before dedup (high
+    * dup-trigram or one-token-dominated docs are boilerplate/spam). Docs
+    * with < 3 tokens are skipped (no trigram defined). Scale shape: the
+    * trigram fraction is a NARROW per-row computation (higher-order array
+    * functions, whole-stage codegen, zero shuffle); the top-term mass
+    * reuses the (doc,term) hash agg with map-side combine; the final join
+    * is doc_id-co-partitioned agg output. No driver state.
+    */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), toksCol(col("text")).as("a"))
+      .filter(size(col("a")) >= 3)
+    val tri = docs.select(col("doc_id"),
+      transform(sequence(lit(1), size(col("a")) - 2),
+        i => concat_ws(" ", element_at(col("a"), i),
+          element_at(col("a"), i + 1), element_at(col("a"), i + 2)))
+        .as("tris"))
+      .select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(col("tris"))).cast("double") /
+          size(col("tris")), 4).as("dup_trigram_frac"))
+    val tops = docs
+      .select(col("doc_id"), explode(col("a")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(round(max("tf").cast("double") / sum("tf"), 4).as("top_tf_frac"))
+    tri.join(tops, "doc_id")
+  }
+
   /** Language ID: per-language stopword-hit counts, argmax with fixed
     * tie order en > de > es > fr.
     */

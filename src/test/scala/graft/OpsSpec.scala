@@ -173,6 +173,27 @@ class OpsSpec extends AnyFunSuite {
     assert(slop == Set(1L, 3L), s"slop phrase got $slop")
   }
 
+  test("repetition ratio: planted boilerplate scores high, clean text zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),        // all distinct
+      (2L, "spam spam spam spam spam spam"),              // one token only
+      (3L, "buy now buy now buy now buy now"),            // repeated bigram
+      (4L, "ab cd")                                       // < 3 tokens: skip
+    ).toDF("doc_id", "text")
+    val tmp = SparkTestSession.tempDir("graft-repetition")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.ops.Ops.repetitionRatio(spark, tmp)
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(1), x.getDouble(2))).toMap
+    assert(!r.contains(4L), "sub-trigram doc must be skipped")
+    assert(r(1L)._1 == 0.0 && r(1L)._2 == 0.1667)         // 0 dup, tf 1/6
+    // "spam"×6 → 4 identical trigrams → dup 3/4; top term is everything
+    assert(r(2L) == (0.75, 1.0))
+    // 8 tokens → 6 trigrams, 2 distinct ("buy now buy", "now buy now")
+    assert(r(3L)._1 == 0.6667 && r(3L)._2 == 0.5)
+  }
+
   test("LSH band buckets are capped: identical-text flood stays bounded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
