@@ -312,7 +312,7 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--qf field[^w],field[^w]] [--fq query]* [--facet field] [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-offset N] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--stats-percentiles 50,90,99] [--group field] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
+    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--qf field[^w],field[^w]] [--tie 0..1] [--fq query]* [--facet field] [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-offset N] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--stats-percentiles 50,90,99] [--group field] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
     val indexDir = args(0)
     val query = args(1)
     // repeatable options first (Solr takes fq= / facet.query= any number of
@@ -322,7 +322,7 @@ object Search {
     val (opts, flags) = MainCommon.parseArgs(rest,
       valued = Set("--k", "--buckets", "--df", "--facet", "--facet-range",
         "--pivot", "--sort", "--stats", "--group", "--after", "--qop",
-        "--qf",
+        "--qf", "--tie",
         "--start", "--fl", "--facet-limit", "--facet-mincount",
         "--facet-prefix", "--facet-sort", "--facet-offset", "--export",
         "--stats-percentiles"),
@@ -347,6 +347,12 @@ object Search {
             s"--qf entries are field or field^weight, got '$part'")
         }
       }
+    // edismax tie=: 0 (default, Solr parity) scores each fanned token by
+    // its best field; 1 sums across fields; between damps the non-max
+    // fields (validated in QueryParser.parse)
+    val tie = opts.getOrElse("--tie", "0").toDouble
+    require(tie == 0.0 || qf.nonEmpty,
+      "--tie only applies with --qf (it shapes multi-field scoring)")
     // Solr start= shallow offset paging: fetch start+k and drop the first
     // start rows — the exact cost shape of Solr itself, which heaps
     // start+rows per shard (hence "deep paging with start= is an
@@ -405,7 +411,7 @@ object Search {
       val fields = opts("--fl").split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq
       val t0 = System.nanoTime()
-      engine.exportMatches(query, fields, field, ascending, df, fq, qOp, qf)
+      engine.exportMatches(query, fields, field, ascending, df, fq, qOp, qf, tie)
         .write.mode("overwrite").parquet(outDir)
       val n = spark.read.parquet(outDir).count() // metadata-only count
       val ms = (System.nanoTime() - t0) / 1e6
@@ -438,7 +444,7 @@ object Search {
           "--exhaustive applies to score-ordered search only")
         val t0 = System.nanoTime()
         val rows = engine.searchSorted(query, field, ascending, start + k,
-          df, fq, qOp, qf).collect().drop(start)
+          df, fq, qOp, qf, tie).collect().drop(start)
         val ms = (System.nanoTime() - t0) / 1e6
         println(f"[graft] query='$query' sort=$field:" +
           s"${if (ascending) "asc" else "desc"} hits=${rows.length} " +
@@ -450,7 +456,7 @@ object Search {
       case None if k == 0 =>
         // Solr rows=0: count-only — the full match-set size, no page
         val t0 = System.nanoTime()
-        val n = engine.countMatches(query, df, fq, qOp, qf)
+        val n = engine.countMatches(query, df, fq, qOp, qf, tie)
         val ms = (System.nanoTime() - t0) / 1e6
         val fqNote = if (fq.isEmpty) "" else s" fq=${fq.mkString("; ")}"
         println(f"[graft] query='$query'$fqNote numFound=$n latencyMs=$ms%.1f")
@@ -459,8 +465,8 @@ object Search {
         val t0 = System.nanoTime()
         val res =
           (if (flags.contains("--exhaustive"))
-             engine.searchExhaustive(query, start + k, df, after, fq, qOp, qf)
-           else engine.search(query, start + k, df, after, fq, qOp, qf))
+             engine.searchExhaustive(query, start + k, df, after, fq, qOp, qf, tie)
+           else engine.search(query, start + k, df, after, fq, qOp, qf, tie))
             .collect().drop(start)
         val ms = (System.nanoTime() - t0) / 1e6
         val fqNote = if (fq.isEmpty) "" else s" fq=${fq.mkString("; ")}"
@@ -479,7 +485,7 @@ object Search {
         if (flags.contains("--explain")) res.foreach { r =>
           val id = r.getLong(0)
           println(f"[graft] explain docId=$id%d score=${r.getDouble(1)}%.6f")
-          engine.explain(query, id, df, qOp, qf).foreach { e =>
+          engine.explain(query, id, df, qOp, qf, tie).foreach { e =>
             println(f"    ${e.term}%-24s tf=${e.tf}%-4d dl=${e.dl}%-5d " +
               f"df=${e.df}%-7d idf=${e.idf}%.6f boost=${e.boost}%.2f " +
               f"score=${e.score}%.6f")
@@ -530,14 +536,14 @@ object Search {
         (if (fSort == "index") " sort=index" else "") +
         (if (fOffset > 0) s" offset=$fOffset" else "") + ")")
       engine.facet(query, field, fLimit, df, fq, fMin, qOp,
-        fPrefix, fSort == "index", fOffset, qf).collect().foreach {
+        fPrefix, fSort == "index", fOffset, qf, tie).collect().foreach {
         r => println(f"  ${r.get(0)}%-12s ${r.getLong(1)}%8d")
       }
     }
     // Solr facet.query analog: per sub-query count over the match set
     if (facetQueries.nonEmpty) {
       println(s"[graft] facet.query (over ALL matches)")
-      engine.facetQuery(query, facetQueries, df, fq, qOp, qf).collect().foreach { r =>
+      engine.facetQuery(query, facetQueries, df, fq, qOp, qf, tie).collect().foreach { r =>
         println(f"  ${r.getString(0)}%-32s ${r.getLong(1)}%8d")
       }
     }
@@ -548,7 +554,7 @@ object Search {
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         .map(_.toDouble)
       println(s"[graft] stats field='$field' (over ALL matches)")
-      engine.statsField(query, field, df, fq, qOp, ps, qf).collect().foreach {
+      engine.statsField(query, field, df, fq, qOp, ps, qf, tie).collect().foreach {
         r =>
           val pStr = ps.zipWithIndex.map { case (pt, i) =>
             s" ${QueryEngine.percentileColName(pt)}=${r.get(5 + i)}"
@@ -561,9 +567,9 @@ object Search {
     opts.get("--group").foreach { field =>
       // Solr group.ngroups: distinct group count, priced as its own agg
       val ng = if (flags.contains("--group-ngroups"))
-        s" ngroups=${engine.countGroups(query, field, df, fq, qOp, qf)}" else ""
+        s" ngroups=${engine.countGroups(query, field, df, fq, qOp, qf, tie)}" else ""
       println(s"[graft] group field='$field' limit=$k$ng")
-      engine.searchGrouped(query, field, k, df, fq, qOp, qf).collect().foreach { r =>
+      engine.searchGrouped(query, field, k, df, fq, qOp, qf, tie).collect().foreach { r =>
         println(f"  ${r.get(0)}%-12s #${r.getInt(1)}%-3d docId=${r.getLong(2)}%8d score=${r.getDouble(3)}%.6f")
       }
     }
@@ -572,7 +578,7 @@ object Search {
       val parts = spec.split(",")
       require(parts.length == 2, "--pivot expects <fieldA>,<fieldB>")
       println(s"[graft] facet.pivot=${parts(0)},${parts(1)} (over ALL matches)")
-      engine.facetPivot(query, parts(0), parts(1), df = df, fq = fq, qOp = qOp, qf = qf)
+      engine.facetPivot(query, parts(0), parts(1), df = df, fq = fq, qOp = qOp, qf = qf, tie = tie)
         .collect().foreach { r =>
           println(f"  ${r.get(0)}%-12s (${r.getLong(1)}%d) > ${r.get(2)}%-24s ${r.getLong(3)}%8d")
         }
@@ -583,7 +589,7 @@ object Search {
       require(parts.length == 3,
         "--facet-range expects <startIso>,<endIso>,<gapSec>")
       println(s"[graft] facet.range warc_ts [$spec) (over ALL matches)")
-      engine.facetRange(query, parts(0), parts(1), parts(2).toLong, df, fq, qOp, qf)
+      engine.facetRange(query, parts(0), parts(1), parts(2).toLong, df, fq, qOp, qf, tie)
         .collect().foreach { r =>
           println(f"  ${r.get(0)}%-24s ${r.getLong(1)}%8d")
         }
@@ -598,7 +604,7 @@ object Search {
       // fq + qOp travel with the delete: it must tombstone exactly the
       // match set the page above displayed (review r5 — dropping fq here
       // made `*:* --fq ... --delete-all` wipe the whole corpus)
-      val n = engine.deleteAllByQuery(query, df, fq = fq, qOp = qOp, qf = qf)
+      val n = engine.deleteAllByQuery(query, df, fq = fq, qOp = qOp, qf = qf, tie = tie)
       println(s"[graft] tombstoned $n docs (all matches)")
     }
     spark.stop()

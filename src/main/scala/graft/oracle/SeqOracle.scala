@@ -111,9 +111,10 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     */
   def topK(query: String, k: Int, df: String = "text",
       after: Option[(Long, Double)] = None, fq: Seq[String] = Nil,
-      qOp: String = "OR", qf: Seq[(String, Double)] = Nil)
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0)
       : Seq[(Long, Double)] = {
-    val ast = QueryParser.parse(query, df, qOp, qf)
+    val ast = QueryParser.parse(query, df, qOp, qf, tie)
     var all = candidates(ast)
     fq.foreach { s =>
       val ok = fqMatchOk(s, df, qOp)
@@ -412,15 +413,53 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     val scoringTerms = rq.scoringTerms // distinct + sorted
     if (scoringTerms.isEmpty || rq.clauses.isEmpty) return Seq.empty
 
+    val useTie = rq.tie != 1.0 && rq.groups.nonEmpty
     val scores = mutable.LongMap.empty[Double]
-    scoringTerms.foreach { t =>
-      postings.get(t).foreach { pl =>
-        // boost folds into idf, same association as every engine path
-        val idfv = BM25.idf(n, pl.size.toLong) * rq.boosts.getOrElse(t, 1.0)
-        pl.foreach { case (id, tf) =>
-          scores(id) = scores.getOrElse(id, 0.0) +
-            BM25.score(tf, dlOf(t, id), avgdlOf(t), idfv)
+    if (!useTie) {
+      scoringTerms.foreach { t =>
+        postings.get(t).foreach { pl =>
+          // boost folds into idf, same association as every engine path
+          val idfv = BM25.idf(n, pl.size.toLong) * rq.boosts.getOrElse(t, 1.0)
+          pl.foreach { case (id, tf) =>
+            scores(id) = scores.getOrElse(id, 0.0) +
+              BM25.score(tf, dlOf(t, id), avgdlOf(t), idfv)
+          }
         }
+      }
+    } else {
+      // edismax tie (ResolvedQuery.groups rule): gather each doc's
+      // contributions in term-sorted order (the outer loop IS sorted), then
+      // fold with per-entry factors — first group member at the group max
+      // keeps 1, other members ×tie, ungrouped 1. Same association order
+      // as the WAND scoreAt loop and the exhaustive fold.
+      val gids = scoringTerms.map(rq.groups.getOrElse(_, 0)).toArray
+      val contribs =
+        mutable.LongMap.empty[mutable.ArrayBuffer[(Int, Double)]]
+      scoringTerms.zipWithIndex.foreach { case (t, ti) =>
+        postings.get(t).foreach { pl =>
+          val idfv = BM25.idf(n, pl.size.toLong) * rq.boosts.getOrElse(t, 1.0)
+          pl.foreach { case (id, tf) =>
+            contribs.getOrElseUpdate(id, mutable.ArrayBuffer.empty) +=
+              ((ti, BM25.score(tf, dlOf(t, id), avgdlOf(t), idfv)))
+          }
+        }
+      }
+      contribs.foreach { case (id, lst) =>
+        val gmax = mutable.Map.empty[Int, Double]
+        lst.foreach { case (ti, c) =>
+          val g = gids(ti)
+          if (g > 0 && c > gmax.getOrElse(g, Double.NegativeInfinity))
+            gmax(g) = c
+        }
+        val taken = mutable.Set.empty[Int]
+        var acc = 0.0
+        lst.foreach { case (ti, c) => // appended in term-sorted order
+          val g = gids(ti)
+          if (g == 0) acc += c
+          else if (!taken(g) && c == gmax(g)) { acc += c; taken += g }
+          else acc += rq.tie * c
+        }
+        scores(id) = acc
       }
     }
 

@@ -1,5 +1,6 @@
 package graft.query
 
+import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -263,8 +264,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def search(q: String, k: Int, df: String = "text",
       after: Option[Wand.Scored] = None, fq: Seq[String] = Nil,
-      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame =
-    searchWand(q, k, df, after, fq, qOp, qf)
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil, tie: Double = 0.0): DataFrame =
+    searchWand(q, k, df, after, fq, qOp, qf, tie)
 
   /** Library-call form: top-k as driver-side values. For small posting sets
     * this is one (cached) scan with zero result-side Spark jobs — the
@@ -291,10 +292,11 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def explain(q: String, docId: Long, df: String = "text",
       qOp: String = "OR",
-      qf: Seq[(String, Double)] = Nil): Seq[QueryEngine.ExplainEntry] = {
+      qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): Seq[QueryEngine.ExplainEntry] = {
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp, qf)
+    val ast = QueryParser.parse(q, df, qOp, qf, tie)
     if (ast.matchAll)
       return Seq(QueryEngine.ExplainEntry("*:*", 0, 0, 0L, 1.0, 1.0, 1.0))
     val rq = QueryResolve.resolve(ast, expander(v))
@@ -305,7 +307,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val dfByTerm: Map[String, Long] = postingsFor(scoring, v)
       .groupBy($"term").agg(sum($"count").as("df"))
       .as[(String, Long)].collect().toMap
-    postingsFor(scoring, v)
+    val entries = postingsFor(scoring, v)
       .filter($"firstDocId" <= docId && $"lastDocId" >= docId)
       .collect().toSeq
       .flatMap { s =>
@@ -321,6 +323,21 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
         }
       }
       .sortBy(_.term)
+    if (rq.groups.isEmpty || rq.tie == 1.0) entries
+    else {
+      // edismax tie factors (ResolvedQuery.groups rule): the entry list IS
+      // the term-sorted contribution list, so the per-entry factored
+      // scores still left-fold to the hit score bit-for-bit
+      val gmax = entries.groupBy(e => rq.groups.getOrElse(e.term, 0))
+        .map { case (g, es) => g -> es.map(_.score).max }
+      val taken = mutable.Set.empty[Int]
+      entries.map { e =>
+        val g = rq.groups.getOrElse(e.term, 0)
+        if (g == 0) e
+        else if (!taken(g) && e.score == gmax(g)) { taken += g; e }
+        else e.copy(score = rq.tie * e.score)
+      }
+    }
   }
 
   /** Per-term avgdl (per-field BM25 length norms; title terms carry the
@@ -603,9 +620,10 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
   def searchWand(q: String, k: Int, df: String = "text",
       after: Option[Wand.Scored] = None, fq: Seq[String] = Nil,
-      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): DataFrame = {
     refreshIfStale()
-    searchWandV(view, q, k, df, after, fq, qOp, qf)
+    searchWandV(view, q, k, df, after, fq, qOp, qf, tie)
   }
 
   /** Split parsed fqs into (pure stored-field predicates — mergeable into
@@ -664,9 +682,10 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   private def searchWandV(v: IndexView, q: String, k: Int, df: String,
       after: Option[Wand.Scored], fq: Seq[String] = Nil,
-      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): DataFrame = {
     // every read below sees the same snapshot
-    val ast = QueryParser.parse(q, df, qOp, qf)
+    val ast = QueryParser.parse(q, df, qOp, qf, tie)
     if (ast.matchAll) {
       // match-all needs no WAND. Driver fast path first (review r5): when
       // the fq predicates, every term-fq match set, and the tombstone set
@@ -792,7 +811,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
               (denyIds.isEmpty || java.util.Arrays.binarySearch(denyIds, id) < 0)
             }
           val top = Wand.topK(byTerm, dfByTerm, scoring, clauses,
-            n, avgdls, k, 0L, Long.MaxValue, allowFn, rq.boosts, after)
+            n, avgdls, k, 0L, Long.MaxValue, allowFn, rq.boosts, after,
+            rq.groups, rq.tie)
           return top.toSeq.toDS().toDF()
         case _ => // fall through to the distributed path
       }
@@ -824,6 +844,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val kB = k
     val boostsB = rq.boosts
     val afterB = after
+    val groupsB = rq.groups
+    val tieB = rq.tie
 
     // per-window BLOCK slices, not whole segments: a segment spanning many
     // windows ships each window only the bytes of its overlapping blocks
@@ -870,7 +892,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
           val lo = rid * rangeLen
           Wand.topK(byTerm, bDf.value, scoringB, clausesB,
             n, avgdlsB, kB, lo, lo + rangeLen, None, boostsB,
-            afterB).iterator
+            afterB, groupsB, tieB).iterator
         }
       case Some(fr) =>
         // cogroup: each window task gets its own filter slice as a
@@ -905,7 +927,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
                 }
               val byTerm = segsHere.groupBy(_.term)
               Wand.topK(byTerm, bDf.value, scoringB, clausesB,
-                n, avgdlsB, kB, lo, hi, allowFn, boostsB, afterB).iterator
+                n, avgdlsB, kB, lo, hi, allowFn, boostsB, afterB,
+                groupsB, tieB).iterator
             }
         }
     }
@@ -941,10 +964,11 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
   def searchExhaustive(q: String, k: Int, df: String = "text",
       after: Option[Wand.Scored] = None, fq: Seq[String] = Nil,
-      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): DataFrame = {
     refreshIfStale()
     val v = view // one snapshot for the query and every fq match set
-    val ast = QueryParser.parse(q, df, qOp, qf)
+    val ast = QueryParser.parse(q, df, qOp, qf, tie)
     // fq constraint = semi-join per source; scores are untouched (the
     // q-vs-fq split: fq never contributes score)
     var cands = applyFq(v, fq, df, qOp)(scoredCandidates(ast, v))
@@ -973,6 +997,45 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     *   groupBy aggregates just collect_set(term) for clause evaluation and
     *   the returned frame has docId only.
     */
+  /** Deterministic per-doc score fold over the collected (term, score)
+    * contributions: ordered aggregate over the term-sorted array —
+    * bit-identical to the WAND scoreAt loop and the oracle at any
+    * parallelism. With edismax tie groups (qf, tie != 1) each entry takes
+    * the ResolvedQuery.groups factor: first group member at the group max
+    * keeps 1, other members ×tie, ungrouped 1 — evaluated with pure
+    * codegen'd higher-order array functions (O(terms²) per doc over ≤ a
+    * handful of query terms), no UDF.
+    */
+  private def scoreFold(rq: ResolvedQuery): Column = {
+    if (rq.groups.isEmpty || rq.tie == 1.0)
+      aggregate(
+        sort_array(collect_list(struct($"term", $"score"))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("score"))
+    else {
+      val gcol = coalesce(
+        element_at(typedLit(rq.groups), $"term"), lit(0)).as("gid")
+      val arr = sort_array(collect_list(struct($"term", $"score", gcol)))
+      val tieV = rq.tie
+      aggregate(
+        sequence(lit(0), size(arr) - 1),
+        lit(0.0),
+        (acc, i) => {
+          val x = element_at(arr, i + 1)
+          val g = x.getField("gid")
+          val s = x.getField("score")
+          val gmax = array_max(transform(
+            filter(arr, y => y.getField("gid") === g),
+            y => y.getField("score")))
+          val firstMax = !exists(slice(arr, lit(1), i),
+            y => y.getField("gid") === g && y.getField("score") === gmax)
+          acc + when(g === lit(0), s)
+            .otherwise(when(s === gmax && firstMax, s)
+              .otherwise(lit(tieV) * s))
+        })
+    }
+  }
+
   private def scoredCandidates(ast: QueryAst, v: IndexView,
       needScores: Boolean = true): DataFrame = {
     if (ast.matchAll) {
@@ -1034,10 +1097,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       // match-set-only consumers skip the fold entirely
       val perDoc =
         if (needScores) rows.groupBy($"docId").agg(
-          aggregate(
-            sort_array(collect_list(struct($"term", $"score"))),
-            lit(0.0),
-            (acc, x) => acc + x.getField("score")).as("score"),
+          scoreFold(rq).as("score"),
           collect_set($"term").as("present"))
         else rows.groupBy($"docId")
           .agg(collect_set($"term").as("present"))
@@ -1075,10 +1135,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
 
       val perDoc =
         if (needScores) rows.groupBy($"docId").agg(
-          aggregate(
-            sort_array(collect_list(struct($"term", $"score"))),
-            lit(0.0),
-            (acc, x) => acc + x.getField("score")).as("score"),
+          scoreFold(rq).as("score"),
           collect_list(struct($"term", $"positions")).as("tps"))
         else rows.groupBy($"docId")
           .agg(collect_list(struct($"term", $"positions")).as("tps"))
@@ -1132,14 +1189,14 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       df: String = "text", fq: Seq[String] = Nil,
       minCount: Long = 1L, qOp: String = "OR",
       prefix: Option[String] = None, sortIndex: Boolean = false,
-      offset: Int = 0, qf: Seq[(String, Double)] = Nil): DataFrame = {
+      offset: Int = 0, qf: Seq[(String, Double)] = Nil, tie: Double = 0.0): DataFrame = {
     require(minCount >= 1, s"facet.mincount must be >= 1, got $minCount")
     require(offset >= 0, s"facet.offset must be >= 0, got $offset")
     refreshIfStale()
     val v = view // one snapshot for both the match set and the facet join
     // same df AND q.op as the hits being faceted — Solr's q.op is a global
     // request param, so the facet's match set must be the page's match set
-    val ast = QueryParser.parse(q, df, qOp, qf)
+    val ast = QueryParser.parse(q, df, qOp, qf, tie)
     val joined = applyFq(v, fq, df, qOp)(
       scoredCandidates(ast, v, needScores = false).select($"docId"))
       .join(v.docs.select($"docId", col(field)), Seq("docId"))
@@ -1170,12 +1227,13 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def facetQuery(q: String, subQueries: Seq[String],
       df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): DataFrame = {
     require(subQueries.nonEmpty, "facet.query needs at least one sub-query")
     refreshIfStale()
     val v = view // one snapshot for the base and every sub match set
     val base = applyFq(v, fq, df, qOp)(scoredCandidates(
-      QueryParser.parse(q, df, qOp, qf), v, needScores = false).select($"docId"))
+      QueryParser.parse(q, df, qOp, qf, tie), v, needScores = false).select($"docId"))
     val tagged = subQueries.zipWithIndex.map { case (s, i) =>
       // q.op applies to facet.query strings too (one global parser flag)
       val ast = QueryParser.parse(s, df, qOp)
@@ -1206,13 +1264,14 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def searchSorted(q: String, sortField: String, ascending: Boolean, k: Int,
       df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): DataFrame = {
     require(QueryEngine.SortableFields.contains(sortField),
       s"sort field '$sortField' unsupported (stored: " +
         s"${QueryEngine.SortableFields.mkString(", ")})")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp, qf)
+    val ast = QueryParser.parse(q, df, qOp, qf, tie)
     val dir = if (ascending) asc(sortField) else desc(sortField)
     applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
@@ -1236,7 +1295,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   def exportMatches(q: String, fields: Seq[String], sortField: String,
       ascending: Boolean = true, df: String = "text",
       fq: Seq[String] = Nil, qOp: String = "OR",
-      qf: Seq[(String, Double)] = Nil): DataFrame = {
+      qf: Seq[(String, Double)] = Nil, tie: Double = 0.0): DataFrame = {
     require(QueryEngine.SortableFields.contains(sortField),
       s"export sort field '$sortField' unsupported (stored: " +
         s"${QueryEngine.SortableFields.mkString(", ")})")
@@ -1246,7 +1305,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
         s"${QueryEngine.SortableFields.toSeq.sorted.mkString(", ")}")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp, qf)
+    val ast = QueryParser.parse(q, df, qOp, qf, tie)
     val cols = ("docId" +: (fields :+ sortField).distinct).map(col)
     val dir = if (ascending) asc(sortField) else desc(sortField)
     applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
@@ -1264,14 +1323,15 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def facetRange(q: String, startIso: String, endIso: String, gapSec: Long,
       df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): DataFrame = {
     require(gapSec > 0, "facet.range gap must be positive")
     val startMs = java.time.Instant.parse(startIso).toEpochMilli
     val endMs = java.time.Instant.parse(endIso).toEpochMilli
     require(endMs > startMs, "facet.range end must be after start")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp, qf)
+    val ast = QueryParser.parse(q, df, qOp, qf, tie)
     applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
       .join(v.docs.select($"docId", $"warc_ts"), Seq("docId"))
@@ -1301,7 +1361,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   def statsField(q: String, field: String, df: String = "text",
       fq: Seq[String] = Nil, qOp: String = "OR",
       percentiles: Seq[Double] = Nil,
-      qf: Seq[(String, Double)] = Nil): DataFrame = {
+      qf: Seq[(String, Double)] = Nil, tie: Double = 0.0): DataFrame = {
     require(QueryEngine.NumericFields.contains(field),
       s"stats field '$field' unsupported (numeric stored: " +
         s"${QueryEngine.NumericFields.mkString(", ")})")
@@ -1309,7 +1369,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       s"stats percentiles must be in (0, 100), got $percentiles")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp, qf)
+    val ast = QueryParser.parse(q, df, qOp, qf, tie)
     val pCols = percentiles.map { p =>
       expr(s"percentile($field, ${p / 100.0})")
         .as(QueryEngine.percentileColName(p))
@@ -1334,14 +1394,15 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def searchGrouped(q: String, field: String, kPerGroup: Int,
       df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): DataFrame = {
     require(QueryEngine.GroupableFields.contains(field),
       s"group field '$field' unsupported (string stored: " +
         s"${QueryEngine.GroupableFields.mkString(", ")})")
     require(kPerGroup > 0, "group.limit must be positive")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp, qf)
+    val ast = QueryParser.parse(q, df, qOp, qf, tie)
     val salts = 32
     import org.apache.spark.sql.expressions.Window
     val joined = applyFq(v, fq, df, qOp)(scoredCandidates(ast, v))
@@ -1367,13 +1428,13 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def countGroups(q: String, field: String, df: String = "text",
       fq: Seq[String] = Nil, qOp: String = "OR",
-      qf: Seq[(String, Double)] = Nil): Long = {
+      qf: Seq[(String, Double)] = Nil, tie: Double = 0.0): Long = {
     require(QueryEngine.GroupableFields.contains(field),
       s"group field '$field' unsupported (string stored: " +
         s"${QueryEngine.GroupableFields.mkString(", ")})")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp, qf)
+    val ast = QueryParser.parse(q, df, qOp, qf, tie)
     applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
       .join(v.docs.select($"docId", col(field)), Seq("docId"))
@@ -1391,14 +1452,15 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     */
   def facetPivot(q: String, fieldA: String, fieldB: String, topA: Int = 5,
       topB: Int = 3, df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): DataFrame = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): DataFrame = {
     require(QueryEngine.GroupableFields.contains(fieldA) &&
       QueryEngine.GroupableFields.contains(fieldB) && fieldA != fieldB,
       s"pivot fields must be distinct members of " +
         s"${QueryEngine.GroupableFields.mkString(", ")}")
     refreshIfStale()
     val v = view
-    val ast = QueryParser.parse(q, df, qOp, qf)
+    val ast = QueryParser.parse(q, df, qOp, qf, tie)
     import org.apache.spark.sql.expressions.Window
     val ab = applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
@@ -1523,11 +1585,11 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * it explicitly, exactly like Solr's rows=0.
     */
   def countMatches(q: String, df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR", qf: Seq[(String, Double)] = Nil): Long = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil, tie: Double = 0.0): Long = {
     refreshIfStale()
     val v = view
     applyFq(v, fq, df, qOp)(
-      scoredCandidates(QueryParser.parse(q, df, qOp, qf), v,
+      scoredCandidates(QueryParser.parse(q, df, qOp, qf, tie), v,
         needScores = false))
       .count()
   }
@@ -1694,7 +1756,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   def deleteAllByQuery(q: String, df: String = "text",
       pageSize: Int = 10000, flushEvery: Int = 1 << 20,
       fq: Seq[String] = Nil, qOp: String = "OR",
-      qf: Seq[(String, Double)] = Nil): Long = {
+      qf: Seq[(String, Double)] = Nil, tie: Double = 0.0): Long = {
     var total = 0L
     // primitive accumulator: ArrayBuffer[Long] boxes every id into Object[]
     // (CLAUDE.md rule 8 — 8× the driver pages per flush window)
@@ -1702,7 +1764,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     var after: Option[Wand.Scored] = None
     var done = false
     while (!done) {
-      val page = search(q, pageSize, df, after, fq, qOp, qf).collect()
+      val page = search(q, pageSize, df, after, fq, qOp, qf, tie).collect()
         .map(r => Wand.Scored(r.getLong(0), r.getDouble(1)))
       page.foreach(p => buf.add(p.docId))
       total += page.length

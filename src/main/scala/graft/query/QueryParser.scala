@@ -54,11 +54,13 @@ final case class WildcardLit(key: String) extends TermLit
   * across several indexed fields with per-field weights
   * (`qf=text^1 title^3`). Resolves to one per-field key PER qf field — a
   * one-of-a-set clause slot exactly like a prefix expansion — and each
-  * key's boost is fieldWeight x any user `^boost` on the occurrence, so
-  * scoring is the SUM of the per-field BM25 contributions (edismax with
-  * tie=1; Solr's default tie=0 takes the max — documented divergence,
-  * sum keeps WAND bounds and the idf boost-fold unchanged). `key` is the
-  * bare token (used for display/protection, never as a postings key).
+  * key's boost is fieldWeight x any user `^boost` on the occurrence. The
+  * per-field contributions combine under the edismax `tie` parameter
+  * (max + tie x rest; [[ResolvedQuery]] groups document the exact
+  * per-term-factor rule all four paths share): tie=0 (default, Solr
+  * parity) scores each token by its best field, tie=1 is the plain sum.
+  * `key` is the bare token (used for display/protection, never as a
+  * postings key).
   */
 final case class MultiLit(token: String,
     weighted: Seq[(String, Double)]) extends TermLit {
@@ -146,7 +148,8 @@ final case class QueryAst(
     urlFilter: Option[String],
     rangeFilters: Seq[RangeFilter],
     boosts: Map[TermLit, Double] = Map.empty,
-    matchAll: Boolean = false) {
+    matchAll: Boolean = false,
+    tie: Double = 0.0) {
   def hasFieldFilter: Boolean =
     langFilter.isDefined || urlFilter.isDefined || rangeFilters.nonEmpty
 }
@@ -158,10 +161,22 @@ final case class ResolvedClause(mustGroups: Seq[Seq[String]],
   *   prefix literals already expanded; every consumer folds the boost into
   *   idf as `BM25.idf(n, df) * boost` — ONE association order, so all four
   *   physical paths stay bit-identical.
+  * @param groups edismax tie groups (r5): postings key → group id > 0 for
+  *   keys that score as alternatives of one qf-fanned token ([[MultiLit]]).
+  *   Scoring rule, identical in all four paths: per doc, iterate present
+  *   scoring terms in TERM-SORTED order; the FIRST member of each group
+  *   whose contribution equals the group's max keeps factor 1, every other
+  *   member is damped ×tie, ungrouped terms always factor 1; accumulate in
+  *   that same order. A key that also scores via any non-MultiLit
+  *   occurrence is ungrouped (its factor is pinned at 1, like the implicit
+  *   boost 1.0 rule). tie=1 reduces to the plain sum and groups are inert.
+  * @param tie edismax tie ∈ [0,1] (Solr default 0 = pure per-token max).
   */
 final case class ResolvedQuery(scoringTerms: Seq[String],
     clauses: Seq[ResolvedClause],
-    boosts: Map[String, Double] = Map.empty)
+    boosts: Map[String, Double] = Map.empty,
+    groups: Map[String, Int] = Map.empty,
+    tie: Double = 0.0)
 
 object QueryResolve {
   /** Cap on terms a prefix expands to. Both sides of the correctness gate
@@ -238,7 +253,21 @@ object QueryResolve {
       }.toSeq
       .groupBy(_._1).map { case (t, bs) => t -> bs.map(_._2).max }
       .filter(_._2 != 1.0)
-    ResolvedQuery(scoring, clauses, boosts)
+    // tie groups: one group per distinct MultiLit fan-out key set. Keys
+    // that also score via any other occurrence (explicit field term,
+    // prefix/fuzzy/wildcard/range expansion) are ungrouped — their factor
+    // is pinned at 1 everywhere, so the group keeps only private members;
+    // groups reduced below 2 members are inert and dropped. Group ids are
+    // assigned in sorted-key-set order (deterministic across paths).
+    val ungroupedKeys: Set[String] = ast.scoringLits.iterator
+      .filterNot(_.isInstanceOf[MultiLit]).flatMap(terms).toSet
+    val groups: Map[String, Int] = ast.scoringLits
+      .collect { case m: MultiLit =>
+        m.weighted.map(_._1).filterNot(ungroupedKeys).sorted }
+      .filter(_.size >= 2).distinct.sortBy(_.mkString(" "))
+      .zipWithIndex
+      .flatMap { case (ks, i) => ks.map(_ -> (i + 1)) }.toMap
+    ResolvedQuery(scoring, clauses, boosts, groups, ast.tie)
   }
 
   /** The shared expansion rule over an in-memory term dictionary (the
@@ -611,7 +640,8 @@ object QueryParser {
     */
   def parse(q: String, defaultField: String = "text",
       defaultOp: String = "OR",
-      qf: Seq[(String, Double)] = Nil): QueryAst = {
+      qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): QueryAst = {
     require(IndexedFields.contains(defaultField),
       s"df='$defaultField': indexed fields are ${IndexedFields.mkString(", ")}")
     require(defaultOp == "OR" || defaultOp == "AND",
@@ -621,6 +651,9 @@ object QueryParser {
         s"positive weights, got $qf")
     require(qf.map(_._1).distinct.size == qf.size,
       s"qf lists a field twice: $qf")
+    // edismax tie: 0 = per-token max over the qf fields (Solr default),
+    // 1 = plain sum; anything between damps the non-max fields
+    require(tie >= 0.0 && tie <= 1.0, s"tie must be in [0,1], got $tie")
     // Solr match-all (`q=*:*`): every live document matches with constant
     // score 1.0, ranked by docId — the canonical Solr idiom for fq-only
     // queries, whole-corpus facets/stats, and delete-everything
@@ -633,7 +666,7 @@ object QueryParser {
     require(!q.contains("*:*"),
       "*:* is supported only as the entire query (Solr match-all); " +
         "add constraints as fq filter queries instead")
-    new P(lex(q), defaultField, defaultOp == "AND", qf).run()
+    new P(lex(q), defaultField, defaultOp == "AND", qf).run().copy(tie = tie)
   }
 
   private final class P(toks: Vector[Tok], defaultField: String,

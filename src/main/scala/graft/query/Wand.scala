@@ -273,7 +273,9 @@ object Wand {
       lo: Long, hi: Long,
       allow: Option[Long => Boolean] = None,
       boosts: Map[String, Double] = Map.empty,
-      after: Option[Scored] = None): Array[Scored] = {
+      after: Option[Scored] = None,
+      groups: Map[String, Int] = Map.empty,
+      tie: Double = 0.0): Array[Scored] = {
 
     // clauses whose required structure cannot be satisfied by the index are
     // dead; terms absent from the index are pruned out of their groups
@@ -336,21 +338,69 @@ object Wand {
 
     def allowed(docId: Long): Boolean = allow.forall(f => f(docId))
 
-    /** Sum contributions of all cursors positioned at docId, in term-sorted
-      * order (cursors array IS term-sorted).
+    // edismax tie machinery (r5): per-cursor group ids aligned with the
+    // term-sorted cursor array, plus reusable scratch (scoreAt runs once
+    // per candidate — no per-candidate allocation). Upper bounds stay the
+    // factor-1 sums: factors are ≤ 1, so pruning remains admissible (and
+    // exact for tie=1 / groupless queries, the common case).
+    val gids: Array[Int] = cursors.map(c => groups.getOrElse(c.term, 0))
+    val nGroups = if (gids.isEmpty) 0 else gids.max
+    val useTie = tie != 1.0 && nGroups > 0
+    val tieContrib = if (useTie) new Array[Double](cursors.length) else null
+    val tieGroupMax = if (useTie) new Array[Double](nGroups + 1) else null
+    val tieTaken = if (useTie) new Array[Boolean](nGroups + 1) else null
+
+    /** Per-doc score over the term-sorted cursor array. Groupless (or
+      * tie=1): plain sum of contributions in term-sorted order. With tie
+      * groups: the ResolvedQuery.groups rule — first group member at the
+      * group max keeps factor 1, other members damp ×tie, accumulation
+      * stays term-sorted — identical to the exhaustive fold and the oracle.
       */
     def scoreAt(docId: Long): Double = {
-      var s = 0.0
-      var i = 0
-      while (i < cursors.length) {
-        val c = cursors(i)
-        if (!c.exhausted) {
-          c.advanceTo(docId)
-          if (!c.exhausted && c.curDoc == docId) s += c.curScore
+      if (!useTie) {
+        var s = 0.0
+        var i = 0
+        while (i < cursors.length) {
+          val c = cursors(i)
+          if (!c.exhausted) {
+            c.advanceTo(docId)
+            if (!c.exhausted && c.curDoc == docId) s += c.curScore
+          }
+          i += 1
         }
-        i += 1
+        s
+      } else {
+        java.util.Arrays.fill(tieGroupMax, Double.NegativeInfinity)
+        java.util.Arrays.fill(tieTaken, false)
+        var i = 0
+        while (i < cursors.length) {
+          val c = cursors(i)
+          var contrib = Double.NaN // NaN = absent (a 0.0 score is possible)
+          if (!c.exhausted) {
+            c.advanceTo(docId)
+            if (!c.exhausted && c.curDoc == docId) contrib = c.curScore
+          }
+          tieContrib(i) = contrib
+          val g = gids(i)
+          if (g > 0 && !java.lang.Double.isNaN(contrib) &&
+              contrib > tieGroupMax(g)) tieGroupMax(g) = contrib
+          i += 1
+        }
+        var s = 0.0
+        i = 0
+        while (i < cursors.length) {
+          val contrib = tieContrib(i)
+          if (!java.lang.Double.isNaN(contrib)) {
+            val g = gids(i)
+            if (g == 0) s += contrib
+            else if (!tieTaken(g) && contrib == tieGroupMax(g)) {
+              s += contrib; tieTaken(g) = true
+            } else s += tie * contrib
+          }
+          i += 1
+        }
+        s
       }
-      s
     }
 
     val heap = new TopKHeap(k)

@@ -688,6 +688,77 @@ class EngineSpec extends AnyFunSuite {
       QueryParser.parse("a", qf = Seq("title" -> 0.0)))
   }
 
+  test("edismax tie: per-token best-field scoring across paths (r5)") {
+    // the shared corpus has disjoint text/title vocabularies, so tie can
+    // never bite there — build one where tokens live in BOTH fields
+    def mk(i: Int, text: String, title: String): WebDoc =
+      WebDoc(f"https://t.example.org/$i%03d",
+        new java.sql.Timestamp(1704067200000L + i * 1000L),
+        (s"<html><head><title>$title</title></head><body>$text</body>" +
+          "</html>").getBytes(UTF_8), text, "en")
+    val corpus = Seq(
+      mk(0, "alpha beta gamma", "alpha delta"),
+      mk(1, "alpha alpha beta", "gamma"),
+      mk(2, "beta delta", "alpha beta"),
+      mk(3, "gamma gamma alpha", "alpha gamma"),
+      mk(4, "delta epsilon", "zeta"))
+    val dir = SparkTestSession.tempDir("graft-tie")
+    IndexBuilder.build(spark, spark.createDataset(corpus), dir,
+      IndexConf(numBuckets = 4))
+    val eng = new QueryEngine(spark, dir, 4)
+    val distEng = new QueryEngine(spark, dir, 4, driverWandMaxSegments = 0)
+    val orc = new SeqOracle(corpus.sortBy(_.url).zipWithIndex.map {
+      case (d, i) => OracleDoc(i.toLong, d.text, d.lang, d.url,
+        d.warc_ts.getTime, graft.corpus.Extractor.extractTitle(d.html))
+    })
+    val qf = Seq("text" -> 1.0, "title" -> 2.0)
+    for (q <- Seq("alpha", "alpha beta", "alpha AND gamma", "alpha^2 delta",
+           "alpha NOT zeta", "title:alpha alpha");
+         tie <- Seq(0.0, 0.3, 1.0)) {
+      val expect = orc.topK(q, 10, qf = qf, tie = tie)
+      assert(expect.nonEmpty, s"dead tie case q='$q'")
+      val ctx = s"q='$q' tie=$tie"
+      def got(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assertRankIdentical(got(eng.searchWand(q, 10, qf = qf, tie = tie)),
+        expect, s"tie driver $ctx")
+      assertRankIdentical(got(distEng.searchWand(q, 10, qf = qf, tie = tie)),
+        expect, s"tie dist $ctx")
+      assertRankIdentical(
+        got(eng.searchExhaustive(q, 10, qf = qf, tie = tie)),
+        expect, s"tie exh $ctx")
+    }
+    // tie reaches the arithmetic: max(0) < damped(0.3) < sum(1) on a doc
+    // holding the token in both fields, and the interpolation identity
+    // score(t) = max + t*(sum-max) holds per doc
+    def byId(tie: Double): Map[Long, Double] =
+      orc.topK("alpha", 10, qf = qf, tie = tie).toMap
+    val (s0, s3, s1) = (byId(0.0), byId(0.3), byId(1.0))
+    val both = Seq(0L, 3L) // alpha in text AND title of docs 0 and 3
+    both.foreach { id =>
+      assert(s0(id) < s3(id) && s3(id) < s1(id), s"doc $id tie ordering")
+      val interp = s0(id) + 0.3 * (s1(id) - s0(id))
+      assert(math.abs(s3(id) - interp) < 1e-9, s"doc $id interpolation")
+    }
+    // single-field docs are tie-invariant
+    assert(s0(1L) == s1(1L) && s0(1L) == s3(1L))
+    // explain entries carry the factors: their fold-sum IS the hit score
+    val top = eng.searchWand("alpha", 10, qf = qf, tie = 0.3).collect()
+    val byDoc = top.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    both.foreach { id =>
+      val es = eng.explain("alpha", id, qf = qf, tie = 0.3)
+      assert(es.map(_.score).foldLeft(0.0)(_ + _) == byDoc(id),
+        s"explain fold doc $id")
+      assert(es.size == 2)
+    }
+    // parse gate: tie outside [0,1] rejects
+    import graft.query.QueryParser
+    intercept[IllegalArgumentException](
+      QueryParser.parse("a", qf = Seq("text" -> 1.0), tie = 1.5))
+    intercept[IllegalArgumentException](
+      QueryParser.parse("a", qf = Seq("text" -> 1.0), tie = -0.1))
+  }
+
   test("prefix query expands against the dictionary (capped, deterministic)") {
     // w0099* expands to w00990..w00999 in this corpus; rank-identical above.
     // A prefix matching nothing must yield empty, not error.

@@ -207,18 +207,24 @@ class FuzzSpec extends AnyFunSuite {
       Seq("title" -> 1.5),
       Seq("text" -> 2.0))
     val combos = Iterator.continually {
-      (genQuery(), pick(configs), if (rng.nextInt(3) == 0) "AND" else "OR")
+      (genQuery(), pick(configs), if (rng.nextInt(3) == 0) "AND" else "OR",
+        pick(Seq(0.0, 0.3, 1.0))) // edismax tie (inert here — the shared
+        // corpus has disjoint field vocabularies — but the plumbing and the
+        // groupless shortcut must hold under every value)
     }.distinct.take(25).toSeq
     var nonEmpty = 0
-    combos.foreach { case (q, qf, qOp) =>
-      val expect = oracle.topK(q, 10, qOp = qOp, qf = qf)
+    combos.foreach { case (q, qf, qOp, tie) =>
+      val expect = oracle.topK(q, 10, qOp = qOp, qf = qf, tie = tie)
       if (expect.nonEmpty) nonEmpty += 1
-      val ctx = s"q='$q' qf=$qf qop=$qOp"
-      assertSame(ids(engine.searchWand(q, 10, qOp = qOp, qf = qf)),
+      val ctx = s"q='$q' qf=$qf qop=$qOp tie=$tie"
+      assertSame(
+        ids(engine.searchWand(q, 10, qOp = qOp, qf = qf, tie = tie)),
         expect, s"driver $ctx")
-      assertSame(ids(distEngine.searchWand(q, 10, qOp = qOp, qf = qf)),
+      assertSame(
+        ids(distEngine.searchWand(q, 10, qOp = qOp, qf = qf, tie = tie)),
         expect, s"dist $ctx")
-      assertSame(ids(engine.searchExhaustive(q, 10, qOp = qOp, qf = qf)),
+      assertSame(
+        ids(engine.searchExhaustive(q, 10, qOp = qOp, qf = qf, tie = tie)),
         expect, s"exh $ctx")
     }
     assert(nonEmpty >= 10, s"only $nonEmpty/25 qf combos matched anything")
