@@ -280,6 +280,26 @@ object Compact {
   }
 }
 
+/** Point-in-time backup — the Solr backup/replication handler analog.
+  * Copies the published generations + committed tombstones to a fresh
+  * self-contained index dir (see [[graft.index.Snapshot]] for the
+  * consistency argument).
+  *   runMain graft.Snapshot <indexDir> <outDir>
+  */
+object Snapshot {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: Snapshot <indexDir> <outDir>")
+    val spark = MainCommon.session("graft-snapshot")
+    val t0 = System.nanoTime()
+    val r = graft.index.Snapshot.run(spark, args(0), args(1))
+    val ms = (System.nanoTime() - t0) / 1e6
+    println(f"[graft] snapshot ${args(0)} -> ${args(1)}: " +
+      f"generations=${r.segdirs.size} tombstoneFiles=${r.tombstoneFiles} " +
+      f"bytes=${r.bytes} latencyMs=$ms%.1f")
+    spark.stop()
+  }
+}
+
 /** Real-time get by url — the Solr `/get?id=` analog (reference:
   * indexdata.py:1529–1533) as a CLI surface.
   *   runMain graft.Get <indexDir> <url> [--buckets B]
