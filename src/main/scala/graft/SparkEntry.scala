@@ -65,6 +65,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => Ops.langId(s, d)),
     "q_dedup_ngram" -> ((s, d) => Ops.dedupNgram(s, d)),
     "q_embed_cosine" -> ((s, d) => Ops.embedCosine(s, d)),
+    "q_emb_quantize" -> ((s, d) => Ops.embQuantize(s, d)),
     "q_media_meta" -> ((s, d) => Ops.mediaMeta(s, d)),
     // engine query-surface analogs (Q2/Q3): fielded filter, range, phrase
     "q_url_filter" -> ((s, d) => Ops.urlFilterTopk(s, d)),
@@ -482,6 +483,22 @@ object SparkEntry {
         "q.embedding::DOUBLE[]), 4) AS c FROM embeddings e, " +
         "(SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
         "ORDER BY c DESC, e.vec_id LIMIT 10"),
+    "q_emb_quantize" ->
+      // int8 absmax quantization (Ops.embQuantize): the rounding rule is an
+      // explicit floor(x/scale + 0.5) on both sides (round() tie behavior
+      // differs between engines); zero vectors quantize to all-zero
+      ("WITH m AS (SELECT vec_id, len(embedding)::INT AS n_dims, " +
+        "list_transform(embedding, v -> v::DOUBLE) AS x, " +
+        "list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS amax " +
+        "FROM embeddings), " +
+        "s AS (SELECT vec_id, n_dims, x, amax, amax / 127.0::DOUBLE AS scale FROM m) " +
+        "SELECT vec_id, n_dims, scale, " +
+        "CASE WHEN amax = 0 THEN 0 ELSE list_sum(list_transform(x, " +
+        "v -> floor(v/scale + 0.5)))::BIGINT END AS q_sum, " +
+        "CASE WHEN amax = 0 THEN 0 ELSE list_sum(list_transform(x, " +
+        "v -> abs(floor(v/scale + 0.5))))::BIGINT END AS q_l1, " +
+        "CASE WHEN amax = 0 THEN 0.0 ELSE list_max(list_transform(x, " +
+        "v -> abs(v - floor(v/scale + 0.5)*scale))) END AS max_err FROM s"),
     "q_media_meta" ->
       ("SELECT doc_id, strlen(text)::INT AS n_bytes, " +
         "hex(encode(substr(text, 1, 8))) AS header_hex FROM documents"),

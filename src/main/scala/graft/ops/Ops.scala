@@ -821,6 +821,35 @@ object Ops {
     dot / (na * nb)
   }
 
+  /** Int8 embedding quantization signals (r5): per vector, absmax scale
+    * (scale = max|x|/127) and the quantized summary stats a training
+    * pipeline checks before shipping int8 shards — q_sum/q_l1 of the
+    * quantized values and the max reconstruction error. The rounding rule
+    * is written out as `floor(x/scale + 0.5)` on BOTH sides of the gate
+    * (Spark `round` and DuckDB `round` disagree on .5 ties — an explicit
+    * floor is bit-identical in both). Scale shape: one narrow per-row pass
+    * over the embeddings table, higher-order array expressions only, zero
+    * shuffle, no driver state — embarrassingly parallel at any corpus size.
+    */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val x = transform(col("embedding"), v => v.cast("double"))
+    val amax = array_max(transform(x, v => abs(v)))
+    val scale = amax / lit(127.0)
+    def qv(v: Column): Column = floor(v / scale + lit(0.5))
+    t(spark, dir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).as("n_dims"),
+      scale.as("scale"),
+      when(amax === 0.0, lit(0L)).otherwise(
+        aggregate(x, lit(0.0), (acc, v) => acc + qv(v)).cast("long"))
+        .as("q_sum"),
+      when(amax === 0.0, lit(0L)).otherwise(
+        aggregate(x, lit(0.0), (acc, v) => acc + abs(qv(v))).cast("long"))
+        .as("q_l1"),
+      when(amax === 0.0, lit(0.0)).otherwise(
+        array_max(transform(x, v => abs(v - qv(v) * scale)))).as("max_err"))
+  }
+
   /** Brute-force cosine top-k against a fixed query vector (vec_id=0) —
     * the exact ANN baseline. The query vector joins via broadcast; the scan
     * is a single narrow pass.

@@ -194,6 +194,26 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L)._1 == 0.6667 && r(3L)._2 == 0.5)
   }
 
+  test("int8 quantization: planted vectors hit hand-computed summaries") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0),
+      (2L, Seq(0.0f, 0.0f), 0) // zero vector: scale 0, all-zero quant
+    ).toDF("vec_id", "embedding", "label")
+    val tmp = SparkTestSession.tempDir("graft-quant")
+    rows.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val r = graft.ops.Ops.embQuantize(spark, tmp).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val v1 = r(1L)
+    assert(v1.getInt(1) == 4 && v1.getDouble(2) == 1.0 / 127.0)
+    // q = floor(x*127 + 0.5) = [127, -63, 32, 0] -> sum 96, l1 222
+    assert(v1.getLong(3) == 96L && v1.getLong(4) == 222L)
+    assert(v1.getDouble(5) > 0.0 && v1.getDouble(5) <= 0.5 / 127.0 + 1e-12)
+    val v2 = r(2L)
+    assert(v2.getDouble(2) == 0.0 && v2.getLong(3) == 0L &&
+      v2.getLong(4) == 0L && v2.getDouble(5) == 0.0)
+  }
+
   test("LSH band buckets are capped: identical-text flood stays bounded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
