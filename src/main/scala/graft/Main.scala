@@ -165,12 +165,13 @@ object BuildIndex {
 object Suggest {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: Suggest <indexDir> <term | prefix* | query --collate> " +
-        "[--n N] [--df text|title] [--collate]")
+      "usage: Suggest <indexDir> <term | prefix* | query --collate | " +
+        "pattern --regex> [--n N] [--df text|title] [--collate] [--regex]")
     val indexDir = args(0)
     val input = args(1)
     val (opts, flags) = MainCommon.parseArgs(args.drop(2).toSeq,
-      valued = Set("--n", "--df", "--buckets"), flagNames = Set("--collate"))
+      valued = Set("--n", "--df", "--buckets"),
+      flagNames = Set("--collate", "--regex"))
     val n = opts.getOrElse("--n", "10").toInt
     val df = opts.getOrElse("--df", "text")
     val spark = MainCommon.session("graft-suggest")
@@ -183,6 +184,13 @@ object Suggest {
       engine.collate(input, df) match {
         case Some((cq, hits)) => println(s"  collation='$cq' hits=$hits")
         case None             => println("  no collation")
+      }
+    } else if (flags.contains("--regex")) {
+      // Solr /terms terms.regex: full-match regex over the field's
+      // dictionary (documented full-vocabulary scan, like Solr's own)
+      println(s"[graft] terms regex='$input' n=$n df=$df")
+      engine.termsByRegex(input, n, df).foreach {
+        case (t, c) => println(f"  $t%-24s df=$c")
       }
     } else if (input.endsWith("*")) {
       println(s"[graft] terms prefix='$input' n=$n df=$df")

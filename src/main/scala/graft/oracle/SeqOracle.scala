@@ -346,6 +346,22 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       .map(k => (k.substring(pfxLen), df(k)))
   }
 
+  /** terms.regex twin of [[graft.query.QueryEngine.termsByRegex]]: field
+    * dictionary tokens fully matching the regex, term-asc, capped, with df.
+    */
+  def termsByRegex(pattern: String, n: Int = 20, field: String = "text")
+      : Seq[(String, Long)] = {
+    val rx = java.util.regex.Pattern.compile(pattern)
+    val fieldPfx = if (field == "text") "" else field + ":"
+    postings.keys.toSeq
+      .filter { k =>
+        (if (fieldPfx.isEmpty) !k.contains(":") else k.startsWith(fieldPfx)) &&
+          rx.matcher(k.substring(fieldPfx.length)).matches()
+      }
+      .sorted.take(n)
+      .map(k => (k.substring(fieldPfx.length), df(k)))
+  }
+
   /** MoreLikeThis interesting-terms twin of
     * [[graft.query.QueryEngine.interestingTerms]]: tf from the analyzed
     * input, df/n from THIS oracle's in-memory postings (the engine side

@@ -1669,6 +1669,43 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     cands.map(k => (k.substring(pfxLen), dfs.getOrElse(k, 0L)))
   }
 
+  /** Solr /terms `terms.regex` analog (r5): dictionary terms of the field
+    * whose TOKEN part fully matches the Java regex, with global df summed
+    * from segment metadata — term-ascending, capped at n. Like Solr's own
+    * terms.regex (and this engine's leading-`*` wildcards), the scan is a
+    * full pass over the field's vocabulary-bounded dictionary: an
+    * arbitrary regex has no pushdown contract, and Solr documents the same
+    * cost for its regex term enumeration. The regex runs distributed (a
+    * typed filter over the distinct term scan), only the capped matches
+    * come back to the driver; an invalid pattern rejects loudly at compile.
+    */
+  def termsByRegex(pattern: String, n: Int = 20, df: String = "text")
+      : Seq[(String, Long)] = {
+    require(QueryParser.IndexedFields.contains(df),
+      s"df='$df': indexed fields are ${QueryParser.IndexedFields.mkString(", ")}")
+    // compile ONCE on the driver (loud on bad syntax); Pattern is
+    // Serializable, so the executors reuse it instead of recompiling per
+    // term (CLAUDE.md rule 8: per-element Pattern.compile is an allocation
+    // storm over a large vocabulary)
+    val rx = java.util.regex.Pattern.compile(pattern)
+    refreshIfStale()
+    val v = view
+    val fieldPfx = if (df == "text") "" else df + ":"
+    var scan = v.postings
+    scan =
+      if (fieldPfx.isEmpty) scan.filter(!$"term".contains(":"))
+      else scan.filter($"term".startsWith(fieldPfx))
+    val pfxLen = fieldPfx.length
+    val matched = scan.select($"term").distinct().as[String]
+      .filter(t => rx.matcher(t.substring(pfxLen)).matches())
+      .orderBy($"term").limit(n).collect().toSeq
+    if (matched.isEmpty) return Seq.empty
+    val dfs = postingsFor(matched, v).toDF()
+      .groupBy($"term").agg(sum($"count").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    matched.map(k => (k.substring(pfxLen), dfs.getOrElse(k, 0L)))
+  }
+
   /** Real-time get by url — the Solr `/get?id=` analog the reference calls
     * at indexdata.py:1529–1533. Solr's RTG sees documents BEFORE commit;
     * the analog here: consult the newest ON-DISK segment's docs table even

@@ -1059,6 +1059,20 @@ class EngineSpec extends AnyFunSuite {
     val s = engine.suggest("the", 3)
     assert(s.nonEmpty && s.head._1 == "the" && s.head._2 == 0)
     intercept[IllegalArgumentException](engine.suggest("two words", 3))
+    // terms.regex (r5): full-match regex over the field dictionary,
+    // term-asc + df, vs the oracle twin — incl. an alternation, a
+    // character class, and a field-scoped pattern
+    for ((p, f) <- Seq(("w0001.", "text"), ("th.*", "text"),
+           ("w(17|42).*", "text"), ("[0-9]", "title"), ("d.c", "title"))) {
+      assert(engine.termsByRegex(p, 10, f) == oracle.termsByRegex(p, 10, f),
+        s"terms.regex('$p', df=$f)")
+    }
+    assert(engine.termsByRegex("w0001.", 10).nonEmpty)
+    // invalid regex and unknown field reject loudly
+    intercept[java.util.regex.PatternSyntaxException](
+      engine.termsByRegex("w[", 5))
+    intercept[IllegalArgumentException](
+      engine.termsByRegex("w.*", 5, "body"))
   }
 
   test("facet.pivot over the match set equals oracle (r5)") {
