@@ -455,13 +455,18 @@ object Search {
     // either ordering.
     val page: Array[org.apache.spark.sql.Row] = opts.get("--sort") match {
       case Some(spec) =>
-        val (field, ascending) = spec.split(":", 2) match {
-          case Array(f)          => (f, true)
-          case Array(f, "asc")   => (f, true)
-          case Array(f, "desc")  => (f, false)
-          case Array(f, d) => throw new IllegalArgumentException(
-            s"--sort $f:$d — direction must be asc or desc")
-        }
+        // Solr compound sort: comma-separated field[:asc|desc] keys,
+        // docId-ascending final tiebreak
+        val sorts: Seq[(String, Boolean)] =
+          spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
+            s.split(":", 2) match {
+              case Array(f)          => (f, true)
+              case Array(f, "asc")   => (f, true)
+              case Array(f, "desc")  => (f, false)
+              case Array(f, d) => throw new IllegalArgumentException(
+                s"--sort $f:$d — direction must be asc or desc")
+            }
+          }
         require(after.isEmpty, "--after applies to score-ordered pages only")
         require(!flags.contains("--explain"),
           "--explain applies to score-ordered search only")
@@ -471,14 +476,17 @@ object Search {
         require(!flags.contains("--exhaustive"),
           "--exhaustive applies to score-ordered search only")
         val t0 = System.nanoTime()
-        val rows = engine.searchSorted(query, field, ascending, start + k,
+        val rows = engine.searchSortedMulti(query, sorts, start + k,
           df, fq, qOp, qf, tie).collect().drop(start)
         val ms = (System.nanoTime() - t0) / 1e6
-        println(f"[graft] query='$query' sort=$field:" +
-          s"${if (ascending) "asc" else "desc"} hits=${rows.length} " +
-          f"latencyMs=$ms%.1f")
+        val sortStr = sorts.map { case (f, a) =>
+          s"$f:${if (a) "asc" else "desc"}" }.mkString(",")
+        println(f"[graft] query='$query' sort=$sortStr " +
+          s"hits=${rows.length} " + f"latencyMs=$ms%.1f")
         rows.zipWithIndex.foreach { case (r, i) =>
-          println(f"  ${start + i + 1}%2d. docId=${r.getLong(0)}%8d $field=${r.get(1)}")
+          val kv = sorts.zipWithIndex.map { case ((f, _), j) =>
+            s"$f=${r.get(j + 1)}" }.mkString(" ")
+          println(f"  ${start + i + 1}%2d. docId=${r.getLong(0)}%8d $kv")
         }
         rows
       case None if k == 0 =>

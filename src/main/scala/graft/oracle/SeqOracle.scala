@@ -178,19 +178,32 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     */
   def topKSorted(query: String, sortField: String, ascending: Boolean,
       k: Int, df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR"): Seq[Long] =
+    topKSortedMulti(query, Seq((sortField, ascending)), k, df, fq, qOp)
+
+  /** Compound-sort twin of [[graft.query.QueryEngine.searchSortedMulti]]:
+    * per-key direction, docId-ascending final tiebreak (the ids are
+    * pre-sorted ascending and the composite sort is stable).
+    */
+  def topKSortedMulti(query: String, sorts: Seq[(String, Boolean)],
+      k: Int, df: String = "text", fq: Seq[String] = Nil,
       qOp: String = "OR"): Seq[Long] = {
     val ids = candidatesFq(query, df, fq, qOp).map(_._1).sorted
-    def by[T](key: Long => T)(implicit o: Ordering[T]): Seq[Long] =
-      ids.sortBy(key)(if (ascending) o else o.reverse)
-    val sorted = sortField match {
-      case "url"      => by(docUrl)
-      case "lang"     => by(docLang)
-      case "warc_ts"  => by(docTs)
-      case "doclen"   => by(doclen)
-      case "titleLen" => by(titleLen)
-      case f => throw new IllegalArgumentException(s"unsupported sort field $f")
+    def ord(field: String, asc: Boolean): Ordering[Long] = {
+      def by[T](key: Long => T)(implicit o: Ordering[T]): Ordering[Long] =
+        Ordering.by(key)(if (asc) o else o.reverse)
+      field match {
+        case "url"      => by(docUrl)
+        case "lang"     => by(docLang)
+        case "warc_ts"  => by(docTs)
+        case "doclen"   => by(doclen)
+        case "titleLen" => by(titleLen)
+        case f => throw new IllegalArgumentException(s"unsupported sort field $f")
+      }
     }
-    sorted.take(k)
+    val combined = sorts.map { case (f, a) => ord(f, a) }
+      .reduce((a, b) => a.orElse(b))
+    ids.sorted(combined).take(k)
   }
 
   /** Solr facet.range twin of [[graft.query.QueryEngine.facetRange]]:

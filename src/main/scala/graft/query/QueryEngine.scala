@@ -1265,18 +1265,42 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   def searchSorted(q: String, sortField: String, ascending: Boolean, k: Int,
       df: String = "text", fq: Seq[String] = Nil,
       qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): DataFrame =
+    searchSortedMulti(q, Seq((sortField, ascending)), k, df, fq, qOp, qf,
+      tie)
+
+  /** Solr compound sort (`sort=f1 desc, f2 asc`): the general form of
+    * [[searchSorted]] — every key is a stored field with its own
+    * direction, docId-ascending is the final tiebreak. Same plan shape
+    * (match set → docs join → TakeOrderedAndProject on the key tuple), so
+    * cost scales with matches, never a global sort. Score cannot appear as
+    * a sort key here: mixing relevance into a field sort needs the field
+    * value at WAND offer time — the doc-values gap documented in
+    * SURVEY.md §2.9 (function queries); Solr itself serves that case from
+    * docvalues. SeqOracle.topKSortedMulti is the twin.
+    */
+  def searchSortedMulti(q: String, sorts: Seq[(String, Boolean)], k: Int,
+      df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
       tie: Double = 0.0): DataFrame = {
-    require(QueryEngine.SortableFields.contains(sortField),
-      s"sort field '$sortField' unsupported (stored: " +
-        s"${QueryEngine.SortableFields.mkString(", ")})")
+    require(sorts.nonEmpty, "sort needs at least one field")
+    sorts.foreach { case (f, _) =>
+      require(QueryEngine.SortableFields.contains(f),
+        s"sort field '$f' unsupported (stored: " +
+          s"${QueryEngine.SortableFields.mkString(", ")})")
+    }
+    require(sorts.map(_._1).distinct.size == sorts.size,
+      s"sort lists a field twice: ${sorts.map(_._1).mkString(", ")}")
     refreshIfStale()
     val v = view
     val ast = QueryParser.parse(q, df, qOp, qf, tie)
-    val dir = if (ascending) asc(sortField) else desc(sortField)
+    val dirs = sorts.map { case (f, a) => if (a) asc(f) else desc(f) } :+
+      asc("docId")
     applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
-      .join(v.docs.select($"docId", col(sortField)), Seq("docId"))
-      .orderBy(dir, asc("docId"))
+      .join(v.docs.select(($"docId" +: sorts.map(s => col(s._1))): _*),
+        Seq("docId"))
+      .orderBy(dirs: _*)
       .limit(k)
   }
 

@@ -970,6 +970,27 @@ class EngineSpec extends AnyFunSuite {
     // only stored docs columns sort; score order is the default search
     intercept[IllegalArgumentException](
       engine.searchSorted("w1", "text", ascending = true, 5))
+    // compound sort (r5): per-key direction + docId tiebreak vs the
+    // oracle's stable composite ordering. lang has 2 values and doclen
+    // collides often, so the secondary/tertiary keys genuinely decide.
+    val multis = Seq(
+      Seq("lang" -> true, "warc_ts" -> false),
+      Seq("lang" -> false, "doclen" -> true, "warc_ts" -> true),
+      Seq("doclen" -> false, "url" -> true))
+    for (q <- qs; m <- multis) {
+      val got = engine.searchSortedMulti(q, m, 10)
+        .collect().map(_.getLong(0)).toSeq
+      val exp = oracle.topKSortedMulti(q, m, 10)
+      assert(got == exp, s"[$q multisort=$m]\n got=$got\n exp=$exp")
+    }
+    // a multi-key page must differ from its primary key alone somewhere
+    // (otherwise the secondary key was never exercised)
+    assert(multis.exists(m => oracle.topKSortedMulti("the", m, 10) !=
+      oracle.topKSorted("the", m.head._1, m.head._2, 10)))
+    intercept[IllegalArgumentException](
+      engine.searchSortedMulti("w1", Seq("lang" -> true, "lang" -> false), 5))
+    intercept[IllegalArgumentException](
+      engine.searchSortedMulti("w1", Nil, 5))
   }
 
   test("facetRange: hour buckets over the match set equal oracle (r5)") {
