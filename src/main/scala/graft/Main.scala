@@ -340,7 +340,7 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--qf field[^w],field[^w]] [--tie 0..1] [--fq query]* [--facet field] [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-offset N] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--stats-percentiles 50,90,99] [--group field] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
+    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--qf field[^w],field[^w]] [--tie 0..1] [--fq query]* [--facet field] [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-offset N] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--stats-percentiles 50,90,99] [--stats-distinct] [--group field] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
     val indexDir = args(0)
     val query = args(1)
     // repeatable options first (Solr takes fq= / facet.query= any number of
@@ -355,7 +355,8 @@ object Search {
         "--facet-prefix", "--facet-sort", "--facet-offset", "--export",
         "--stats-percentiles"),
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
-        "--distributed", "--explain", "--group-ngroups"))
+        "--distributed", "--explain", "--group-ngroups",
+        "--stats-distinct"))
     val k = opts.getOrElse("--k", "10").toInt
     require(k >= 0, "--k must be >= 0 (0 = Solr rows=0 count-only)")
     val df = opts.getOrElse("--df", "text") // Solr's df= default field
@@ -589,15 +590,19 @@ object Search {
       val ps = opts.get("--stats-percentiles").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         .map(_.toDouble)
+      // Solr stats.calcdistinct analog: exact distinct count, appended
+      // after the percentile columns
+      val cd = flags.contains("--stats-distinct")
       println(s"[graft] stats field='$field' (over ALL matches)")
-      engine.statsField(query, field, df, fq, qOp, ps, qf, tie).collect().foreach {
-        r =>
+      engine.statsField(query, field, df, fq, qOp, ps, qf, tie, cd)
+        .collect().foreach { r =>
           val pStr = ps.zipWithIndex.map { case (pt, i) =>
             s" ${QueryEngine.percentileColName(pt)}=${r.get(5 + i)}"
           }.mkString
+          val dStr = if (cd) s" countDistinct=${r.get(5 + ps.length)}" else ""
           println(s"  count=${r.get(0)} min=${r.get(1)} max=${r.get(2)} " +
-            s"sum=${r.get(3)} mean=${r.get(4)}$pStr")
-      }
+            s"sum=${r.get(3)} mean=${r.get(4)}$pStr$dStr")
+        }
     }
     // Solr result grouping analog: --group field, --k = group.limit
     opts.get("--group").foreach { field =>

@@ -242,6 +242,20 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       vs.sum.toDouble / vs.size))
   }
 
+  /** stats.calcdistinct twin of [[graft.query.QueryEngine.statsField]]'s
+    * `calcDistinct` column: exact distinct count of the numeric field over
+    * the match set.
+    */
+  def statsDistinct(query: String, field: String, df: String = "text",
+      fq: Seq[String] = Nil, qOp: String = "OR"): Long = {
+    val key: Long => Long = field match {
+      case "doclen"   => doclen
+      case "titleLen" => titleLen
+      case f => throw new IllegalArgumentException(s"unsupported stats field $f")
+    }
+    candidatesFq(query, df, fq, qOp).map(c => key(c._1)).distinct.size.toLong
+  }
+
   /** Stats-percentiles twin of [[graft.query.QueryEngine.statsField]]'s
     * `percentiles` param: Spark's EXACT sort-based percentile — linear
     * interpolation at rank p·(n−1) over the sorted values. None when

@@ -1382,10 +1382,15 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     *   t-digest; exactness here is a strict upgrade and keeps the oracle
     *   twin bit-checkable). Null when nothing matches, like min/max.
     */
+  /** @param calcDistinct Solr stats.calcdistinct: append an exact
+    *   `countDistinct` column AFTER the percentiles (appended last so the
+    *   fixed positions of the base schema never move).
+    */
   def statsField(q: String, field: String, df: String = "text",
       fq: Seq[String] = Nil, qOp: String = "OR",
       percentiles: Seq[Double] = Nil,
-      qf: Seq[(String, Double)] = Nil, tie: Double = 0.0): DataFrame = {
+      qf: Seq[(String, Double)] = Nil, tie: Double = 0.0,
+      calcDistinct: Boolean = false): DataFrame = {
     require(QueryEngine.NumericFields.contains(field),
       s"stats field '$field' unsupported (numeric stored: " +
         s"${QueryEngine.NumericFields.mkString(", ")})")
@@ -1398,9 +1403,12 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       expr(s"percentile($field, ${p / 100.0})")
         .as(QueryEngine.percentileColName(p))
     }
+    val dCols =
+      if (calcDistinct) Seq(countDistinct(col(field)).as("countDistinct"))
+      else Nil
     val aggCols = Seq(count(lit(1)).as("cnt"), min(field).as("min"),
       max(field).as("max"), sum(field).as("sum"),
-      avg(field).as("mean")) ++ pCols
+      avg(field).as("mean")) ++ pCols ++ dCols
     applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
       .select($"docId"))
       .join(v.docs.select($"docId", col(field)), Seq("docId"))

@@ -523,6 +523,19 @@ class EngineSpec extends AnyFunSuite {
     val empty = engine.statsField("zzznosuchterm", "doclen",
       percentiles = Seq(50.0)).collect().head
     assert(empty.getLong(0) == 0L && empty.isNullAt(5))
+    // stats.calcdistinct (r5): exact distinct count, appended AFTER the
+    // percentiles so the base schema positions never move
+    Seq("the", "w00017", "*:*").foreach { q =>
+      val row = engine.statsField(q, "doclen", percentiles = Seq(50.0),
+        calcDistinct = true).collect().head
+      assert(row.getLong(6) == oracle.statsDistinct(q, "doclen"),
+        s"calcdistinct q=$q")
+    }
+    val cd = engine.statsField("the", "titleLen", fq = Seq("w00017"),
+      calcDistinct = true)
+    assert(cd.columns.last == "countDistinct")
+    assert(cd.collect().head.getLong(5) ==
+      oracle.statsDistinct("the", "titleLen", fq = Seq("w00017")))
     intercept[IllegalArgumentException](
       engine.statsField("the", "doclen", percentiles = Seq(0.0)))
     intercept[IllegalArgumentException](
