@@ -250,6 +250,17 @@ object Bench {
     ("*:*", Seq("lang:no"), "OR"),
     ("*:*", Seq("w00017 OR w00342"), "OR"))
 
+  /** edismax qf/tie combos timed through the driver path (round-5 tail):
+    * multi-field fan-out doubles the cursor count per bare term and the
+    * tie<1 cases exercise the grouped scoreAt fold — the record shows what
+    * the multi-field surface costs relative to the plain set.
+    */
+  private val qfLatencyQueries: Seq[(Seq[(String, Double)], Double, String)] =
+    Seq(
+      (Seq("text" -> 1.0, "title" -> 3.0), 0.0, "w00017 9999"),
+      (Seq("text" -> 1.0, "title" -> 3.0), 0.3, "w00017 AND 42"),
+      (Seq("text" -> 0.5, "title" -> 2.0), 1.0, "the 17"))
+
   /** Stopword-heavy queries whose posting sets exceed the driver threshold —
     * timed against a driverWandMaxSegments=0 engine so the 100×-relevant
     * distributed windowed path has a recorded latency.
@@ -634,6 +645,9 @@ object Bench {
     fqLatencyQueries.foreach { case (q, fq, op) => // warm fq filterCache
       engine.search(q, 10, "text", None, fq, op).collect()
     }
+    qfLatencyQueries.foreach { case (qf, tie, q) => // warm qf plans
+      engine.search(q, 10, "text", None, Nil, "OR", qf, tie).collect()
+    }
     val canD0 = BenchArm.canarySec()
     val cpuD0 = osbQ.getProcessCpuTime
     val lat = (goldenQueries.flatMap { q =>
@@ -641,6 +655,11 @@ object Bench {
     } ++ fqLatencyQueries.flatMap { case (q, fq, op) =>
       (1 to 3).map { _ =>
         timeS(engine.search(q, 10, "text", None, fq, op).collect())._2
+      }
+    } ++ qfLatencyQueries.flatMap { case (qf, tie, q) =>
+      (1 to 3).map { _ =>
+        timeS(engine.search(q, 10, "text", None, Nil, "OR", qf, tie)
+          .collect())._2
       }
     }).sorted
     val cpuDriver = (osbQ.getProcessCpuTime - cpuD0) / 1e9
@@ -663,7 +682,7 @@ object Bench {
     deleteScratch(ixDir) // tmpfs scratch is RAM — never accumulate
 
     latencyJson =
-      f""""query_latency":{"p50_sec":$p50%.4f,"p50_distributed_sec":$p50D%.4f,"k":10,"queries":${goldenQueries.length + fqLatencyQueries.length},"distributed_queries":${distributedQueries.length},"reps":3,"driver_cpu_sec":$cpuDriver%.2f,"distributed_cpu_sec":$cpuDist%.2f,"canary_sec":[$canD0%.3f,$canD1%.3f]}"""
+      f""""query_latency":{"p50_sec":$p50%.4f,"p50_distributed_sec":$p50D%.4f,"k":10,"queries":${goldenQueries.length + fqLatencyQueries.length + qfLatencyQueries.length},"distributed_queries":${distributedQueries.length},"reps":3,"driver_cpu_sec":$cpuDriver%.2f,"distributed_cpu_sec":$cpuDist%.2f,"canary_sec":[$canD0%.3f,$canD1%.3f]}"""
     emitRecord()
 
     // ---- scaling LAST (unbounded-variance section): consumes whatever
