@@ -99,9 +99,16 @@ class IndexStateFuzzSpec extends AnyFunSuite {
       }
     }
 
+    // mid-sequence snapshots: (dir, per-term model counts, live-doc count)
+    // frozen at snapshot time, re-verified after the WHOLE remaining
+    // mutation history (upserts, deletes, compactions, grace-0 GC) has
+    // run against the source
+    val snaps = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Map[String, Int], Int)]
+
     val steps = 12
     (0 until steps).foreach { s =>
-      rng.nextInt(6) match {
+      rng.nextInt(7) match {
         case 0 => // append a batch of fresh urls
           val batch = Seq.fill(2 + rng.nextInt(4))(freshDoc())
           batch.foreach(d => model(d.url) = d)
@@ -146,6 +153,19 @@ class IndexStateFuzzSpec extends AnyFunSuite {
           // live segdirs all survive; the engine re-resolves per query).
           IndexLayout.gcUnreferenced(spark, dir, graceMs = 0L)
           checkInvariants(s"step$s-gc0")
+        case 5 if snaps.size < 2 => // point-in-time snapshot (r5): freeze
+          // the model's observable state now; verified at the very end
+          val sd = SparkTestSession.tempDir("graft-statefuzz-snap") + s"/s$s"
+          Snapshot.run(spark, dir, sd)
+          val counts = Seq("w00005", "w00017", "w00099").map { t =>
+            t -> model.valuesIterator
+              .count(d => Analysis.tokenize(d.text).contains(t))
+          }.toMap
+          snaps += ((sd, counts, model.size))
+          checkInvariants(s"step$s-snapshot") // source unaffected
+        case 5 => // snapshot budget spent: exercise compaction instead
+          Compaction.run(spark, dir, conf)
+          checkInvariants(s"step$s-compact2")
         case _ => // paged delete-all by query (r5): the searchAfter cursor
           // walk must reach EXACTLY the model's matching live docs, with
           // later anchors computed while earlier flushes' tombstones are
@@ -221,6 +241,19 @@ class IndexStateFuzzSpec extends AnyFunSuite {
     reDocs.take(5).foreach { d =>
       assert(engine.realtimeGet(d.url).collect().length == 1,
         s"re-ingested url ${d.url} not RTG-visible")
+    }
+
+    // snapshots still answer their FROZEN state — after every mutation,
+    // compaction, grace-0 GC, the corpus wipe and the re-ingest above ran
+    // against the source (point-in-time isolation under the full history)
+    snaps.foreach { case (sd, counts, nLive) =>
+      val se = new QueryEngine(spark, sd, conf.numBuckets)
+      counts.foreach { case (t, c) =>
+        assert(se.search(t, 5000).collect().length == c,
+          s"snapshot $sd term '$t' drifted from its frozen count $c")
+      }
+      assert(se.countMatches("*:*") == nLive.toLong,
+        s"snapshot $sd numFound drifted from frozen $nLive")
     }
   }
 }
