@@ -340,19 +340,23 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--qf field[^w],field[^w]] [--tie 0..1] [--fq query]* [--facet field] [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-offset N] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--stats-percentiles 50,90,99] [--stats-distinct] [--group field] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
+    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--qf field[^w],field[^w]] [--tie 0..1] [--fq query]* [--facet field]* [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-offset N] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--stats-percentiles 50,90,99] [--stats-distinct] [--group field] [--group-limit N] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
     val indexDir = args(0)
     val query = args(1)
     // repeatable options first (Solr takes fq= / facet.query= any number of
     // times; the strict Map-based parser would keep only the last)
     val (fq, rest1) = MainCommon.extractRepeated(args.drop(2).toSeq, "--fq")
-    val (facetQueries, rest) = MainCommon.extractRepeated(rest1, "--facet-query")
+    val (facetQueries, rest2) = MainCommon.extractRepeated(rest1, "--facet-query")
+    // Solr facet.field is repeatable: each field gets its own independent
+    // count job over the same match set (Solr prices them separately too)
+    val (facetFields, rest) = MainCommon.extractRepeated(rest2, "--facet")
     val (opts, flags) = MainCommon.parseArgs(rest,
-      valued = Set("--k", "--buckets", "--df", "--facet", "--facet-range",
+      valued = Set("--k", "--buckets", "--df", "--facet-range",
         "--pivot", "--sort", "--stats", "--group", "--after", "--qop",
         "--qf", "--tie",
         "--start", "--fl", "--facet-limit", "--facet-mincount",
         "--facet-prefix", "--facet-sort", "--facet-offset", "--export",
+        "--group-limit",
         "--stats-percentiles"),
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
         "--distributed", "--explain", "--group-ngroups",
@@ -558,7 +562,7 @@ object Search {
         }
       }
     }
-    opts.get("--facet").foreach { field =>
+    facetFields.foreach { field =>
       // Solr facet.limit / facet.mincount / facet.prefix / facet.sort knobs
       val fLimit = opts.getOrElse("--facet-limit", "20").toInt
       val fMin = opts.getOrElse("--facet-mincount", "1").toLong
@@ -609,8 +613,10 @@ object Search {
       // Solr group.ngroups: distinct group count, priced as its own agg
       val ng = if (flags.contains("--group-ngroups"))
         s" ngroups=${engine.countGroups(query, field, df, fq, qOp, qf, tie)}" else ""
-      println(s"[graft] group field='$field' limit=$k$ng")
-      engine.searchGrouped(query, field, k, df, fq, qOp, qf, tie).collect().foreach { r =>
+      // Solr group.limit: docs per group, independent of rows (--k)
+      val gLimit = opts.get("--group-limit").map(_.toInt).getOrElse(k)
+      println(s"[graft] group field='$field' limit=$gLimit$ng")
+      engine.searchGrouped(query, field, gLimit, df, fq, qOp, qf, tie).collect().foreach { r =>
         println(f"  ${r.get(0)}%-12s #${r.getInt(1)}%-3d docId=${r.getLong(2)}%8d score=${r.getDouble(3)}%.6f")
       }
     }
