@@ -340,7 +340,7 @@ object Get {
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--qf field[^w],field[^w]] [--tie 0..1] [--fq query]* [--facet field]* [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-offset N] [--facet-query query]* [--facet-range start,end,gapSec] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--stats-percentiles 50,90,99] [--stats-distinct] [--group field] [--group-limit N] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
+    require(args.length >= 2, "usage: Search <indexDir> <query|*:*> [--k K] [--start N] [--fl f1,f2] [--buckets B] [--df text|title] [--qop OR|AND] [--qf field[^w],field[^w]] [--tie 0..1] [--fq query]* [--facet field]* [--facet-limit N] [--facet-mincount M] [--facet-prefix P] [--facet-sort count|index] [--facet-offset N] [--facet-query query]* [--facet-range start,end,gapSec] [--facet-range-num field,start,end,gap] [--pivot fieldA,fieldB] [--sort field:asc|desc] [--export outDir] [--stats field] [--stats-percentiles 50,90,99] [--stats-distinct] [--group field] [--group-limit N] [--group-ngroups] [--after score,docId] [--delete] [--delete-all] [--exhaustive] [--distributed] [--explain]")
     val indexDir = args(0)
     val query = args(1)
     // repeatable options first (Solr takes fq= / facet.query= any number of
@@ -356,7 +356,7 @@ object Search {
         "--qf", "--tie",
         "--start", "--fl", "--facet-limit", "--facet-mincount",
         "--facet-prefix", "--facet-sort", "--facet-offset", "--export",
-        "--group-limit",
+        "--group-limit", "--facet-range-num",
         "--stats-percentiles"),
       flagNames = Set("--delete", "--delete-all", "--exhaustive",
         "--distributed", "--explain", "--group-ngroups",
@@ -631,6 +631,19 @@ object Search {
         }
     }
     // Solr facet.range analog: --facet-range start,end,gapSec over warc_ts
+    // numeric facet.range (r5): --facet-range-num field,start,end,gap
+    opts.get("--facet-range-num").foreach { spec =>
+      val parts = spec.split(",")
+      require(parts.length == 4,
+        "--facet-range-num expects <field>,<start>,<end>,<gap>")
+      println(s"[graft] facet.range ${parts(0)} [${parts(1)},${parts(2)}) " +
+        s"gap=${parts(3)} (over ALL matches)")
+      engine.facetRangeNumeric(query, parts(0), parts(1).toLong,
+        parts(2).toLong, parts(3).toLong, df, fq, qOp, qf, tie)
+        .collect().foreach { r =>
+          println(f"  ${r.getLong(0)}%-12d ${r.getLong(1)}%8d")
+        }
+    }
     opts.get("--facet-range").foreach { spec =>
       val parts = spec.split(",")
       require(parts.length == 3,

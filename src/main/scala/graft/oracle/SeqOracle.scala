@@ -242,6 +242,25 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       vs.sum.toDouble / vs.size))
   }
 
+  /** Numeric facet.range twin of
+    * [[graft.query.QueryEngine.facetRangeNumeric]]: (bucketStart, count)
+    * per non-empty gap bucket within `[start, end)`, bucket-ordered.
+    */
+  def facetRangeNumeric(query: String, field: String, start: Long,
+      end: Long, gap: Long, df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR"): Seq[(Long, Long)] = {
+    val key: Long => Long = field match {
+      case "doclen"   => doclen
+      case "titleLen" => titleLen
+      case f => throw new IllegalArgumentException(s"unsupported range field $f")
+    }
+    candidatesFq(query, df, fq, qOp).map(c => key(c._1))
+      .filter(v => v >= start && v < end)
+      .groupBy(v => (v - start) / gap * gap + start)
+      .map { case (b, vs) => (b, vs.size.toLong) }
+      .toSeq.sortBy(_._1)
+  }
+
   /** stats.calcdistinct twin of [[graft.query.QueryEngine.statsField]]'s
     * `calcDistinct` column: exact distinct count of the numeric field over
     * the match set.

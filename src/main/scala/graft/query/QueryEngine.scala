@@ -1371,6 +1371,36 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       .orderBy($"bucket_start")
   }
 
+  /** Numeric facet.range (r5): the same bucketed counts as [[facetRange]]
+    * over a stored NUMERIC field (doclen/titleLen) instead of warc_ts —
+    * Solr ranges over any trie/point field. Buckets are
+    * `[start + i·gap, start + (i+1)·gap)` within `[start, end)`; only
+    * non-empty buckets return, bucket-ordered. Same plan shape: match set
+    * → docs join → one groupBy. SeqOracle.facetRangeNumeric is the twin.
+    */
+  def facetRangeNumeric(q: String, field: String, start: Long, end: Long,
+      gap: Long, df: String = "text", fq: Seq[String] = Nil,
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): DataFrame = {
+    require(QueryEngine.NumericFields.contains(field),
+      s"facet.range field '$field' unsupported (numeric stored: " +
+        s"${QueryEngine.NumericFields.mkString(", ")})")
+    require(gap > 0, "facet.range gap must be positive")
+    require(end > start, "facet.range end must be after start")
+    refreshIfStale()
+    val v = view
+    val ast = QueryParser.parse(q, df, qOp, qf, tie)
+    applyFq(v, fq, df, qOp)(scoredCandidates(ast, v, needScores = false)
+      .select($"docId"))
+      .join(v.docs.select($"docId", col(field)), Seq("docId"))
+      .filter(col(field) >= start && col(field) < end)
+      .withColumn("bucket_start",
+        floor((col(field) - start) / gap).cast("long") * gap + start)
+      .groupBy($"bucket_start")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"bucket_start")
+  }
+
   /** Solr stats-component analog (`stats.field=<numeric>`): count / min /
     * max / sum / mean of a stored numeric column over ALL matching docs.
     * One aggregation over the match-set join — no sort, no window.

@@ -1019,6 +1019,24 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       engine.facetRange("the", "2024-01-01T00:00:00Z",
         "2024-01-01T00:00:00Z", 3600)) // empty interval
+    // numeric facet.range (r5): same bucketing over doclen/titleLen
+    for (q <- Seq("the", "w00017", "*:*");
+         (f, lo, hi, gap) <- Seq(("doclen", 0L, 2000L, 100L),
+           ("titleLen", 0L, 4L, 1L))) {
+      val got = engine.facetRangeNumeric(q, f, lo, hi, gap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val exp = oracle.facetRangeNumeric(q, f, lo, hi, gap)
+      assert(got == exp, s"[$q facet.range $f]\n got=$got\n exp=$exp")
+      assert(got.nonEmpty, s"[$q $f] degenerate fixture: no buckets")
+    }
+    // off-grid start: bucket starts derive from start, not from zero
+    assert(engine.facetRangeNumeric("the", "doclen", 37, 1037, 250)
+      .collect().map(_.getLong(0)).toSeq ==
+      oracle.facetRangeNumeric("the", "doclen", 37, 1037, 250).map(_._1))
+    intercept[IllegalArgumentException](
+      engine.facetRangeNumeric("the", "warc_ts", 0, 10, 1))
+    intercept[IllegalArgumentException](
+      engine.facetRangeNumeric("the", "doclen", 0, 10, 0))
   }
 
   test("statsField: match-set numeric stats equal oracle (r5)") {
