@@ -366,16 +366,18 @@ object Search {
     val df = opts.getOrElse("--df", "text") // Solr's df= default field
     val qOp = opts.getOrElse("--qop", "OR") // Solr's q.op= default operator
     // Solr edismax qf= analog: unqualified plain terms search EVERY listed
-    // field, per-field BM25 contributions weighted and summed (tie=1 —
-    // divergence from Solr's default max documented at MultiLit). Bare
+    // field; per-field BM25 contributions combine under --tie below (0
+    // default = Solr's per-token best-field max — see MultiLit). Bare
     // field = weight 1. Applies to q only; fq strings parse qf-free, like
     // Solr's fq (always the standard parser).
     val qf: Seq[(String, Double)] = opts.get("--qf").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       .map { part =>
-        part.split("\\^") match {
-          case Array(f)    => (f, 1.0)
-          case Array(f, w) => (f, w.toDouble)
+        // split with -1: a trailing '^' must NOT be silently swallowed
+        // ("text^" / "text^2^" reject loudly, per the parse-loud rule)
+        part.split("\\^", -1) match {
+          case Array(f) if f.nonEmpty    => (f, 1.0)
+          case Array(f, w) if f.nonEmpty && w.nonEmpty => (f, w.toDouble)
           case _ => throw new IllegalArgumentException(
             s"--qf entries are field or field^weight, got '$part'")
         }
@@ -386,6 +388,8 @@ object Search {
     val tie = opts.getOrElse("--tie", "0").toDouble
     require(tie == 0.0 || qf.nonEmpty,
       "--tie only applies with --qf (it shapes multi-field scoring)")
+    require(!flags.contains("--stats-distinct") || opts.contains("--stats"),
+      "--stats-distinct only applies with --stats <field>")
     // Solr start= shallow offset paging: fetch start+k and drop the first
     // start rows — the exact cost shape of Solr itself, which heaps
     // start+rows per shard (hence "deep paging with start= is an

@@ -149,8 +149,13 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * engine's applyFq).
     */
   private def candidatesFq(query: String, df: String,
-      fq: Seq[String], qOp: String = "OR"): Seq[(Long, Double)] = {
-    var all = candidates(QueryParser.parse(query, df, qOp))
+      fq: Seq[String], qOp: String = "OR",
+      qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): Seq[(Long, Double)] = {
+    // qf/tie shape the MAIN query's match set and scores; fq strings stay
+    // qf-free (engine applyFq parses fq without qf — Solr's standard-parser
+    // fq), so fqMatchOk needs no qf param
+    var all = candidates(QueryParser.parse(query, df, qOp, qf, tie))
     fq.foreach { s =>
       val ok = fqMatchOk(s, df, qOp)
       all = all.filter { case (id, _) => ok(id) }
@@ -164,8 +169,9 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     */
   def facetQuery(query: String, subQueries: Seq[String],
       df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR"): Seq[(String, Long)] = {
-    val baseIds = candidatesFq(query, df, fq, qOp).map(_._1)
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): Seq[(String, Long)] = {
+    val baseIds = candidatesFq(query, df, fq, qOp, qf, tie).map(_._1)
     subQueries.map { s =>
       val ok = fqMatchOk(s, df, qOp)
       (s, baseIds.count(ok).toLong)
@@ -178,8 +184,10 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     */
   def topKSorted(query: String, sortField: String, ascending: Boolean,
       k: Int, df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR"): Seq[Long] =
-    topKSortedMulti(query, Seq((sortField, ascending)), k, df, fq, qOp)
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): Seq[Long] =
+    topKSortedMulti(query, Seq((sortField, ascending)), k, df, fq, qOp,
+      qf, tie)
 
   /** Compound-sort twin of [[graft.query.QueryEngine.searchSortedMulti]]:
     * per-key direction, docId-ascending final tiebreak (the ids are
@@ -187,8 +195,9 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     */
   def topKSortedMulti(query: String, sorts: Seq[(String, Boolean)],
       k: Int, df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR"): Seq[Long] = {
-    val ids = candidatesFq(query, df, fq, qOp).map(_._1).sorted
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): Seq[Long] = {
+    val ids = candidatesFq(query, df, fq, qOp, qf, tie).map(_._1).sorted
     def ord(field: String, asc: Boolean): Ordering[Long] = {
       def by[T](key: Long => T)(implicit o: Ordering[T]): Ordering[Long] =
         Ordering.by(key)(if (asc) o else o.reverse)
@@ -212,10 +221,11 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     */
   def facetRange(query: String, startIso: String, endIso: String,
       gapSec: Long, df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR"): Seq[(Long, Long)] = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): Seq[(Long, Long)] = {
     val startMs = parseTs(startIso)
     val endMs = parseTs(endIso)
-    candidatesFq(query, df, fq, qOp).map(_._1)
+    candidatesFq(query, df, fq, qOp, qf, tie).map(_._1)
       .map(docTs)
       .filter(t => t >= startMs && t < endMs)
       .groupBy(t => (t - startMs) / (gapSec * 1000L))
@@ -230,13 +240,14 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     */
   def statsField(query: String, field: String, df: String = "text",
       fq: Seq[String] = Nil,
-      qOp: String = "OR"): Option[(Long, Long, Long, Long, Double)] = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): Option[(Long, Long, Long, Long, Double)] = {
     val key: Long => Long = field match {
       case "doclen"   => doclen
       case "titleLen" => titleLen
       case f => throw new IllegalArgumentException(s"unsupported stats field $f")
     }
-    val vs = candidatesFq(query, df, fq, qOp).map(c => key(c._1))
+    val vs = candidatesFq(query, df, fq, qOp, qf, tie).map(c => key(c._1))
     if (vs.isEmpty) None
     else Some((vs.size.toLong, vs.min, vs.max, vs.sum,
       vs.sum.toDouble / vs.size))
@@ -248,13 +259,14 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     */
   def facetRangeNumeric(query: String, field: String, start: Long,
       end: Long, gap: Long, df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR"): Seq[(Long, Long)] = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): Seq[(Long, Long)] = {
     val key: Long => Long = field match {
       case "doclen"   => doclen
       case "titleLen" => titleLen
       case f => throw new IllegalArgumentException(s"unsupported range field $f")
     }
-    candidatesFq(query, df, fq, qOp).map(c => key(c._1))
+    candidatesFq(query, df, fq, qOp, qf, tie).map(c => key(c._1))
       .filter(v => v >= start && v < end)
       .groupBy(v => (v - start) / gap * gap + start)
       .map { case (b, vs) => (b, vs.size.toLong) }
@@ -266,13 +278,14 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * the match set.
     */
   def statsDistinct(query: String, field: String, df: String = "text",
-      fq: Seq[String] = Nil, qOp: String = "OR"): Long = {
+      fq: Seq[String] = Nil, qOp: String = "OR",
+      qf: Seq[(String, Double)] = Nil, tie: Double = 0.0): Long = {
     val key: Long => Long = field match {
       case "doclen"   => doclen
       case "titleLen" => titleLen
       case f => throw new IllegalArgumentException(s"unsupported stats field $f")
     }
-    candidatesFq(query, df, fq, qOp).map(c => key(c._1)).distinct.size.toLong
+    candidatesFq(query, df, fq, qOp, qf, tie).map(c => key(c._1)).distinct.size.toLong
   }
 
   /** Stats-percentiles twin of [[graft.query.QueryEngine.statsField]]'s
@@ -282,13 +295,14 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     */
   def statsPercentiles(query: String, field: String, ps: Seq[Double],
       df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR"): Option[Seq[Double]] = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): Option[Seq[Double]] = {
     val key: Long => Long = field match {
       case "doclen"   => doclen
       case "titleLen" => titleLen
       case f => throw new IllegalArgumentException(s"unsupported stats field $f")
     }
-    val vs = candidatesFq(query, df, fq, qOp).map(c => key(c._1).toDouble)
+    val vs = candidatesFq(query, df, fq, qOp, qf, tie).map(c => key(c._1).toDouble)
       .sorted.toIndexedSeq
     if (vs.isEmpty) None
     else Some(ps.map { p =>
@@ -309,7 +323,8 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     */
   def topKGrouped(query: String, field: String, kPerGroup: Int,
       df: String = "text", fq: Seq[String] = Nil,
-      qOp: String = "OR"): Seq[(String, Int, Long, Double)] = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): Seq[(String, Int, Long, Double)] = {
     // string stored fields only, matching QueryEngine.GroupableFields —
     // this twin orders group values as strings, which is only the engine's
     // ordering for string columns
@@ -318,7 +333,7 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
       case "url"  => docUrl
       case f => throw new IllegalArgumentException(s"unsupported group field $f")
     }
-    candidatesFq(query, df, fq, qOp)
+    candidatesFq(query, df, fq, qOp, qf, tie)
       .groupBy(c => key(c._1))
       .toSeq.sortBy(_._1)
       .flatMap { case (v, cs) =>
@@ -437,14 +452,15 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
   def facetPivot(query: String, fieldA: String, fieldB: String,
       topA: Int = 5, topB: Int = 3, df: String = "text",
       fq: Seq[String] = Nil,
-      qOp: String = "OR"): Seq[(String, Long, String, Long, Int)] = {
+      qOp: String = "OR", qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): Seq[(String, Long, String, Long, Int)] = {
     def fieldOf(f: String): Long => String = f match {
       case "lang" => docLang(_)
       case "url"  => docUrl(_)
       case other => throw new IllegalArgumentException(s"pivot field $other")
     }
     val fa = fieldOf(fieldA); val fb = fieldOf(fieldB)
-    val ids = candidatesFq(query, df, fq, qOp).map(_._1)
+    val ids = candidatesFq(query, df, fq, qOp, qf, tie).map(_._1)
     val pairs = ids.groupBy(id => (fa(id), fb(id)))
       .map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSeq
     val aTop = pairs.groupBy(_._1)
@@ -548,8 +564,10 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
   def facet(query: String, field: String, fq: Seq[String] = Nil,
       minCount: Long = 1L, qOp: String = "OR",
       prefix: Option[String] = None,
-      sortIndex: Boolean = false, offset: Int = 0): Seq[(String, Long)] = {
-    val vals = candidatesFq(query, "text", fq, qOp).map { case (id, _) =>
+      sortIndex: Boolean = false, offset: Int = 0,
+      qf: Seq[(String, Double)] = Nil,
+      tie: Double = 0.0): Seq[(String, Long)] = {
+    val vals = candidatesFq(query, "text", fq, qOp, qf, tie).map { case (id, _) =>
       field match {
         case "lang" => docLang(id)
         case "url"  => docUrl(id)
@@ -567,13 +585,14 @@ final class SeqOracle(docs: Seq[OracleDoc]) {
     * distinct group values in the match set.
     */
   def ngroups(query: String, field: String, df: String = "text",
-      fq: Seq[String] = Nil, qOp: String = "OR"): Long = {
+      fq: Seq[String] = Nil, qOp: String = "OR",
+      qf: Seq[(String, Double)] = Nil, tie: Double = 0.0): Long = {
     val key: Long => String = field match {
       case "lang" => docLang
       case "url"  => docUrl
       case f => throw new IllegalArgumentException(s"unsupported group field $f")
     }
-    candidatesFq(query, df, fq, qOp).map(c => key(c._1)).distinct.size.toLong
+    candidatesFq(query, df, fq, qOp, qf, tie).map(c => key(c._1)).distinct.size.toLong
   }
 
   /** Exhaustive score of one doc for a term list (test helper). */

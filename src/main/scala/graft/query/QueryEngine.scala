@@ -1753,14 +1753,27 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     refreshIfStale()
     val v = view
     val fieldPfx = if (df == "text") "" else df + ":"
-    var scan = v.postings
-    scan =
-      if (fieldPfx.isEmpty) scan.filter(!$"term".contains(":"))
-      else scan.filter($"term".startsWith(fieldPfx))
+    // cache in the view's prefixCache like every dictionary expansion; the
+    // SPACE-separated key cannot collide with term keys or pattern keys
+    // (spaces never appear in either — the parser's cache-identity rule) —
+    // a metachar-free regex like "w0001" would otherwise collide with the
+    // plain-prefix entry for the same string
+    val cacheKey = "re " + df + " " + n + " " + pattern
     val pfxLen = fieldPfx.length
-    val matched = scan.select($"term").distinct().as[String]
-      .filter(t => rx.matcher(t.substring(pfxLen)).matches())
-      .orderBy($"term").limit(n).collect().toSeq
+    val matched: Seq[String] =
+      v.prefixCache.synchronized(Option(v.prefixCache.get(cacheKey))) match {
+        case Some(hit) => hit
+        case None =>
+          var scan = v.postings
+          scan =
+            if (fieldPfx.isEmpty) scan.filter(!$"term".contains(":"))
+            else scan.filter($"term".startsWith(fieldPfx))
+          val terms = scan.select($"term").distinct().as[String]
+            .filter(t => rx.matcher(t.substring(pfxLen)).matches())
+            .orderBy($"term").limit(n).collect().toSeq
+          v.prefixCache.synchronized(v.prefixCache.put(cacheKey, terms))
+          terms
+      }
     if (matched.isEmpty) return Seq.empty
     val dfs = postingsFor(matched, v).toDF()
       .groupBy($"term").agg(sum($"count").as("df"))

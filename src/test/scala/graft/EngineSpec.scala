@@ -680,9 +680,26 @@ class EngineSpec extends AnyFunSuite {
       engine.search("w00017 w00342", 10, qf = Seq("text" -> 1.0))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
       oracle.topK("w00017 w00342", 10), "qf=text^1 ≡ default")
-    // match-set consumers take qf through the same parse seam
+    // match-set consumers take qf through the same parse seam — engine
+    // consumer vs oracle twin on a title-reaching fanned token (review
+    // r5: the oracle's candidatesFq seam must carry qf too, or consumer
+    // regressions in the MultiLit match set are invisible)
     assert(engine.countMatches("doc", qf = qf) ==
       oracle.topK("doc", NDocs.toInt, qf = qf).size.toLong)
+    assert(engine.facet("doc AND w00017", "lang", qf = qf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      oracle.facet("doc AND w00017", "lang", qf = qf))
+    assert(engine.searchSorted("doc AND w00017", "warc_ts",
+      ascending = false, 10, qf = qf).collect().map(_.getLong(0)).toSeq ==
+      oracle.topKSorted("doc AND w00017", "warc_ts", ascending = false, 10,
+        qf = qf))
+    val sRow = engine.statsField("doc AND w00017", "doclen", qf = qf)
+      .collect().head
+    assert((sRow.getLong(0), sRow.getLong(1), sRow.getLong(2),
+      sRow.getLong(3), sRow.getDouble(4)) ==
+      oracle.statsField("doc AND w00017", "doclen", qf = qf).get)
+    assert(engine.countGroups("doc AND w00017", "lang", qf = qf) ==
+      oracle.ngroups("doc AND w00017", "lang", qf = qf))
     // explain: per-term entries sum bit-identically to the qf-scored hit
     val top = engine.search("doc AND w00017", 10, qf = qf).collect()
     assert(top.nonEmpty)
