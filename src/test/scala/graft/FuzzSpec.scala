@@ -230,6 +230,44 @@ class FuzzSpec extends AnyFunSuite {
     assert(nonEmpty >= 10, s"only $nonEmpty/25 qf combos matched anything")
   }
 
+  test("match-set consumers under qf: facet/stats/sorted/ngroups vs " +
+      "oracle twins") {
+    // the oracle's candidatesFq seam carries qf/tie (review r5), so every
+    // consumer twin can be fuzzed under multi-field fan-out — a MultiLit
+    // match-set regression anywhere in the consumer chain diverges here
+    val configs = Seq(
+      Seq("text" -> 1.0, "title" -> 3.0),
+      Seq("title" -> 2.0))
+    val combos = Iterator.continually {
+      (genQuery(), pick(configs), pick(Seq(0.0, 1.0)))
+    }.distinct.take(10).toSeq
+    var nonEmpty = 0
+    combos.zipWithIndex.foreach { case ((q, qf, tie), i) =>
+      val ctx = s"q='$q' qf=$qf tie=$tie"
+      val fc = engine.facet(q, "lang", qf = qf, tie = tie).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      if (fc.nonEmpty) nonEmpty += 1
+      assert(fc == oracle.facet(q, "lang", qf = qf, tie = tie),
+        s"facet $ctx")
+      val f = if (i % 2 == 0) "doclen" else "titleLen"
+      val r = engine.statsField(q, f, qf = qf, tie = tie).collect().head
+      oracle.statsField(q, f, qf = qf, tie = tie) match {
+        case Some(exp) =>
+          assert((r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)) == ((exp._1, exp._2, exp._3, exp._4)) &&
+            math.abs(r.getDouble(4) - exp._5) < 1e-9, s"stats $ctx")
+        case None => assert(r.getLong(0) == 0L, s"stats-empty $ctx")
+      }
+      assert(engine.searchSorted(q, "warc_ts", ascending = i % 2 == 0, 10,
+        qf = qf, tie = tie).collect().map(_.getLong(0)).toSeq ==
+        oracle.topKSorted(q, "warc_ts", ascending = i % 2 == 0, 10,
+          qf = qf, tie = tie), s"sorted $ctx")
+      assert(engine.countGroups(q, "lang", qf = qf, tie = tie) ==
+        oracle.ngroups(q, "lang", qf = qf, tie = tie), s"ngroups $ctx")
+    }
+    assert(nonEmpty >= 4, s"only $nonEmpty/10 qf consumer combos matched")
+  }
+
   test("sorted search over generated queries: stored-field order matches " +
       "oracle both directions") {
     val queries = Iterator.continually(genQuery()).distinct.take(12).toSeq
