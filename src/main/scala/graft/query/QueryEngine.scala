@@ -422,16 +422,23 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     * range prunes) \u2014 bounded by vocabulary size, not corpus size, and the
     * length window cuts the distinct shuffle before the matrix runs.
     */
+  /** Field-restricted dictionary scan: the postings relation constrained
+    * to ONE indexed field's keyspace — bare (text) keys exclude every
+    * ':'-qualified key, title keys by prefix. The single definition behind
+    * all five dictionary surfaces (prefix/fuzzy/wildcard/range/regex): a
+    * field-keying change lands here once.
+    */
+  private def fieldTermScan(v: IndexView, fieldPfx: String): DataFrame =
+    if (fieldPfx.isEmpty) v.postings.filter(!$"term".contains(":"))
+    else v.postings.filter($"term".startsWith(fieldPfx))
+
   private def fuzzyScan(v: IndexView, key: String, maxEdits: Int)
       : (Dataset[String], String) = {
     val colon = key.indexOf(':')
     val (fieldPfx, base) =
       if (colon >= 0) (key.substring(0, colon + 1), key.substring(colon + 1))
       else ("", key)
-    var scan = v.postings
-    scan =
-      if (fieldPfx.isEmpty) scan.filter(!$"term".contains(":"))
-      else scan.filter($"term".startsWith(fieldPfx))
+    var scan = fieldTermScan(v, fieldPfx)
     scan = scan.filter(length($"term")
       .between(fieldPfx.length + base.length - maxEdits,
         fieldPfx.length + base.length + maxEdits))
@@ -471,10 +478,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val (fieldPfx, pat) =
       if (colon >= 0) (key.substring(0, colon + 1), key.substring(colon + 1))
       else ("", key)
-    var scan = v.postings
-    scan =
-      if (fieldPfx.isEmpty) scan.filter(!$"term".contains(":"))
-      else scan.filter($"term".startsWith(fieldPfx))
+    var scan = fieldTermScan(v, fieldPfx)
     val lit = fieldPfx + Glob.literalPrefix(pat)
     if (lit.length > fieldPfx.length)
       scan = scan.filter($"term" >= lit && $"term" < lit + "￿")
@@ -510,10 +514,7 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
   private def rangeScan(v: IndexView, fieldPfx: String, lo: Option[String],
       hi: Option[String], incLo: Boolean, incHi: Boolean)
       : (Dataset[String], String) = {
-    var scan = v.postings
-    scan =
-      if (fieldPfx.isEmpty) scan.filter(!$"term".contains(":"))
-      else scan.filter($"term".startsWith(fieldPfx))
+    var scan = fieldTermScan(v, fieldPfx)
     lo.foreach { b =>
       val q = fieldPfx + b
       scan = scan.filter(if (incLo) $"term" >= q else $"term" > q)
@@ -1764,11 +1765,8 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
       v.prefixCache.synchronized(Option(v.prefixCache.get(cacheKey))) match {
         case Some(hit) => hit
         case None =>
-          var scan = v.postings
-          scan =
-            if (fieldPfx.isEmpty) scan.filter(!$"term".contains(":"))
-            else scan.filter($"term".startsWith(fieldPfx))
-          val terms = scan.select($"term").distinct().as[String]
+          val terms = fieldTermScan(v, fieldPfx)
+            .select($"term").distinct().as[String]
             .filter(t => rx.matcher(t.substring(pfxLen)).matches())
             .orderBy($"term").limit(n).collect().toSeq
           v.prefixCache.synchronized(v.prefixCache.put(cacheKey, terms))
