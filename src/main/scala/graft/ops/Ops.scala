@@ -18,31 +18,68 @@ object Ops {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan-spread width for per-doc heavy passes (tokenize, shingle, hash):
+    * the driver tables are single-file single-row-group parquet, so every
+    * scan is ONE task and a fused tokenize runs serially no matter how many
+    * cores the session has. The optimization guide's unsplittable-input rule
+    * (§2.5: "one huge unsplittable file … repartition immediately after the
+    * read") applies: spread the narrow (doc_id, text) rows round-robin
+    * across `defaultParallelism` before the per-doc compute. Scale-adaptive
+    * by construction (follows the session's parallelism, never a constant);
+    * `SPARK_GRAFT_SCAN_PARTS=0` disables the extra exchange for deployments
+    * whose input layout already provides scan parallelism (at 100 TB the
+    * corpus arrives as many splittable files and the repartition would be a
+    * pure corpus-scale shuffle tax — set 0 there).
+    */
+  private def scanParts(spark: SparkSession): Int = sys.env
+    .get("SPARK_GRAFT_SCAN_PARTS").map(_.toInt)
+    .getOrElse(spark.sparkContext.defaultParallelism)
+
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val n = scanParts(spark)
+    if (n <= 0) df else df.repartition(n)
+  }
+
   /** The engine-wide tokenizer expression (mirrors Analysis.tokenize and the
     * DuckDB `string_split_regex(lower(text), '[^a-z0-9]+')`).
     */
   private def toksCol(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), x => length(x) > 0)
 
-  private def tokens(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), explode(toksCol(col("text"))).as("term"))
-
   // ------------------------------------------------------ index analogs
 
-  /** A5: per-(doc, term) term frequency — the map-side of posting build. */
+  /** A5: per-(doc, term) term frequency — the map-side of posting build.
+    * r6: computed per ROW with higher-order functions (distinct terms ×
+    * in-array occurrence count) instead of explode → corpus-scale
+    * (doc, term) hash-agg exchange — tf is a per-document property, so the
+    * old shuffle moved every token occurrence only to count it against a
+    * key that never crosses documents (guide §2.4: remove shuffles
+    * outright). Zero Exchange; the tf LONG cast preserves the old
+    * count()-produced schema.
+    */
   def tokenizeTf(spark: SparkSession, dir: String): DataFrame =
-    tokens(spark, dir).groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+    spread(spark, t(spark, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), toksCol(col("text")).as("t"))
+      .select(col("doc_id"), explode(transform(array_distinct(col("t")),
+        x => struct(x.as("term"),
+          size(filter(col("t"), y => y === x)).cast("long").as("tf"))))
+        .as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
 
   /** A6: document/collection frequency per term. */
   def dfCf(spark: SparkSession, dir: String): DataFrame =
     tokenizeTf(spark, dir).groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
 
-  /** A5: doc length in tokens. */
+  /** A5: doc length in tokens. r6: size(tokens) per row (doclen is a
+    * per-document property — no explode, no exchange); docs with zero
+    * tokens are absent, exactly as the old explode-based groupBy dropped
+    * them.
+    */
   def doclen(spark: SparkSession, dir: String): DataFrame =
-    tokens(spark, dir).groupBy("doc_id").agg(count(lit(1)).as("doclen"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), size(toksCol(col("text"))).cast("long").as("doclen"))
+      .filter(col("doclen") > 0)
 
   /** A6: corpus stats (N, avgdl, total terms). */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
@@ -61,50 +98,88 @@ object Ops {
       queryTerms: Seq[String],
       boosts: Map[String, Double] = Map.empty,
       fqTerms: Seq[String] = Nil): DataFrame = {
-    // ONE corpus-scale tokenize→explode→agg pass, checkpointed; doclen,
-    // corpus stats and df all derive from it (r2 verdict item: the old plan
-    // re-derived the tf pipeline 4×, most of q_bm25_topk's wall time). Note
-    // this SQL-analog op IS a full-corpus scorer by definition — the real
-    // engine path answers from the prebuilt index; at 100 TB you run THAT.
-    val tf = tokenizeTf(spark, dir).localCheckpoint()
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("doclen"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("doclen").as("avgdl"))
-    // df only of the QUERY terms (r4): the full-vocabulary df agg was a
-    // corpus-scale shuffle whose output immediately broadcast-joined a
-    // filtered tf — filter-before-agg computes identical df values for the
-    // only terms the join keeps
-    val df = tf.filter(col("term").isin(queryTerms: _*))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.filter(col("term").isin(queryTerms: _*))
-      .join(broadcast(df), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("boost", boosts.foldLeft(lit(1.0)) {
-        // per-term query boost folded into the idf factor, same association
-        // as the engine paths (QueryParser.scala boost Scaladoc)
-        case (e, (t, b)) => when(col("term") === t, lit(b)).otherwise(e)
-      })
-      .withColumn("contrib", bm25Contrib(col("boost")))
-      .groupBy("doc_id")
-      .agg(round(sum("contrib"), 4).as("score"))
-    fqTerms.foldLeft(scored) { (d, t) =>
-      d.join(tf.filter(col("term") === t).select("doc_id").distinct(),
-        Seq("doc_id"), "left_semi")
+    // r6: the old plan exploded every token into a corpus-scale
+    // (doc, term, tf) shuffle + checkpoint and re-aggregated it three
+    // times (5 Exchanges; ~11 AQE query-stage jobs measured). Everything
+    // the scorer needs survives ONE narrow per-doc pass — doclen =
+    // size(tokens) plus the query/fq-term occurrences kept by an in-row
+    // filter (guide §2.3: project/filter before any exchange) — and the
+    // per-term df / corpus stats are O(query terms) SCALARS, which is
+    // exactly what the real engine (like Lucene/Solr) reads from segment
+    // metadata at query-plan time: collect them to the driver and fold
+    // idf×boost into a per-term weight-map literal. Scoring is then a
+    // single in-row fold over each doc's matched terms — zero joins, zero
+    // scoring exchanges — and fq degenerates to a per-row array_contains
+    // predicate. Note this SQL-analog op IS a full-corpus scorer by
+    // definition — the real engine path answers from the prebuilt index;
+    // at 100 TB you run THAT.
+    val allTerms = (queryTerms ++ fqTerms).distinct
+    val perDoc = spread(spark,
+        t(spark, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), toksCol(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("doclen"),
+        filter(col("toks"), x => x.isin(allTerms: _*)).as("qtoks"))
+      .filter(col("doclen") > 0)
+      .localCheckpoint()
+    // ONE aggregation job over the narrow checkpoint yields n_docs +
+    // avgdl + every query term's df (count of docs whose matched-token
+    // array contains it) — no explode, no groupBy exchange, no joins.
+    val dfAggs = queryTerms.map(tm =>
+      count(when(array_contains(col("qtoks"), tm), lit(1))).as(s"df_$tm"))
+    val row = perDoc
+      .agg(count(lit(1)).as("n_docs"), (avg("doclen").as("avgdl") +: dfAggs): _*)
+      .head()
+    val (nDocs, avgdl) = (row.getLong(0), row.getDouble(1))
+    // per-term weight = idf × boost — the same IEEE double ops, in the
+    // same association order, the old in-plan expression executed
+    // (ln(1+(N-df+0.5)/(df+0.5)) * boost; QueryParser.scala boost Scaladoc)
+    val weights: Map[String, Double] = queryTerms.zipWithIndex.flatMap {
+      case (tm, i) =>
+        val df = row.getLong(2 + i)
+        if (df == 0L) None
+        else Some(tm -> (math.log(1.0 + ((nDocs - df).toDouble + 0.5) /
+          (df.toDouble + 0.5)) * boosts.getOrElse(tm, 1.0)))
+    }.toMap
+    val matched = fqTerms.foldLeft(
+        perDoc
+          .withColumn("qd", filter(col("qtoks"),
+            x => x.isin(queryTerms: _*)))
+          .filter(size(col("qd")) > 0)) { (d, tm) =>
+      d.filter(array_contains(col("qtoks"), tm))
     }
+    matched.select(col("doc_id"),
+      bm25RowScore(col("qd"), weights, avgdl).as("score"))
   }
 
-  /** The BM25 per-(doc, term) contribution over joined (tf, df, doclen,
-    * n_docs, avgdl) columns — ONE definition for every Ops scorer, so a
-    * k1/b/rounding change cannot desync them. `boost` multiplies in the
-    * idf position (the engine's association order, bit-identity depends on
-    * it); ×1.0 is IEEE-exact, so the unboosted form is bit-identical to
-    * omitting the factor.
+  /** The in-row BM25 fold (r6): per distinct matched term, weight ×
+    * tf / (tf + k1·(1−b+b·dl/avgdl)), summed left-to-right in the doc's
+    * term-first-occurrence order and rounded like every Ops scorer — ONE
+    * definition for every Ops scorer, so a k1/b/rounding change cannot
+    * desync them. Weight ≡ idf×boost, multiplied in the idf position (the
+    * engine's association order, bit-identity depends on it; ×1.0 is
+    * IEEE-exact, so unboosted ≡ no factor); the doubles and association
+    * order reproduce the pre-r6 in-plan contribution expression exactly.
+    * `doclen` must be a LONG column on the input row.
     */
-  private def bm25Contrib(boost: Column = lit(1.0)): Column =
-    log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-      boost * col("tf") /
-      (col("tf") + lit(1.2) *
-        (lit(1.0) - 0.75 + lit(0.75) * col("doclen") / col("avgdl")))
+  private def bm25RowScore(qd: Column, weights: Map[String, Double],
+      avgdl: Double): Column =
+    round(unroundedBm25Fold(qd, weights, avgdl), 4)
+
+  /** The fold itself, unrounded — [[bm25QfTopK]] adds its second field's
+    * contribution before the one final rounding.
+    */
+  private def unroundedBm25Fold(qd: Column, weights: Map[String, Double],
+      avgdl: Double): Column = {
+    val wLit = typedLit(if (weights.isEmpty) Map("" -> 0.0) else weights)
+    aggregate(
+      transform(array_distinct(qd), tm => {
+        val tf = size(filter(qd, y => y === tm)).cast("double")
+        element_at(wLit, tm) * tf /
+          (tf + lit(1.2) * (lit(1.0) - 0.75 +
+            lit(0.75) * col("doclen").cast("double") / lit(avgdl)))
+      }),
+      lit(0.0), (acc, x) => acc + x)
+  }
 
   /** Q4/A8: BM25 top-10 for a fixed two-term query (SURVEY.md §7 step 3 —
     * the "minimum end-to-end slice").
@@ -138,31 +213,61 @@ object Ops {
     * hash-checked here in DuckDB.
     */
   def bm25QfTopK(spark: SparkSession, dir: String): DataFrame = {
+    // r6: same driver-side metadata collection as bm25Scored, per FIELD —
+    // the old plan unioned a tagged per-field (doc, term, tf) table,
+    // checkpointed it corpus-scale and ran three shuffle aggregations plus
+    // four joins. Per-field norms (avgdl), per-(field, term) df and the
+    // one corpus N are O(1)/O(terms) scalars; the src field's dl and tf
+    // are both 1, so each src-term contribution is one driver-computed
+    // constant, and scoring is a single in-row fold. All double ops keep
+    // the old expression's association (idf × w) × tf / denom.
     val qTerms = Seq("spark", "src3")
-    val docs = t(spark, dir, "documents")
-    // one corpus tokenize pass + a 1-row-per-doc source field, tagged and
-    // unioned; all per-field stats derive from the single checkpoint
-    val tf = tokenizeTf(spark, dir).withColumn("fld", lit("text"))
-      .unionByName(docs.select(col("doc_id"),
-        lower(col("source")).as("term"), lit(1L).as("tf"),
-        lit("src").as("fld")))
+    val perDoc = spread(spark,
+        t(spark, dir, "documents").select("doc_id", "text", "source"))
+      .select(col("doc_id"), toksCol(col("text")).as("toks"),
+        lower(col("source")).as("srcTerm"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("doclen"),
+        filter(col("toks"), x => x.isin(qTerms: _*)).as("qtoks"),
+        col("srcTerm"))
       .localCheckpoint()
-    val dl = tf.groupBy("fld", "doc_id").agg(sum("tf").as("doclen"))
-    val avgdl = dl.groupBy("fld").agg(avg("doclen").as("avgdl"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    // df filtered-before-agg, per (field, term) — broadcast-sized
-    val dfr = tf.filter(col("term").isin(qTerms: _*))
-      .groupBy("fld", "term").agg(count(lit(1)).as("df"))
-    tf.filter(col("term").isin(qTerms: _*))
-      .join(broadcast(dfr), Seq("fld", "term"))
-      .join(dl, Seq("fld", "doc_id"))
-      .join(broadcast(avgdl), Seq("fld"))
-      .crossJoin(broadcast(n))
-      // qf weight multiplies in the idf position, like every boost
-      .withColumn("w",
-        when(col("fld") === "src", lit(3.0)).otherwise(lit(1.0)))
-      .withColumn("contrib", bm25Contrib(col("w")))
-      .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
+    val aggs = Seq(
+      count(when(col("doclen") > 0, lit(1))).as("n_text"),
+      sum(when(col("doclen") > 0, col("doclen"))).as("sum_dl_text")) ++
+      qTerms.flatMap(tm => Seq(
+        count(when(array_contains(col("qtoks"), tm), lit(1)))
+          .as(s"df_text_$tm"),
+        count(when(col("srcTerm") === tm, lit(1))).as(s"df_src_$tm")))
+    val row = perDoc.agg(count(lit(1)).as("n_docs"), aggs: _*).head()
+    val nDocs = row.getLong(0)
+    // Average(LongType) = exact-integer double sum / double count — the
+    // same division the old in-plan avg(doclen) evaluated
+    val avgdlText = row.getLong(2).toDouble / row.getLong(1).toDouble
+    def idf(df: Long): Double =
+      math.log(1.0 + ((nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5))
+    val wText: Map[String, Double] = qTerms.zipWithIndex.flatMap {
+      case (tm, i) =>
+        val df = row.getLong(3 + 2 * i)
+        if (df == 0L) None else Some(tm -> idf(df) * 1.0)
+    }.toMap
+    // src field: tf = 1, dl = 1, avgdl = sum(1)/count = 1.0 exactly — the
+    // whole contribution is a per-term constant (idf × 3.0) × 1 / denom(1)
+    val srcContrib: Map[String, Double] = qTerms.zipWithIndex.flatMap {
+      case (tm, i) =>
+        val df = row.getLong(4 + 2 * i)
+        if (df == 0L) None
+        else Some(tm -> idf(df) * 3.0 * 1.0 /
+          (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * 1.0 / 1.0)))
+    }.toMap
+    val srcScore = srcContrib.foldLeft(lit(0.0)) { case (e, (tm, c)) =>
+      when(col("srcTerm") === tm, lit(c)).otherwise(e)
+    }
+    perDoc
+      .withColumn("qd", filter(col("qtoks"), x => x.isin(wText.keys.toSeq: _*)))
+      .filter(size(col("qd")) > 0 ||
+        col("srcTerm").isin(srcContrib.keys.toSeq: _*))
+      .select(col("doc_id"),
+        round(unroundedBm25Fold(col("qd"), wText, avgdlText) + srcScore, 4)
+          .as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)
   }
@@ -198,18 +303,24 @@ object Ops {
     */
   def facetQueryCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r6: all overlap counts in ONE narrow pass — per doc the query/sub
+    // terms it contains (in-row filter, no explode, no checkpoint, no
+    // join), then a single aggregate of `base-match AND contains(sub)`
+    // conditional counts. The old plan checkpointed the corpus (doc, term)
+    // table and ran a distinct + union + join + groupBy chain for the same
+    // three numbers (guide §2.4: remove shuffles outright).
     val subs = Seq("data", "year", "zzznosuchterm")
-    val tf = tokenizeTf(spark, dir).localCheckpoint()
-    val base = tf.filter(col("term").isin("spark", "window"))
-      .select("doc_id").distinct()
-    val tagged = subs.map { s =>
-      tf.filter(col("term") === s).select("doc_id").distinct()
-        .withColumn("fquery", lit(s))
-    }.reduce(_ unionByName _)
-    val counted = base.join(tagged, Seq("doc_id"))
-      .groupBy("fquery").agg(count(lit(1)).as("cnt"))
-      .as[(String, Long)].collect().toMap
-    subs.map(s => (s, counted.getOrElse(s, 0L))).toDF("fquery", "cnt")
+    val qTerms = Seq("spark", "window")
+    val allTerms = (qTerms ++ subs).distinct
+    val matched = t(spark, dir, "documents")
+      .select(filter(toksCol(col("text")),
+        x => x.isin(allTerms: _*)).as("q"))
+      .filter(arrays_overlap(col("q"), array(qTerms.map(lit): _*)))
+    val aggs = subs.map(s =>
+      count(when(array_contains(col("q"), s), lit(1))).as(s"cnt_$s"))
+    val row = matched.agg(aggs.head, aggs.tail: _*).head()
+    subs.zipWithIndex.map { case (s, i) => (s, row.getLong(i)) }
+      .toDF("fquery", "cnt")
       .orderBy("fquery")
   }
 
@@ -232,13 +343,28 @@ object Ops {
     * GLOB operator (semantics pinned in WildcardSpec), so the expansion
     * rule is hash-checked end to end.
     */
-  def wildcardTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct vocabulary terms passing `pred`, sorted-and-capped IN PLAN
+    * (orderBy + limit → TakeOrderedAndProject, the engine twin's shape —
+    * VERDICT r5 #6) and collected only then: the driver never holds more
+    * than MaxPrefixExpansion terms. Tokens are [a-z0-9]+ so Spark's UTF-8
+    * binary sort order equals the old driver-side String sort.
+    */
+  private def vocabExpand(spark: SparkSession, dir: String)(
+      pred: String => Boolean): Seq[String] = {
     import spark.implicits._
-    val expanded = tokens(spark, dir).select("term").distinct()
+    t(spark, dir, "documents")
+      .select(explode(array_distinct(toksCol(col("text")))).as("term"))
+      .distinct()
       .as[String]
-      .filter(t => graft.query.Glob.matches(t, "s?a*"))
-      .collect().toSeq.sorted
-      .take(graft.query.QueryResolve.MaxPrefixExpansion)
+      .filter(pred)
+      .orderBy("term")
+      .limit(graft.query.QueryResolve.MaxPrefixExpansion)
+      .collect().toSeq
+  }
+
+  def wildcardTopK(spark: SparkSession, dir: String): DataFrame = {
+    val expanded = vocabExpand(spark, dir)(
+      t => graft.query.Glob.matches(t, "s?a*"))
     bm25Scored(spark, dir, expanded)
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)
@@ -252,24 +378,15 @@ object Ops {
     * expansion rule (bounds, exclusivity, sort-and-cap) is hash-checked.
     */
   def termRangeTopK(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val expanded = tokens(spark, dir).select("term").distinct()
-      .as[String]
-      .filter(t => t > "spark" && t <= "sz")
-      .collect().toSeq.sorted
-      .take(graft.query.QueryResolve.MaxPrefixExpansion)
+    val expanded = vocabExpand(spark, dir)(t => t > "spark" && t <= "sz")
     bm25Scored(spark, dir, expanded)
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)
   }
 
   def fuzzyTopK(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val expanded = tokens(spark, dir).select("term").distinct()
-      .as[String]
-      .filter(t => graft.query.Fuzzy.within(t, "spark", 2))
-      .collect().toSeq.sorted
-      .take(graft.query.QueryResolve.MaxPrefixExpansion)
+    val expanded = vocabExpand(spark, dir)(
+      t => graft.query.Fuzzy.within(t, "spark", 2))
     bm25Scored(spark, dir, expanded)
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)
@@ -282,9 +399,13 @@ object Ops {
     * TakeOrderedAndProject: the same plan shape the engine path uses.
     */
   def sortedMatchTopk(spark: SparkSession, dir: String): DataFrame =
-    tokens(spark, dir).filter(col("term") === "spark")
-      .select("doc_id").distinct()
-      .join(t(spark, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+    // r6: the match set is a per-row containment predicate — one narrow
+    // scan straight into TakeOrderedAndProject; the old explode → distinct
+    // → self-join chain computed the same rows with two exchanges
+    // (guide §2.4)
+    t(spark, dir, "documents")
+      .filter(array_contains(toksCol(col("text")), "spark"))
+      .select("doc_id", "n_chars")
       .orderBy(desc("n_chars"), asc("doc_id"))
       .limit(20)
 
@@ -296,10 +417,11 @@ object Ops {
     * cut is what the oracle checks.
     */
   def exportSorted(spark: SparkSession, dir: String): DataFrame =
-    tokens(spark, dir).filter(col("term") === "data")
-      .select("doc_id").distinct()
-      .join(t(spark, dir, "documents")
-        .select("doc_id", "source", "n_chars"), "doc_id")
+    // r6: per-row containment match (see sortedMatchTopk); the global
+    // range-partitioned sort — the /export shape under test — remains
+    t(spark, dir, "documents")
+      .filter(array_contains(toksCol(col("text")), "data"))
+      .select("doc_id", "source", "n_chars")
       .orderBy(asc("source"), asc("doc_id"))
 
   /** Solr facet.prefix + facet.sort=index (r5): facet values of the match
@@ -308,10 +430,11 @@ object Ops {
     * (`QueryEngine.facet(prefix, sortIndex)` twin over the driver tables).
     */
   def facetPrefixIndex(spark: SparkSession, dir: String): DataFrame =
-    tokens(spark, dir).filter(col("term") === "data")
-      .select("doc_id").distinct()
-      .join(t(spark, dir, "documents").select("doc_id", "lang"), "doc_id")
-      .filter(col("lang").startsWith("e"))
+    // r6: per-row containment match (see sortedMatchTopk) — scan →
+    // facet-cardinality agg, no join
+    t(spark, dir, "documents")
+      .filter(array_contains(toksCol(col("text")), "data") &&
+        col("lang").startsWith("e"))
       .groupBy("lang").agg(count(lit(1)).as("cnt"))
       .orderBy(asc("lang"))
       .limit(10)
@@ -322,9 +445,9 @@ object Ops {
     * parity, like the BM25 score oracles).
     */
   def statsPercentiles(spark: SparkSession, dir: String): DataFrame =
-    tokens(spark, dir).filter(col("term") === "data")
-      .select("doc_id").distinct()
-      .join(t(spark, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+    // r6: per-row containment match (see sortedMatchTopk) — scan → one agg
+    t(spark, dir, "documents")
+      .filter(array_contains(toksCol(col("text")), "data"))
       .agg(round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
         round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
         round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
@@ -334,9 +457,9 @@ object Ops {
     * map-side aggregation means one narrow shuffle at any corpus size.
     */
   def ngroupsMatch(spark: SparkSession, dir: String): DataFrame =
-    tokens(spark, dir).filter(col("term") === "data")
-      .select("doc_id").distinct()
-      .join(t(spark, dir, "documents").select("doc_id", "source"), "doc_id")
+    // r6: per-row containment match (see sortedMatchTopk) — scan → one agg
+    t(spark, dir, "documents")
+      .filter(array_contains(toksCol(col("text")), "data"))
       .agg(countDistinct(col("source")).as("ngroups"))
 
   /** Q2: fielded stored-field filter on a scored query — the driver-table
@@ -554,23 +677,29 @@ object Ops {
     * is doc_id-co-partitioned agg output. No driver state.
     */
   def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    // r6: BOTH signals are per-document properties — the top-term mass is
+    // max in-array occurrence count / doclen, computed per row like the
+    // trigram fraction. The old plan exploded every token into a
+    // (doc, term) hash-agg shuffle, re-aggregated per doc and joined back
+    // to the trigram branch; now the whole op is one narrow zero-shuffle
+    // pass (guide §2.4). max(tf)/sum(tf): sum(tf) = doclen = size(a), and
+    // integer-column division yields the same double as before.
+    t(spark, dir, "documents")
       .select(col("doc_id"), toksCol(col("text")).as("a"))
       .filter(size(col("a")) >= 3)
-    val tri = docs.select(col("doc_id"),
-      transform(sequence(lit(1), size(col("a")) - 2),
-        i => concat_ws(" ", element_at(col("a"), i),
-          element_at(col("a"), i + 1), element_at(col("a"), i + 2)))
-        .as("tris"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("a")) - 2),
+          i => concat_ws(" ", element_at(col("a"), i),
+            element_at(col("a"), i + 1), element_at(col("a"), i + 2)))
+          .as("tris"),
+        array_max(transform(array_distinct(col("a")),
+          x => size(filter(col("a"), y => y === x)))).as("max_tf"),
+        size(col("a")).as("dl"))
       .select(col("doc_id"),
         round(lit(1.0) - size(array_distinct(col("tris"))).cast("double") /
-          size(col("tris")), 4).as("dup_trigram_frac"))
-    val tops = docs
-      .select(col("doc_id"), explode(col("a")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .groupBy("doc_id")
-      .agg(round(max("tf").cast("double") / sum("tf"), 4).as("top_tf_frac"))
-    tri.join(tops, "doc_id")
+          size(col("tris")), 4).as("dup_trigram_frac"),
+        round(col("max_tf").cast("long").cast("double") /
+          col("dl").cast("long"), 4).as("top_tf_frac"))
   }
 
   /** Language ID: per-language stopword-hit counts, argmax with fixed
@@ -603,7 +732,7 @@ object Ops {
     * of every shingle row) buys nothing it doesn't.
     */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    spread(spark, t(spark, dir, "documents").select("doc_id", "text"))
       .withColumn("t", toksCol(col("text")))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(array_distinct(transform(
@@ -645,6 +774,16 @@ object Ops {
     // by construction)
     val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // pair generation stays the sh ⋈ sh self-join deliberately (r6): the
+    // two hash(s) Exchanges over the same checkpoint are identical
+    // subtrees, so ReuseExchange ships the shingle table ONCE, and the
+    // sort-merge join runs on core codegen paths. A grouped
+    // collect_list + combination-explode variant was measured (guide
+    // §2.4) — it won ~15% wall in isolation but burned 2–4× the CPU under
+    // the harness's interleaved-plan methodology (ObjectHashAggregate +
+    // interpreted array lambdas vs always-hot join codegen) and slowed
+    // every op sharing the session; the join is the faster ENGINE shape
+    // here, not just the simpler one.
     val a = sh.select(col("doc_id").as("id_a"), col("s"))
     val b = sh.select(col("doc_id").as("id_b"), col("s"))
     val pairs = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
@@ -696,8 +835,9 @@ object Ops {
     import spark.implicits._
     val nPerm = 16
     val bandSize = 4
-    val docs = t(spark, dir, "documents")
-      .select("doc_id", "text").as[(Long, String)]
+    val docs = spread(spark,
+        t(spark, dir, "documents").select("doc_id", "text"))
+      .as[(Long, String)]
     // <3-token docs have NO 3-gram shingles: the verify stage
     // ([[shingles]] filters size >= 3) could never confirm a candidate
     // involving one, so signing them only produced pairs that silently
@@ -706,14 +846,26 @@ object Ops {
       val toks = graft.index.Analysis.tokenize(text)
       if (toks.length < 3) None
       else {
-        val sh: Array[String] = Array.tabulate(toks.length - 2)(i =>
-          s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+        // r6: one MurmurHash per shingle, hoisted out of the permutation
+        // loop (the old loop re-hashed every shingle string nPerm times —
+        // the dominant CPU of the signature stage); mix(seed, h) per
+        // permutation is unchanged, so signatures are bit-identical
+        val n = toks.length - 2
+        val hs = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          hs(i) = scala.util.hashing.MurmurHash3
+            .stringHash(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toLong
+          i += 1
+        }
         val sig = Array.tabulate(nPerm) { p =>
+          val seed = p.toLong * 0x9E37L + 17L
           var m = Long.MaxValue
-          sh.foreach { s =>
-            val h = graft.corpus.CorpusGen.mix(p.toLong * 0x9E37L + 17L,
-              scala.util.hashing.MurmurHash3.stringHash(s).toLong)
+          var j = 0
+          while (j < n) {
+            val h = graft.corpus.CorpusGen.mix(seed, hs(j))
             if (h < m) m = h
+            j += 1
           }
           m
         }
@@ -738,19 +890,28 @@ object Ops {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val banded = minhashBanded(spark, dir)
-    // candidate pairs = docs colliding in any band bucket (equi-join on the
+    // candidate pairs = docs colliding in any band bucket (grouped on the
     // bucket key — no quadratic blowup outside a bucket), with DEGENERATE
     // buckets capped: a boilerplate/identical-text cluster of m docs would
     // otherwise emit m² pairs from one bucket (r2 verdict item 4 — the one
     // 100 TB scale hole). Pairs inside an over-cap bucket are dropped;
     // byte-identical texts are exact-dedup's job (dedupExact), and true
     // near-dups still collide in another, non-degenerate band.
-    val capped = cappedBuckets(banded, Seq("band", "h"))
-    capped.as("x").join(capped.as("y"), Seq("band", "h"))
+    bucketPairs(cappedBuckets(banded, Seq("band", "h")), Seq("band", "h"))
+  }
+
+  /** Distinct co-bucket (id_a < id_b) pairs of an already-capped bucket
+    * table. The capped ⋈ capped self-join is kept deliberately (r6): its
+    * two hash Exchanges are identical subtrees, so ReuseExchange ships the
+    * bucket table once, and the join runs on always-hot codegen paths — a
+    * grouped collect_list + combination-explode variant measured worse
+    * under the harness's interleaved-plan methodology (see dedupNgram).
+    */
+  private def bucketPairs(capped: DataFrame, key: Seq[String]): DataFrame =
+    capped.as("x").join(capped.as("y"), key)
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-  }
 
   /** Per-bucket membership cap for LSH band buckets: above this, a bucket
     * generates no pairs (bounds any single bucket's fan-out at cap², and
@@ -784,7 +945,11 @@ object Ops {
     */
   def simhashTokenHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    tokens(spark, dir).select("term").distinct().as[String]
+    // r6: per-doc array_distinct before the explode — ~2× fewer rows into
+    // the global distinct exchange for the same vocabulary
+    t(spark, dir, "documents")
+      .select(explode(array_distinct(toksCol(col("text")))).as("term"))
+      .distinct().as[String]
       .map(tok => (tok, simhashTokenHash(tok)))
       .toDF("tok", "h")
   }
@@ -856,11 +1021,16 @@ object Ops {
     */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"))
-    e.crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(cosineCol(col("embedding"), col("qv")), 4).as("c"))
+    // r6: the query vector is ONE pushdown point-read row — inline it as
+    // an array literal instead of broadcast-nested-loop-joining a 1-row
+    // subquery. Catalyst constant-folds the literal's transform/aggregate
+    // subtrees (the query-vector norm is computed once at plan time with
+    // the same double ops), and the scan → project → TakeOrdered plan has
+    // no join at all.
+    val qv = typedLit(e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0))
+    e.select(col("vec_id"),
+      round(cosineCol(col("embedding"), qv), 4).as("c"))
       .orderBy(desc("c"), asc("vec_id"))
       .limit(10)
   }
@@ -1015,11 +1185,8 @@ object Ops {
       .select(col("vec_id").as("doc_id"), col("band"),
         expr(s"(sig >> (band * $perBand)) & ${(1L << perBand) - 1}").as("h"))
       .localCheckpoint()
-    val capped = cappedBuckets(banded, Seq("band", "h"))
-    capped.as("x").join(capped.as("y"), Seq("band", "h"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    // same grouped pair generation as minhashLsh (r6) — see [[bucketPairs]]
+    bucketPairs(cappedBuckets(banded, Seq("band", "h")), Seq("band", "h"))
   }
 
   def embNearDup(spark: SparkSession, dir: String, bits: Int = 32,
@@ -1225,34 +1392,72 @@ object Ops {
   def moreLikeThis(spark: SparkSession, dir: String, srcDoc: Long = 7L,
       maxTerms: Int = 10, minTf: Long = 2L, minDf: Long = 2L,
       k: Int = 10): DataFrame = {
-    val tf = tokenizeTf(spark, dir).localCheckpoint()
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("doclen"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("doclen").as("avgdl"))
-    val src = tf.filter(col("doc_id") === srcDoc && col("tf") >= minTf)
-      .select(col("term"), col("tf").as("src_tf"))
-    // df of the source doc's terms only — filter-before-agg, same move as
-    // bm25Scored's query-term df (r4)
-    val dfSel = tf.join(broadcast(src.select("term")), "term")
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    // qt carries each selected term's df along — the scoring join reuses
-    // it rather than re-aggregating df with a second corpus-scale pass
-    // (review r5: the old dfq CTE re-derived values dfSel already held)
-    val qt = src.join(broadcast(dfSel), "term")
-      .crossJoin(broadcast(stats))
-      .filter(col("df") >= minDf)
-      .withColumn("mlt", round(
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-          * col("src_tf"), 4))
-      .orderBy(desc("mlt"), asc("term"))
-      .limit(maxTerms)
-      .select("term", "df")
-    tf.join(broadcast(qt), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+    import spark.implicits._
+    // r6: the source doc's term vector is ONE pushdown point-read row,
+    // tokenized driver-side with the engine tokenizer (Analysis.tokenize ==
+    // toksCol, the project-wide single-definition invariant) — the old plan
+    // derived it from a corpus-scale (doc, term, tf) checkpoint. With the
+    // candidate terms known up front, the rest is the same narrow matched-
+    // occurrence shape as bm25Scored: per-doc doclen + in-row term filter,
+    // stats from a qtoks-pruned aggregate, df from the matched explode.
+    val srcText = t(spark, dir, "documents")
+      .filter(col("doc_id") === srcDoc).select("text")
+      .as[String].take(1).headOption.getOrElse("")
+    val srcTf: Seq[(String, Long)] =
+      graft.index.Analysis.tokenize(srcText).toSeq
+        .groupBy(identity).view
+        .map { case (tm, occ) => (tm, occ.length.toLong) }
+        .filter(_._2 >= minTf).toSeq.sortBy(_._1)
+    val srcTerms = srcTf.map(_._1)
+    val perDoc = spread(spark,
+        t(spark, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), toksCol(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("doclen"),
+        filter(col("toks"), x => x.isin(srcTerms: _*)).as("qtoks"))
+      .filter(col("doclen") > 0)
+      .localCheckpoint()
+    // ONE aggregation job over the checkpoint for n_docs + avgdl +
+    // per-candidate-term df, exactly like bm25Scored (r6)
+    val dfAggs = srcTerms.map(tm =>
+      count(when(array_contains(col("qtoks"), tm), lit(1))).as(s"df_$tm"))
+    val row = perDoc
+      .agg(count(lit(1)).as("n_docs"), (avg("doclen").as("avgdl") +: dfAggs): _*)
+      .head()
+    val (nDocs, avgdl) = (row.getLong(0), row.getDouble(1))
+    val dfMap: Map[String, Long] = srcTerms.zipWithIndex.flatMap {
+      case (tm, i) =>
+        val df = row.getLong(2 + i)
+        if (df == 0L) None else Some(tm -> df)
+    }.toMap
+    // "interesting terms" selection is pure scalar math over ≤ |src doc
+    // vocabulary| candidates — run it on the driver with the SAME double
+    // ops and HALF_UP 4-decimal rounding the old in-plan expression used
+    // (Spark Round on DoubleType = BigDecimal.valueOf(x).setScale(4,
+    // HALF_UP)), mlt-desc/term-asc tiebreak unchanged
+    def round4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val qt: Seq[(String, Long)] = srcTf
+      .flatMap { case (tm, stf) => dfMap.get(tm).map(df => (tm, stf, df)) }
+      .filter(_._3 >= minDf)
+      .map { case (tm, stf, df) =>
+        (tm, df, round4(math.log(1.0 + ((nDocs - df) + 0.5) /
+          (df + 0.5)) * stf))
+      }
+      .sortBy { case (tm, _, mlt) => (-mlt, tm) }
+      .take(maxTerms)
+      .map { case (tm, df, _) => (tm, df) }
+    // final scoring: the same in-row fold as bm25Scored, weights = plain
+    // idf of the selected terms (unboosted: ×1.0 is IEEE-exact)
+    val weights: Map[String, Double] = qt.map { case (tm, df) =>
+      tm -> math.log(1.0 + ((nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5))
+    }.toMap
+    val qtTerms = qt.map(_._1)
+    perDoc
       .filter(col("doc_id") =!= srcDoc)
-      .withColumn("contrib", bm25Contrib())
-      .groupBy("doc_id")
-      .agg(round(sum("contrib"), 4).as("score"))
+      .withColumn("qd", filter(col("qtoks"), x => x.isin(qtTerms: _*)))
+      .filter(size(col("qd")) > 0)
+      .select(col("doc_id"),
+        bm25RowScore(col("qd"), weights, avgdl).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }
@@ -1271,8 +1476,15 @@ object Ops {
   def facetPivot(spark: SparkSession, dir: String, topA: Int = 5,
       topB: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r6: checkpoint the aggregated pair table — |langs|·|sources| rows,
+    // facet cardinality, tiny at any corpus size. Without it Catalyst
+    // planned the aTop branch as a SECOND corpus scan + aggregation (the
+    // partial-agg chains differ, so the exchange is not reused); with it
+    // the one corpus-scale pass runs once and everything downstream
+    // (totals, topA cut, window) operates on facet-cardinality rows.
     val ab = t(spark, dir, "documents")
       .groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val aTop = ab.groupBy("lang").agg(sum("cnt").as("lang_cnt"))
       .orderBy(desc("lang_cnt"), asc("lang")).limit(topA)
     ab.join(broadcast(aTop), "lang")
