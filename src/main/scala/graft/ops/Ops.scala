@@ -89,10 +89,10 @@ object Ops {
   /** All (doc_id, score) BM25 matches for a term set, as a pure Catalyst
     * plan. k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5)).
     */
-  /** @param fqTerms Solr fq analog: each term's doc set constrains the
-    *   match set by semi-join AFTER scoring (fq never contributes score —
-    *   the q-vs-fq split); several terms intersect, like repeated fq=
-    *   params. Reuses the one checkpointed tf pass.
+  /** @param fqTerms Solr fq analog: each term constrains the match set
+    *   without contributing score (the q-vs-fq split) — a per-row
+    *   array_contains predicate over the same matched-occurrence column
+    *   (r6); several terms intersect, like repeated fq= params.
     */
   private def bm25Scored(spark: SparkSession, dir: String,
       queryTerms: Seq[String],
@@ -297,8 +297,7 @@ object Ops {
 
   /** Solr facet.query analog (r5): per sub-query term, the count of docs
     * in the main query's match set that also contain it — all counts in
-    * ONE job (tagged union → one semi-equi-join → groupBy), zeros
-    * included, ordered by fquery. Engine twin:
+    * ONE job, zeros included, ordered by fquery. Engine twin:
     * [[graft.query.QueryEngine.facetQuery]].
     */
   def facetQueryCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -395,8 +394,8 @@ object Ops {
   /** Solr sort= (r5): the SQL-analog twin of
     * [[graft.query.QueryEngine.searchSorted]] — docs matching a term,
     * ordered by a stored column instead of score (doc_id-ascending
-    * tiebreak), top 20. Match set → join stored columns →
-    * TakeOrderedAndProject: the same plan shape the engine path uses.
+    * tiebreak), top 20 — ending in the engine path's
+    * TakeOrderedAndProject shape.
     */
   def sortedMatchTopk(spark: SparkSession, dir: String): DataFrame =
     // r6: the match set is a per-row containment predicate — one narrow
@@ -771,7 +770,10 @@ object Ops {
     // checkpoint (r4): the capped stream is then a NARROW re-read of the
     // sh0 checkpoint wherever it appears — one materialization barrier
     // fewer, no shuffle re-run (hot has ≤ totalShingles/HotShingleDf rows
-    // by construction)
+    // by construction). r6 re-measured a second checkpoint here
+    // (alternating A/B): statistically indistinguishable locally, and at
+    // scale a corpus-class materialization loses to the cheap anti-join
+    // recompute — kept as is.
     val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // pair generation stays the sh ⋈ sh self-join deliberately (r6): the
@@ -959,7 +961,8 @@ object Ops {
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    t(spark, dir, "documents").select("doc_id", "text").as[(Long, String)]
+    spread(spark, t(spark, dir, "documents").select("doc_id", "text"))
+      .as[(Long, String)]
       .map { case (id, text) =>
         val votes = new Array[Long](64)
         graft.index.Analysis.tokenize(text).foreach { tok =>
