@@ -1755,11 +1755,11 @@ final class QueryEngine(spark: SparkSession, indexDir: String,
     val v = view
     val fieldPfx = if (df == "text") "" else df + ":"
     // cache in the view's prefixCache like every dictionary expansion; the
-    // SPACE-separated key cannot collide with term keys or pattern keys
-    // (spaces never appear in either — the parser's cache-identity rule) —
+    // NUL-separated key cannot collide with term keys or pattern keys
+    // (NUL never appears in either — the parser's cache-identity rule) —
     // a metachar-free regex like "w0001" would otherwise collide with the
     // plain-prefix entry for the same string
-    val cacheKey = "re " + df + " " + n + " " + pattern
+    val cacheKey = "re\u0000" + df + "\u0000" + n + "\u0000" + pattern
     val pfxLen = fieldPfx.length
     val matched: Seq[String] =
       v.prefixCache.synchronized(Option(v.prefixCache.get(cacheKey))) match {

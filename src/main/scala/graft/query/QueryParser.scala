@@ -264,7 +264,7 @@ object QueryResolve {
     val groups: Map[String, Int] = ast.scoringLits
       .collect { case m: MultiLit =>
         m.weighted.map(_._1).filterNot(ungroupedKeys).sorted }
-      .filter(_.size >= 2).distinct.sortBy(_.mkString(" "))
+      .filter(_.size >= 2).distinct.sortBy(_.mkString("\u0000"))
       .zipWithIndex
       .flatMap { case (ks, i) => ks.map(_ -> (i + 1)) }.toMap
     ResolvedQuery(scoring, clauses, boosts, groups, ast.tie)
