@@ -776,19 +776,28 @@ object Ops {
     // recompute — kept as is.
     val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // pair generation stays the sh ⋈ sh self-join deliberately (r6): the
-    // two hash(s) Exchanges over the same checkpoint are identical
-    // subtrees, so ReuseExchange ships the shingle table ONCE, and the
-    // sort-merge join runs on core codegen paths. A grouped
-    // collect_list + combination-explode variant was measured (guide
-    // §2.4) — it won ~15% wall in isolation but burned 2–4× the CPU under
-    // the harness's interleaved-plan methodology (ObjectHashAggregate +
-    // interpreted array lambdas vs always-hot join codegen) and slowed
-    // every op sharing the session; the join is the faster ENGINE shape
-    // here, not just the simpler one.
+    // pair generation stays the sh ⋈ sh self-join deliberately (r6): a
+    // grouped collect_list + combination-explode variant was measured
+    // (guide §2.4) — it won ~15% wall in isolation but burned 2–4× the
+    // CPU under the harness's interleaved-plan methodology
+    // (ObjectHashAggregate + interpreted array lambdas vs always-hot join
+    // codegen) and slowed every op sharing the session. The SHUFFLE_HASH
+    // hint (guide §3.1) picks the strategy deliberately: the planner's
+    // size-based choice was a BROADCAST of the capped shingle table
+    // (single-threaded driver collect + hash build of every shingle
+    // string — measured A/B/A/B: SHJ 1.39–1.54 s / 8.8–9.5 cpu-s vs
+    // 1.56–1.73 s / 10.0–12.3 cpu-s), and at scale it keeps the join off
+    // SMJ's per-row string sorts. SHJ's build side is per-partition and
+    // unspillable, which is safe HERE by the op's documented scope: exact
+    // ngram dedup is the small-corpus path (web scale goes through
+    // dedupLshVerified), the hot-shingle cap bounds per-key fan-out, and
+    // shuffle width is parameterised, never a local constant. A
+    // hash-prefixed SMJ key ((xxhash64(s), s) — longs sort first) was
+    // also measured and rejected: 2.05 s / 12.4 cpu-s, the wider shuffle
+    // cost more than the string sort it saved.
     val a = sh.select(col("doc_id").as("id_a"), col("s"))
     val b = sh.select(col("doc_id").as("id_b"), col("s"))
-    val pairs = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+    val pairs = a.join(b.hint("shuffle_hash"), Seq("s")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     pairs
       .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
